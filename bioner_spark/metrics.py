@@ -1,0 +1,89 @@
+"""Entity-level (span-exact) precision / recall / F1 and error analytics.
+
+DataFrame reformulation of the reference's streaming metric accumulators
+(reference bioner/model/metrics/entity_level_precision_recall.py:12-103):
+TP = |pred ∩ gold| on exact (doc, sentence, start, end) equality — an inner
+join; precision = TP / |pred|; recall = TP / |gold|;
+F1 = 2PR / (P + R + 1e-20) (reference bioner/model/annotator.py:108-110).
+
+Error-set partition (FP/FN/TP) and per-length error histograms mirror the
+reference error-analysis module (reference bioner/misc/error_analysis/
+analysis.py:140-203).
+
+All of it is joins + partial/final hash aggregation — Catalyst-native,
+scales linearly; span tables are tiny relative to the token table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SPAN_KEY = ["doc_id", "sentence_id", "start_tok", "end_tok"]
+
+
+def entity_level_prf1(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """1-row frame: (true_positives, predicted, gold, precision, recall, f1)."""
+    p = pred.select(*SPAN_KEY).distinct()
+    g = gold.select(*SPAN_KEY).distinct()
+    tp = p.join(g, SPAN_KEY, "inner").count()
+    n_pred = p.count()
+    n_gold = g.count()
+    precision = tp / n_pred if n_pred else 0.0
+    recall = tp / n_gold if n_gold else 0.0
+    f1 = precision * recall * 2 / (precision + recall + 1e-20)
+    spark = pred.sparkSession
+    return spark.createDataFrame(
+        [(tp, n_pred, n_gold, float(precision), float(recall), float(f1))],
+        "true_positives long, predicted long, gold long, precision double, recall double, f1 double",
+    )
+
+
+def error_sets(pred: DataFrame, gold: DataFrame) -> dict[str, DataFrame]:
+    """FP / FN / TP span sets (reference analysis.py:140-149):
+    FP = pred minus gold, FN = gold minus pred, TP = intersection."""
+    p = pred.select(*SPAN_KEY).distinct()
+    g = gold.select(*SPAN_KEY).distinct()
+    return {
+        "false_positives": p.join(g, SPAN_KEY, "left_anti"),
+        "false_negatives": g.join(p, SPAN_KEY, "left_anti"),
+        "true_positives": p.join(g, SPAN_KEY, "left_semi"),
+    }
+
+
+def error_stats_by_length(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Per span-length error counts (reference analysis.py:188-203):
+    length = end - start + 1 (reference entity_level_precision_recall.py:119-120);
+    a gold span is an error if absent from pred."""
+    g = gold.select(*SPAN_KEY).distinct().withColumn(
+        "length", F.col("end_tok") - F.col("start_tok") + 1
+    )
+    p = pred.select(*SPAN_KEY).distinct()
+    errors = g.join(p, SPAN_KEY, "left_anti").groupBy("length").agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
+    totals = g.groupBy("length").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        totals.join(errors, "length", "left")
+        .fillna(0, subset=["n_errors"])
+        .withColumn("error_ratio", F.col("n_errors") / F.col("n_total"))
+        .orderBy("length")
+    )
+
+
+def ensemble_intersection(pred_a: DataFrame, pred_b: DataFrame) -> DataFrame:
+    """Spans predicted by BOTH models (reference analysis.py:106-114)."""
+    return pred_a.select(*SPAN_KEY).distinct().join(
+        pred_b.select(*SPAN_KEY).distinct(), SPAN_KEY, "inner"
+    )
+
+
+def token_level_confusion(tokens_pred: DataFrame, tokens_gold: DataFrame) -> DataFrame:
+    """Token-level confusion counts (reference scibert_eval.py:80-90 computes
+    micro/macro P/R/F1 via sklearn; the engine exposes the confusion matrix
+    as a groupBy and derives ratios in SQL)."""
+    key = ["doc_id", "sentence_id", "token_id"]
+    joined = tokens_gold.select(*key, F.col("tag").alias("gold_tag")).join(
+        tokens_pred.select(*key, F.col("tag").alias("pred_tag")), key, "inner"
+    )
+    return joined.groupBy("gold_tag", "pred_tag").agg(F.count(F.lit(1)).alias("n"))

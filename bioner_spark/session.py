@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults target the sandbox (local[32], single JVM). On a real
+cluster the same builder is used via spark-submit --py-files; only
+master/memory change. Shuffle-partition count and AQE are set explicitly
+because the KG pipeline's big shuffles (token explode → span agg, mention
+self-join) are sized by these.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "bioner_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Parallelism is read from $SPARK_GRAFT_CPUS when not given so bench runs
+    can sweep parallelism levels (the sandbox proxy for cluster size).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    # Size shuffles to the core count: at 100 TB this would instead be
+    # ~2-3x total executor cores, set per job; AQE coalesces the tail.
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound Arrow batches so giant documents cannot blow up one UDF call;
+        # the NER kernel additionally sub-batches by token budget.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
