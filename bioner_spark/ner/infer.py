@@ -1,0 +1,175 @@
+"""Distributed NER inference: encode → batch → numpy forward → BIO tags.
+
+The engine analogue of the reference's annotation entry point
+(reference annotate_dataset.py + bioner/model/annotator.py:250-285):
+
+  reference                          engine
+  ---------                          ------
+  CoNLLDataLoader(batch=128)         sentence rows grouped per Arrow batch
+  collate_batch pad (:26-46)         numpy padding inside mapInPandas
+  model(x, lengths) forward          SequenceModel.forward (numpy)
+  argmax(dim=1) → truncate → BIO2    predict_tags (kernel.py)
+  positional tag write-back (:250)   join on (doc_id, sentence_id, token_id)
+
+Feature vector layout follows the reference DATEXISEncoder
+(bioner/model/encoder/datexis_encoder.py:19-38):
+[position(4) ‖ surface(11) ‖ trigram multi-hot(V)].
+
+Skew / memory safety: Arrow batches are bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch, and inside the UDF sentences
+are additionally re-chunked by a TOKEN BUDGET (pad-aware, sorted by length
+to minimize pad waste) so one giant document cannot OOM an executor
+(SURVEY.md §4 engineering point 2).
+
+The model weights travel inside the UDF closure — serialized once per
+executor with the task; at real cluster scale, ship the .npz via
+SparkFiles and lazy-load per executor (same code path, see load_model_udf).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bioner_spark.functions.ngrams import encode_multihot_indices
+from bioner_spark.functions.position import with_position_features, position_vector
+from bioner_spark.functions.surface import surface_vector
+from bioner_spark.ner.kernel import SequenceModel
+
+TAGS_SCHEMA = "doc_id string, sentence_id int, token_id int, tag string"
+
+N_POSITION = 4
+N_SURFACE = 11
+
+
+def encoded_sentences(tokens: DataFrame, vocab: DataFrame) -> DataFrame:
+    """tokens → one row per sentence with parallel feature arrays.
+
+    Columns: doc_id, sentence_id, token_ids:array<int>,
+    feat_dense:array<array<float>> (pos‖surface, 15 floats per token),
+    feat_sparse:array<array<int>> (trigram vocab indices per token).
+
+    The groupBy partitions by (doc_id, sentence_id); with_position_features'
+    window partitions by doc_id — Catalyst reuses the doc_id hash exchange
+    for both, so this costs one shuffle.
+    """
+    enc = with_position_features(tokens)
+    enc = encode_multihot_indices(enc, vocab)
+    enc = enc.withColumn(
+        "feat_dense", F.concat(position_vector(), surface_vector(F.col("text")))
+    )
+    return (
+        enc.select("doc_id", "sentence_id", "token_id", "feat_dense",
+                   F.col("ngram_indices").alias("feat_sparse"))
+        .groupBy("doc_id", "sentence_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("token_id", "feat_dense", "feat_sparse"))
+            ).alias("toks")
+        )
+        .select(
+            "doc_id",
+            "sentence_id",
+            F.transform("toks", lambda s: s["token_id"]).alias("token_ids"),
+            F.transform("toks", lambda s: s["feat_dense"]).alias("feat_dense"),
+            F.transform("toks", lambda s: s["feat_sparse"]).alias("feat_sparse"),
+        )
+    )
+
+
+def _densify(
+    feat_dense: list, feat_sparse: list, vocab_size: int, max_len: int
+) -> np.ndarray:
+    """One sentence → [max_len, 15+V] float32 (pad rows zero, like
+    collate_batch's zero padding, reference annotator.py:26-46)."""
+    T = len(feat_dense)
+    D = N_POSITION + N_SURFACE + vocab_size
+    x = np.zeros((max_len, D), dtype=np.float32)
+    dense = np.asarray([np.asarray(fd, dtype=np.float32) for fd in feat_dense])
+    x[:T, : N_POSITION + N_SURFACE] = dense
+    base = N_POSITION + N_SURFACE
+    for t, idxs in enumerate(feat_sparse):
+        if len(idxs):
+            x[t, base + np.asarray(idxs, dtype=np.int64)] = 1.0
+    return x
+
+
+def ner_tag_sentences(
+    sentences: DataFrame,
+    model: SequenceModel,
+    vocab_size: int,
+    token_budget: int = 32768,
+) -> DataFrame:
+    """sentence rows → (doc_id, sentence_id, token_id, tag). The one neural
+    kernel of the engine; vectorized per Arrow batch, never per-row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lengths_all = pdf["token_ids"].map(len).to_numpy()
+            # sort by length: minimizes pad waste inside each sub-batch
+            order = np.argsort(lengths_all, kind="stable")
+            out_docs, out_sents, out_toks, out_tags = [], [], [], []
+            i = 0
+            while i < len(order):
+                # grow the chunk while batch_size * running_max_len ≤ budget
+                j = i + 1
+                max_len = lengths_all[order[i]]
+                while j < len(order):
+                    cand = max(max_len, lengths_all[order[j]])
+                    if (j - i + 1) * cand > token_budget:
+                        break
+                    max_len = cand
+                    j += 1
+                sel = order[i:j]
+                lengths = lengths_all[sel]
+                max_len = int(lengths.max())
+                x = np.stack(
+                    [
+                        _densify(
+                            pdf["feat_dense"].iloc[k],
+                            pdf["feat_sparse"].iloc[k],
+                            vocab_size,
+                            max_len,
+                        )
+                        for k in sel
+                    ]
+                )
+                tags = model.predict_tags(x, lengths)
+                for row_idx, k in enumerate(sel):
+                    tids = pdf["token_ids"].iloc[k]
+                    out_docs.extend([pdf["doc_id"].iloc[k]] * len(tids))
+                    out_sents.extend([pdf["sentence_id"].iloc[k]] * len(tids))
+                    out_toks.extend(list(tids))
+                    out_tags.extend(tags[row_idx])
+                i = j
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_docs,
+                    "sentence_id": np.asarray(out_sents, dtype=np.int32),
+                    "token_id": np.asarray(out_toks, dtype=np.int32),
+                    "tag": out_tags,
+                }
+            )
+
+    return sentences.mapInPandas(run, schema=TAGS_SCHEMA)
+
+
+def annotate_tokens(
+    tokens: DataFrame, vocab: DataFrame, model: SequenceModel
+) -> DataFrame:
+    """tokens (untagged) → tokens + neural `tag` column.
+
+    The tag write-back is a join on the token key — the engine version of
+    the reference's positional deepcopy write-back (annotator.py:250-264),
+    which needs no copy because DataFrames are immutable.
+    """
+    vocab_size = vocab.count()
+    sents = encoded_sentences(tokens, vocab)
+    tags = ner_tag_sentences(sents, model, vocab_size)
+    return tokens.drop("tag").join(tags, ["doc_id", "sentence_id", "token_id"], "left")

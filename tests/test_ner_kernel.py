@@ -1,0 +1,163 @@
+"""NER kernel correctness: differential vs a scalar (unvectorized) LSTM,
+packed-sequence padding invariance, and Spark-vs-single-node parity of the
+full inference operator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bioner_spark.ner.kernel import (
+    SequenceModel,
+    bilstm_forward,
+    init_model,
+    load_model_config,
+    lstm_forward,
+)
+
+
+def _scalar_lstm(x, w_ih, w_hh, b):
+    """Deliberately naive per-timestep, per-sequence implementation."""
+    B, T, D = x.shape
+    H = w_hh.shape[1]
+    out = np.zeros((B, T, H))
+    for i in range(B):
+        h = np.zeros(H)
+        c = np.zeros(H)
+        for t in range(T):
+            gates = w_ih @ x[i, t] + w_hh @ h + b
+            ig = 1 / (1 + np.exp(-gates[:H]))
+            fg = 1 / (1 + np.exp(-gates[H : 2 * H]))
+            gg = np.tanh(gates[2 * H : 3 * H])
+            og = 1 / (1 + np.exp(-gates[3 * H :]))
+            c = fg * c + ig * gg
+            h = og * np.tanh(c)
+            out[i, t] = h
+    return out
+
+
+def test_lstm_forward_matches_scalar():
+    rng = np.random.default_rng(1234)
+    x = rng.normal(size=(3, 5, 4)).astype(np.float64)
+    w_ih = rng.normal(size=(16, 4))
+    w_hh = rng.normal(size=(16, 4))
+    b = rng.normal(size=16)
+    np.testing.assert_allclose(
+        lstm_forward(x, w_ih, w_hh, b), _scalar_lstm(x, w_ih, w_hh, b), rtol=1e-10
+    )
+
+
+def test_bilstm_padding_invariance():
+    """Packed-sequence semantics: a sequence's outputs must not depend on
+    other sequences' pads (reference uses pack_padded_sequence,
+    datexis_model.py:55-58)."""
+    rng = np.random.default_rng(42)
+    H = 6
+    fwd = (rng.normal(size=(4 * H, 3)), rng.normal(size=(4 * H, H)), rng.normal(size=4 * H))
+    bwd = (rng.normal(size=(4 * H, 3)), rng.normal(size=(4 * H, H)), rng.normal(size=4 * H))
+    lengths = np.array([5, 2, 4])
+    x = rng.normal(size=(3, 5, 3))
+    for i, L in enumerate(lengths):
+        x[i, L:] = 999.0  # poison the pads
+    batched = bilstm_forward(x, lengths, fwd, bwd)
+    for i, L in enumerate(lengths):
+        solo = bilstm_forward(x[i : i + 1, :L], np.array([L]), fwd, bwd)
+        np.testing.assert_allclose(batched[i, :L], solo[0], rtol=1e-10)
+
+
+def test_model_forward_padding_invariance_and_determinism():
+    model = init_model(input_dim=15 + 23, seed=1234)
+    rng = np.random.default_rng(7)
+    lengths = np.array([6, 3])
+    x = rng.normal(size=(2, 6, 38)).astype(np.float32)
+    x[1, 3:] = 777.0
+    tags1 = model.predict_tags(x, lengths)
+    tags2 = model.predict_tags(x.copy(), lengths.copy())
+    assert tags1 == tags2
+    assert [len(t) for t in tags1] == [6, 3]
+    solo = model.predict_tags(x[1:2, :3], np.array([3]))
+    assert tags1[1] == solo[0]
+    assert all(t in ("B", "I", "O") for s in tags1 for t in s)
+
+
+def test_model_registry():
+    m = load_model_config("DATEXIS-NER", input_dim=38)
+    assert m.ff_w.shape == (150, 38)
+    assert len(m.bilstms) == 1
+    m2 = load_model_config("CustomConfig_Stacked-DATEXIS-NER", input_dim=38)
+    assert len(m2.bilstms) == 2
+    with pytest.raises(ValueError):
+        load_model_config("nope", input_dim=10)
+
+
+def test_save_load_roundtrip(tmp_path):
+    m = init_model(input_dim=20, seed=99)
+    p = str(tmp_path / "weights.npz")
+    m.save(p)
+    m2 = SequenceModel.load(p)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 4, 20)).astype(np.float32)
+    lengths = np.array([4, 2])
+    np.testing.assert_array_equal(m.forward(x, lengths), m2.forward(x, lengths))
+
+
+def test_golden_logits_regression(tmp_path):
+    """Regression lock (FIXTURES.md §7): fixed seed + fixed input → logits
+    must stay bit-stable across refactors of the kernel."""
+    import os
+
+    model = init_model(input_dim=10, feedforward_size=8, lstm_size=4, seed=1234)
+    rng = np.random.default_rng(1234)
+    x = rng.normal(size=(2, 5, 10)).astype(np.float32)
+    lengths = np.array([5, 3])
+    logits = model.forward(x, lengths)
+    golden_path = os.path.join(os.path.dirname(__file__), "fixtures", "golden_logits.npz")
+    if not os.path.exists(golden_path):
+        os.makedirs(os.path.dirname(golden_path), exist_ok=True)
+        np.savez(golden_path, logits=logits)
+    golden = np.load(golden_path)["logits"]
+    np.testing.assert_allclose(logits, golden, rtol=1e-6)
+
+
+def test_spark_inference_matches_single_node(spark, corpus):
+    """End-to-end parity: Spark mapInPandas inference == single-node numpy
+    on the same features (the 'no per-row Python / same-kernel' invariant)."""
+    from bioner_spark import corpus as corpus_mod
+    from bioner_spark.functions.ngrams import build_vocabulary
+    from bioner_spark.ner.infer import annotate_tokens
+    from bioner_spark.schemas import TOKENS_SCHEMA
+
+    tokens_pd = corpus.tokens.head(500).copy()  # a few docs' worth
+    tokens = spark.createDataFrame(tokens_pd, schema=TOKENS_SCHEMA)
+    vocab = build_vocabulary(tokens, min_word_frequency=1).cache()
+    vocab_size = vocab.count()
+    model = init_model(input_dim=15 + vocab_size, seed=1234)
+
+    got = (
+        annotate_tokens(tokens.drop("tag"), vocab, model)
+        .select("doc_id", "sentence_id", "token_id", "tag")
+        .toPandas()
+        .sort_values(["doc_id", "sentence_id", "token_id"])
+        .reset_index(drop=True)
+    )
+    # single-node: encode the same features via the Spark-side encoders once
+    # (collect), then run the kernel per sentence un-batched.
+    from bioner_spark.ner.infer import encoded_sentences
+
+    sents = encoded_sentences(tokens.drop("tag"), vocab).toPandas()
+    expected = {}
+    for _, row in sents.iterrows():
+        T = len(row["token_ids"])
+        x = np.zeros((1, T, 15 + vocab_size), dtype=np.float32)
+        for t in range(T):
+            x[0, t, :15] = np.asarray(row["feat_dense"][t], dtype=np.float32)
+            for ix in row["feat_sparse"][t]:
+                x[0, t, 15 + ix] = 1.0
+        tags = model.predict_tags(x, np.array([T]))[0]
+        for t, tag in enumerate(tags):
+            expected[(row["doc_id"], row["sentence_id"], row["token_id"][t] if False else row["token_ids"][t])] = tag
+    got_map = {
+        (r.doc_id, r.sentence_id, r.token_id): r.tag for r in got.itertuples()
+    }
+    assert got_map == expected
