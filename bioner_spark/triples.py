@@ -1,0 +1,116 @@
+"""(subj, pred, obj) triple materialization from linked mentions.
+
+Semantics (the engine's KG rule, mirrored exactly by the single-node oracle
+in corpus.py's gold generator):
+
+  * for every ordered pair of linked mentions (m1, m2) in one sentence with
+    m1.start_tok < m2.start_tok:
+      - pred = the FIRST predicate-lexicon token strictly between m1.end_tok
+        and m2.start_tok, else 'co_occurs_with'
+      - subj = component(m1.canonical_id), obj = component(m2.canonical_id)
+        (component = connected-components canonical form, graph.py)
+  * triples are DISTINCT per (subj, pred, obj, doc_id, sentence_id).
+
+Scale notes:
+  * the mention×mention self-join is keyed on (doc_id, sentence_id) — both
+    sides come out of the span decode already hash-partitioned on those
+    keys, so the join reuses the existing exchange;
+  * sentence-level mention counts are small (≤ dozens), so the pair blowup
+    is bounded per row; host-level skew is handled upstream by the salted
+    repartition before inference (pipeline.py);
+  * the predicate lookup joins the (tiny) verb lexicon broadcast against
+    the tokens-between range via a range condition on token_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_PREDICATES = ["treats", "causes", "inhibits", "prevents", "reduces"]
+CO_OCCURS = "co_occurs_with"
+
+
+def mention_pairs(linked_mentions: DataFrame) -> DataFrame:
+    """Ordered same-sentence mention pairs with resolved canonical ids."""
+    m1 = linked_mentions.alias("m1")
+    m2 = linked_mentions.alias("m2")
+    return (
+        m1.join(
+            m2,
+            (F.col("m1.doc_id") == F.col("m2.doc_id"))
+            & (F.col("m1.sentence_id") == F.col("m2.sentence_id"))
+            & (F.col("m1.start_tok") < F.col("m2.start_tok")),
+            "inner",
+        )
+        .select(
+            F.col("m1.doc_id").alias("doc_id"),
+            F.col("m1.sentence_id").alias("sentence_id"),
+            F.col("m1.component").alias("subj"),
+            F.col("m2.component").alias("obj"),
+            F.col("m1.end_tok").alias("subj_end"),
+            F.col("m2.start_tok").alias("obj_start"),
+        )
+    )
+
+
+def extract_triples(
+    linked_mentions: DataFrame,
+    tokens: DataFrame,
+    predicates: list[str] | None = None,
+) -> DataFrame:
+    """linked mentions (with `component`) + tokens → distinct triples."""
+    predicates = predicates or DEFAULT_PREDICATES
+    pairs = mention_pairs(linked_mentions)
+    verbs = tokens.filter(F.lower(F.col("text")).isin(predicates)).select(
+        "doc_id",
+        "sentence_id",
+        F.col("token_id").alias("verb_tok"),
+        F.lower(F.col("text")).alias("verb"),
+    )
+    with_verb = (
+        pairs.join(
+            verbs,
+            ["doc_id", "sentence_id"],
+            "left",
+        )
+        .withColumn(
+            "verb_between",
+            F.when(
+                (F.col("verb_tok") > F.col("subj_end"))
+                & (F.col("verb_tok") < F.col("obj_start")),
+                F.col("verb_tok"),
+            ),
+        )
+        .groupBy("doc_id", "sentence_id", "subj", "obj", "subj_end", "obj_start")
+        .agg(
+            F.min(
+                F.when(F.col("verb_between").isNotNull(), F.struct("verb_tok", "verb"))
+            ).alias("first_verb")
+        )
+        .select(
+            F.col("subj"),
+            F.coalesce(F.col("first_verb.verb"), F.lit(CO_OCCURS)).alias("pred"),
+            F.col("obj"),
+            "doc_id",
+            F.col("sentence_id").cast("int").alias("sentence_id"),
+        )
+    )
+    return with_verb.distinct()
+
+
+def triple_prf1(pred_triples: DataFrame, gold_triples: DataFrame) -> DataFrame:
+    """Exact-match triple precision/recall/F1 (the P/R ≥ 0.95 gate,
+    BASELINE.json north_rule)."""
+    key = ["subj", "pred", "obj", "doc_id", "sentence_id"]
+    p = pred_triples.select(*key).distinct()
+    g = gold_triples.select(*key).distinct()
+    tp = p.join(g, key, "inner").count()
+    n_p, n_g = p.count(), g.count()
+    precision = tp / n_p if n_p else 0.0
+    recall = tp / n_g if n_g else 0.0
+    f1 = 2 * precision * recall / (precision + recall + 1e-20)
+    return pred_triples.sparkSession.createDataFrame(
+        [(tp, n_p, n_g, float(precision), float(recall), float(f1))],
+        "true_positives long, predicted long, gold long, precision double, recall double, f1 double",
+    )

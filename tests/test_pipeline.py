@@ -1,0 +1,78 @@
+"""End-to-end pipeline parity (the P/R ≥ 0.95 triple gate,
+BASELINE.json north_rule) + checkpointed-resume behavior."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from bioner_spark import corpus as corpus_mod
+from bioner_spark.metrics import entity_level_prf1
+from bioner_spark.pipeline import build_triples, run_checkpointed
+from bioner_spark.schemas import MENTIONS_SCHEMA
+from bioner_spark.triples import triple_prf1
+
+
+def test_end_to_end_triple_parity(spark, corpus):
+    pages = corpus_mod.pages_spark_df(spark, corpus)
+    alias = corpus_mod.alias_dict_spark_df(spark, corpus)
+    result = build_triples(pages, alias, tagger="dict")
+    gold = spark.createDataFrame(corpus.triples)
+    row = triple_prf1(result.triples, gold).collect()[0]
+    assert row["precision"] >= 0.95, row
+    assert row["recall"] >= 0.95, row
+
+
+def test_end_to_end_mention_parity(spark, corpus):
+    pages = corpus_mod.pages_spark_df(spark, corpus)
+    alias = corpus_mod.alias_dict_spark_df(spark, corpus)
+    result = build_triples(pages, alias, tagger="dict")
+    gold = spark.createDataFrame(
+        corpus.mentions[["doc_id", "sentence_id", "start_tok", "end_tok"]]
+    )
+    row = entity_level_prf1(result.mentions, gold).collect()[0]
+    assert row["f1"] >= 0.95, row
+
+
+def test_checkpointed_resume(spark, corpus, tmp_path):
+    pages = corpus_mod.pages_spark_df(spark, corpus)
+    alias = corpus_mod.alias_dict_spark_df(spark, corpus)
+    out = str(tmp_path / "kg")
+
+    r1 = run_checkpointed(spark, pages, alias, out, n_buckets=4)
+    assert r1.n_buckets_processed > 0
+    t1 = r1.triples.drop("bucket").toPandas().sort_values(["doc_id", "sentence_id", "subj", "pred", "obj"]).reset_index(drop=True)
+
+    # second run: everything already done → all skipped, same output
+    r2 = run_checkpointed(spark, pages, alias, out, n_buckets=4)
+    assert r2.n_buckets_processed == 0
+    assert r2.n_buckets_skipped == r1.n_buckets_processed
+    t2 = r2.triples.drop("bucket").toPandas().sort_values(["doc_id", "sentence_id", "subj", "pred", "obj"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(t1, t2)
+
+    # changed input in one bucket → only affected buckets recompute
+    pages2 = pages.withColumn(
+        "url", F.when(F.col("url").endswith("/doc/0"), F.concat(F.col("url"), F.lit("x"))).otherwise(F.col("url"))
+    )
+    r3 = run_checkpointed(spark, pages2, alias, out, n_buckets=4)
+    assert 0 < r3.n_buckets_processed <= 2
+
+
+def test_neural_pipeline_runs(spark, corpus):
+    """Neural tagger path: structurally sound end-to-end (tag domain, spans
+    decodable). Quality is not asserted — weights are a seeded fixture."""
+    from bioner_spark.functions.ngrams import build_vocabulary
+    from bioner_spark.ner.kernel import init_model
+    from bioner_spark.tokenizer import tokenize
+
+    pages = corpus_mod.pages_spark_df(spark, corpus).limit(6)
+    alias = corpus_mod.alias_dict_spark_df(spark, corpus)
+    toks = tokenize(pages)
+    vocab = build_vocabulary(toks, min_word_frequency=1).cache()
+    model = init_model(input_dim=15 + vocab.count(), seed=1234)
+    result = build_triples(
+        pages, alias, tagger="neural", model=model, vocab=vocab, use_extractor=False
+    )
+    tags = {r.tag for r in result.tokens.select("tag").distinct().collect()}
+    assert tags <= {"B", "I", "O"}
+    result.triples.count()  # must execute without error
