@@ -1,0 +1,154 @@
+"""CoNLL-2003-style 4-column TSV read/write — parity with the reference
+parser/writer (reference bioner/model/conll_dataset.py:31-64, 110-120).
+
+Format:
+  * rows: text \\t start \\t end \\t tag
+  * `-DOCSTART-` prefix row = document separator (conll_dataset.py:66-73 —
+    note: startswith, not equality)
+  * blank row = sentence separator; consecutive blanks collapse
+    (itertools.groupby semantics, conll_dataset.py:48-54)
+  * tag parsed as FIRST CHARACTER of column 4, so `B-T116,T123` → `B`
+    (conll_dataset.py:83)
+  * quotes are literal (csv quotechar=None, conll_dataset.py:35)
+
+Reader: files are read with wholetext (a CoNLL file's structure is
+line-order-dependent; Spark line mode does not guarantee order across
+splits), then split/exploded natively with window-function running counters
+for doc/sentence ids. One file = one row pre-explode, so parallelism is
+per-file — matching the reference's file-at-a-time semantics; large corpora
+are many files.
+
+Writer: serializes each document back to the reference's exact byte format
+(round-trip tested via full-file string equality, like the reference's
+filecmp test, tests/model/test_CoNLLDataset.py:51-60).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DOC_START = "-DOCSTART-"
+
+
+def read_conll(spark: SparkSession, path: str) -> DataFrame:
+    """→ tokens (doc_id, sentence_id, token_id, text, start, end, tag).
+
+    doc_id is `<file>#<n>` (0-based doc ordinal within file) so multi-file
+    reads stay collision-free.
+    """
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), F.col("value")
+    )
+    lines = raw.select(
+        "file", F.posexplode(F.split(F.col("value"), "\n")).alias("line_no", "line")
+    )
+    w = Window.partitionBy("file").orderBy("line_no")
+    is_doc_sep = F.col("line").startswith(DOC_START)
+    is_blank = F.length("line") == 0
+    lines = lines.withColumn(
+        "doc_ord", F.sum(is_doc_sep.cast("int")).over(w) - 1
+    ).withColumn("is_blank", is_blank)
+    # new sentence when a non-blank token row follows a blank/DOCSTART/None.
+    # IMPORTANT: the lag must see ALL rows (incl. blanks), so compute it
+    # BEFORE filtering the separator rows out.
+    lines = lines.withColumn(
+        "new_sent", F.lag(F.col("is_blank") | is_doc_sep, 1, True).over(w).cast("int")
+    )
+    toks = lines.filter(~is_blank & ~is_doc_sep)
+    w_doc = Window.partitionBy("file", "doc_ord").orderBy("line_no")
+    toks = toks.withColumn("sentence_id", (F.sum("new_sent").over(w_doc) - 1).cast("int"))
+    w_sent = Window.partitionBy("file", "doc_ord", "sentence_id").orderBy("line_no")
+    toks = toks.withColumn("token_id", (F.row_number().over(w_sent) - 1).cast("int"))
+    cols = F.split(F.col("line"), "\t")
+    return toks.select(
+        F.concat_ws("#", F.col("file"), F.col("doc_ord")).alias("doc_id"),
+        "sentence_id",
+        "token_id",
+        cols.getItem(0).alias("text"),
+        cols.getItem(1).cast("int").alias("start"),
+        cols.getItem(2).cast("int").alias("end"),
+        F.substring(cols.getItem(3), 1, 1).alias("tag"),  # conll_dataset.py:83
+    )
+
+
+def conll_document_strings(tokens: DataFrame, doc_order_col: str = "doc_id") -> DataFrame:
+    """tokens → one row per document with the exact reference serialization
+    (conll_dataset.py:110-120): '-DOCSTART-\\t0\\t0\\tO\\n\\n' then per
+    sentence all token rows + blank line."""
+    token_line = F.concat_ws(
+        "\t",
+        F.col("text"),
+        F.col("start").cast("string"),
+        F.col("end").cast("string"),
+        F.col("tag"),
+    )
+    per_sentence = (
+        tokens.withColumn("_line", token_line)
+        .groupBy("doc_id", "sentence_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("token_id", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("sent_block")
+        )
+    )
+    per_doc = per_sentence.groupBy("doc_id").agg(
+        F.concat(
+            F.lit(f"{DOC_START}\t0\t0\tO\n\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sentence_id", "sent_block"))),
+                    lambda s: F.concat(s["sent_block"], F.lit("\n\n")),
+                ),
+                "",
+            ),
+        ).alias("doc_text")
+    )
+    return per_doc
+
+
+def write_conll(tokens: DataFrame, path: str) -> None:
+    """Write the whole corpus as one reference-format file (driver-side
+    concat of per-doc strings — CoNLL export is a small-output boundary
+    format; the engine's scale format is Parquet)."""
+    docs = conll_document_strings(tokens).orderBy("doc_id").collect()
+    # Reference writes sentence blocks each followed by ONE blank line and
+    # each doc separated by its DOCSTART header; concatenation preserves that.
+    with open(path, "w", encoding="utf8") as f:
+        for row in docs:
+            f.write(row["doc_text"])
+
+
+def write_eval_conll(
+    tokens_gold: DataFrame, tokens_pred: DataFrame, path: str
+) -> None:
+    """3-column eval export `token gold pred` (space-sep), blank line before
+    each sentence (reference dataset_to_conll_file.py:6-16) — the
+    conlleval.pl input format."""
+    key = ["doc_id", "sentence_id", "token_id"]
+    joined = (
+        tokens_gold.select(*key, "text", F.col("tag").alias("gold"))
+        .join(tokens_pred.select(*key, F.col("tag").alias("pred")), key)
+        .withColumn("_line", F.concat_ws(" ", "text", "gold", "pred"))
+    )
+    per_sentence = (
+        joined.groupBy("doc_id", "sentence_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("token_id", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("block")
+        )
+        .orderBy("doc_id", "sentence_id")
+        .collect()
+    )
+    with open(path, "w", encoding="utf8") as f:
+        for row in per_sentence:
+            f.write("\n" + row["block"] + "\n")

@@ -1,0 +1,197 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing is md5-prefix based (`_hash32`) rather than Spark's native
+murmur `hash()` so that every operator here has a bit-identical ANSI-SQL
+oracle (DuckDB computes the same md5). At 100 TB you would swap `_hash32`
+for xxhash64 (cheaper, JVM-intrinsic) — the operator shapes are unchanged.
+
+Operators:
+  * exact duplicates      — md5 fingerprint groupBy (one shuffle)
+  * word-shingles         — native higher-order functions, no UDF
+  * MinHash signatures    — k universal-hash mins per doc (explode + agg)
+  * MinHash LSH pairs     — band-bucket join (the scale path: candidate
+                            pairs only, never the O(n²) cross join)
+  * n-gram Jaccard pairs  — exact verify on LSH candidates (or standalone
+                            on small corpora)
+  * SimHash               — 32-bit signature via per-bit majority vote,
+                            expressed as 32 conditional sums (one groupBy)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic universal-hash parameters: h_i(x) = (a_i * x + b_i) mod P
+# P prime > 2^32; a_i small so a*x stays << 2^63 (ANSI-overflow-safe)
+LSH_PRIME = 4294967311
+MINHASH_COEFFS = [(2, 1), (3, 7), (5, 13), (7, 31), (11, 101), (13, 331), (17, 1009), (19, 4999)]
+
+
+def _hash32(c):
+    """Portable 32-bit unsigned hash: first 8 hex chars of md5 as bigint."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def normalized(text_col):
+    """Dedup normalization: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (fingerprint, n_docs, min_doc_id) per normalized-text group."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(normalized(F.col(text_col))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per exact-duplicate group."""
+    w_rep = exact_duplicate_groups(df, id_col, text_col).select(
+        F.col("min_doc_id").alias(id_col)
+    )
+    return df.join(w_rep, id_col, "left_semi")
+
+
+def word_shingles(text_col, n: int = 3):
+    """Array of word n-gram shingles of the normalized text (native HOF)."""
+    words = F.split(normalized(text_col), " ")
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """→ (doc_id, mh0..mh{k-1}); k = len(MINHASH_COEFFS)."""
+    sh = shingle_table(df, id_col, text_col, n).withColumn("h", _hash32(F.col("shingle")))
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(LSH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature, bucket-join.
+
+    With k=8, r=2 → 4 bands; docs sharing any full band collide. The join is
+    on (band_id, band_key) — never a cross join; skewed buckets (boilerplate
+    shingles) are handled by AQE skew-join splitting.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n)
+    k = len(MINHASH_COEFFS)
+    n_bands = k // rows_per_band
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold pairs.
+
+    With `candidates` (e.g. from lsh_candidate_pairs) only those pairs are
+    verified — the scale path. Without, the shingle self-join bounds the
+    blowup to docs actually sharing a shingle (still not a cross join).
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over word hashes: bit k set iff the majority of word
+    hashes have bit k set. One explode + one groupBy with 32 conditional
+    sums — fully native, oracle-expressible."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("w"),
+    ).withColumn("h", _hash32(F.col("w")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{k}")
+        for k in range(32)
+    ]
+    agg = words.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for k in range(32):
+        term = F.when(F.col(f"b{k}") > 0, F.lit(2**k)).otherwise(F.lit(0))
+        sig = term if sig is None else (sig + term)
+    return agg.select("doc_id", sig.cast("bigint").alias("simhash"))

@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(deterministic byte-level fake, or NotImplementedError for real codecs) —
+but the Spark-side plumbing is real and tested: schema, Arrow batch shape,
+mapInPandas signature, partitioning. Swapping in PIL/librosa/ffmpeg later
+changes only the body of `_decode_stub`.
+
+Design for 100 TB of media: payloads stay binary end-to-end (never hit
+Python strings), batches are bounded by bytes not rows (`byte_budget`), and
+feature extraction emits fixed-size float arrays so downstream is columnar.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURES_SCHEMA = "media_id string, modality string, n_bytes int, feature array<float>"
+
+REAL_CODECS_AVAILABLE = False  # flipped when PIL/librosa exist in the image
+
+
+def _decode_stub(payload: bytes, modality: str) -> np.ndarray:
+    """Deterministic fake 'decode + featurize': 32-bin byte histogram,
+    L1-normalized. Stands in for resize/mel-spectrogram/frame-sample."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(32, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 3, minlength=32).astype(np.float32)
+    return hist / max(hist.sum(), 1.0)
+
+
+def decode_real(payload: bytes, modality: str) -> np.ndarray:
+    """The real decoder hook — requires codec libraries not in this image."""
+    raise NotImplementedError(
+        "image/audio codecs are not installed in this environment; "
+        "wire PIL/librosa/av here and set REAL_CODECS_AVAILABLE=True"
+    )
+
+
+def extract_features(media: DataFrame, byte_budget: int = 64 << 20) -> DataFrame:
+    """media table → per-item feature vectors via mapInPandas.
+
+    Sub-batches by cumulative payload bytes so a partition of 4K-video rows
+    cannot blow executor memory even if Arrow hands us 2048 rows at once.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows: list[dict] = []
+            acc = 0
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                n = len(payload) if payload is not None else 0
+                acc += n
+                feat = _decode_stub(payload, row["modality"])
+                out_rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "modality": row["modality"],
+                        "n_bytes": n,
+                        "feature": feat.tolist(),
+                    }
+                )
+                if acc >= byte_budget:
+                    yield pd.DataFrame(out_rows)
+                    out_rows, acc = [], 0
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling PLAN: emits (media_id, frame_idx) rows from the
+    declared frame count in meta — the real frame grab happens in
+    decode_real. Demonstrates metadata-driven explode without decoding."""
+    n_frames = F.coalesce(
+        F.element_at(F.col("meta"), "n_frames").cast("int"), F.lit(0)
+    )
+    return media.filter(F.col("modality") == "video").select(
+        "media_id",
+        F.explode(
+            F.when(
+                n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("frame_idx"),
+    )

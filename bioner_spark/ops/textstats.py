@@ -1,0 +1,104 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All native Spark SQL (whole-stage codegen) with
+exact DuckDB oracles.
+
+These are the corpus-quality stages a web-scale training-data pipeline runs
+before NER/KG extraction: cheap, per-row, shuffle-free projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists (heuristic language ID).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"],
+}
+
+
+def _words(text_col):
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def stopword_hits(text_col, lang: str):
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(_words(text_col), lambda w: F.array_contains(sw, w)))
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """argmax of per-language stopword hit counts; 'und' (undetermined) when
+    no stopword matches. Deterministic tie-break: en > de > fr (hit order)."""
+    c = F.col(text_col)
+    hits = {lang: stopword_hits(c, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    guess = (
+        F.when(best <= 0, F.lit("und"))
+        .when(hits["en"] == best, F.lit("en"))
+        .when(hits["de"] == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.withColumn("lang_guess", guess)
+
+
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / digit ratios + a composite score
+    in [0,1]. The classic pre-training quality filter features."""
+    c = F.col(text_col)
+    words = _words(c)
+    n_words = F.size(words)
+    n_chars = F.length(c)
+    mean_word_len = F.round(
+        (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1)), 6
+    )
+    punct_ratio = F.round(
+        F.length(F.regexp_replace(c, r"[^\p{P}]", "")) / F.greatest(n_chars, F.lit(1)), 6
+    )
+    digit_ratio = F.round(
+        F.length(F.regexp_replace(c, r"[^0-9]", "")) / F.greatest(n_chars, F.lit(1)), 6
+    )
+    stop_ratio = F.round(
+        stopword_hits(c, "en") / F.greatest(n_words, F.lit(1)), 6
+    )
+    score = F.round(
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
+        + (F.lit(1.0) - F.least(digit_ratio * F.lit(4.0), F.lit(1.0))) * 0.1,
+        6,
+    )
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "n_chars": n_chars,
+            "mean_word_len": mean_word_len,
+            "punct_ratio": punct_ratio,
+            "digit_ratio": digit_ratio,
+            "stopword_ratio": stop_ratio,
+            "quality_score": score,
+        }
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate: number of
+    matches of (up to 4 letters | digit | punctuation) — the cheap
+    pre-tokenizer budget estimate used for context-length planning."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "ws_tokens": F.size(F.split(F.trim(c), r"\s+")),
+            "subword_est": F.regexp_count(c, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")),
+        }
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized md5 content fingerprint (exact-dedup key) + a 16-hex-char
+    prefix as a compact join key."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(norm)).withColumn(
+        "fingerprint16", F.substring(F.md5(norm), 1, 16)
+    )

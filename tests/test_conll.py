@@ -1,0 +1,93 @@
+"""CoNLL read/write parity — fixtures reproduced from the reference test
+suite (tests/model/test_CoNLLDataset.py:64-140): typed tags must collapse to
+their first char, trailing blank lines are tolerated, and write→read
+round-trips byte-exactly (the filecmp test, :51-60)."""
+
+from __future__ import annotations
+
+from bioner_spark.io.conll import read_conll, write_conll
+
+TYPED_CONTENT = """-DOCSTART-	0	0	O
+
+Lorem	0	5	B-T116,T123
+ipsum	6	10	I-T047
+dolor	11	16	O
+
+Eirmod	0	5	B-T116,T123
+tempor	6	8	O
+.	9	10	O
+
+-DOCSTART-	0	0	O
+
+ut	0	5	B-UnknownType
+labore	6	8	O
+et	9	10	O
+
+dolore	0	5	O
+magna	6	8	O
+aliquyam	9	10	O
+"""
+
+UNTYPED_CONTENT = TYPED_CONTENT.replace("B-T116,T123", "B").replace("I-T047", "I").replace(
+    "B-UnknownType", "B"
+) + "\n"
+
+
+def _parse(spark, tmp_path, content, name="f.txt"):
+    p = tmp_path / name
+    p.write_text(content, encoding="utf8")
+    return read_conll(spark, str(p)).orderBy("doc_id", "sentence_id", "token_id")
+
+
+def _expected():
+    return [
+        (0, 0, 0, "Lorem", 0, 5, "B"),
+        (0, 0, 1, "ipsum", 6, 10, "I"),
+        (0, 0, 2, "dolor", 11, 16, "O"),
+        (0, 1, 0, "Eirmod", 0, 5, "B"),
+        (0, 1, 1, "tempor", 6, 8, "O"),
+        (0, 1, 2, ".", 9, 10, "O"),
+        (1, 0, 0, "ut", 0, 5, "B"),
+        (1, 0, 1, "labore", 6, 8, "O"),
+        (1, 0, 2, "et", 9, 10, "O"),
+        (1, 1, 0, "dolore", 0, 5, "O"),
+        (1, 1, 1, "magna", 6, 8, "O"),
+        (1, 1, 2, "aliquyam", 9, 10, "O"),
+    ]
+
+
+def _rows(df):
+    return [
+        (int(r.doc_id.rsplit("#", 1)[1]), r.sentence_id, r.token_id, r.text, r.start, r.end, r.tag)
+        for r in df.collect()
+    ]
+
+
+def test_read_typed_tags_collapse(spark, tmp_path):
+    df = _parse(spark, tmp_path, TYPED_CONTENT)
+    assert _rows(df) == _expected()
+
+
+def test_read_trailing_blank_lines(spark, tmp_path):
+    df = _parse(spark, tmp_path, TYPED_CONTENT + "\n\n")
+    assert _rows(df) == _expected()
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    df = _parse(spark, tmp_path, UNTYPED_CONTENT, "in.txt")
+    out = tmp_path / "out.txt"
+    write_conll(df, str(out))
+    assert out.read_text(encoding="utf8") == UNTYPED_CONTENT
+
+
+def test_eval_export_format(spark, tmp_path):
+    from bioner_spark.io.conll import write_eval_conll
+
+    gold = _parse(spark, tmp_path, UNTYPED_CONTENT, "g.txt")
+    pred = gold.withColumn("tag", gold["tag"])
+    out = tmp_path / "eval.txt"
+    write_eval_conll(gold, pred, str(out))
+    text = out.read_text(encoding="utf8")
+    assert "\nLorem B B\nipsum I I\ndolor O O\n" in text
+    # blank line BEFORE each sentence (dataset_to_conll_file.py:12-16)
+    assert text.startswith("\n")

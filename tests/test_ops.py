@@ -1,0 +1,168 @@
+"""Training-data pipeline operators over the driver testdata tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bioner_spark.ops.dedup import (
+    dedup_exact,
+    exact_duplicate_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+from bioner_spark.ops.similarity import cosine_topk, lsh_topk
+from bioner_spark.ops.textstats import (
+    with_fingerprint,
+    with_lang_guess,
+    with_quality_features,
+    with_token_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _with_dups(documents):
+    """Inject exact duplicates deterministically (doc_id + 1e6)."""
+    dups = documents.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return documents.unionByName(dups)
+
+
+def test_exact_dedup(documents):
+    df = _with_dups(documents)
+    n_orig = documents.count()
+    groups = exact_duplicate_groups(df)
+    dup_groups = groups.filter(F.col("n_docs") > 1)
+    assert dup_groups.count() == 10
+    assert {r.min_doc_id for r in dup_groups.collect()} == set(range(10))
+    assert dedup_exact(df).count() == n_orig
+
+
+def test_word_shingles(spark):
+    df = spark.range(1).select(
+        word_shingles(F.lit("a b c d"), 3).alias("sh")
+    )
+    assert df.collect()[0]["sh"] == ["a b c", "b c d"]
+    short = spark.range(1).select(word_shingles(F.lit("a b"), 3).alias("sh"))
+    assert short.collect()[0]["sh"] == ["a b"]
+
+
+def test_minhash_identical_docs_share_signature(documents):
+    df = _with_dups(documents)
+    sig = minhash_signatures(df).cache()
+    a = sig.filter(F.col("doc_id") == 0).drop("doc_id").collect()[0]
+    b = sig.filter(F.col("doc_id") == 1000000).drop("doc_id").collect()[0]
+    assert a == b
+
+
+def test_lsh_finds_injected_dups(documents):
+    df = _with_dups(documents)
+    pairs = lsh_candidate_pairs(df).cache()
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    for i in range(10):
+        assert (i, i + 1000000) in got
+
+
+def test_jaccard_pairs_exact_dups_have_jaccard_1(documents):
+    df = _with_dups(documents)
+    cands = lsh_candidate_pairs(df)
+    pairs = jaccard_pairs(df, threshold=0.99, candidates=cands).collect()
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    for i in range(10):
+        assert exact.get((i, i + 1000000)) == 1.0
+
+
+def test_simhash_stable_and_equal_for_dups(documents):
+    df = _with_dups(documents)
+    sh = simhash(df).cache()
+    vals = {r.doc_id: r.simhash for r in sh.filter(F.col("doc_id").isin(0, 1000000, 1)).collect()}
+    assert vals[0] == vals[1000000]
+    assert 0 <= vals[0] < 2**32
+    # deterministic across runs
+    sh2 = {r.doc_id: r.simhash for r in simhash(df).filter(F.col("doc_id") == 0).collect()}
+    assert sh2[0] == vals[0]
+
+
+def test_cosine_topk_matches_numpy(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    got = cosine_topk(embeddings, queries, k=5).collect()
+    pdf = embeddings.toPandas()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        cos_r = np.round(cos, 6)
+        order = sorted(
+            [(c, i) for c, i in zip(cos_r, ids) if i != qid], key=lambda t: (-t[0], t[1])
+        )[:5]
+        expected = [(i, c) for c, i in order]
+        mine = sorted(
+            [(r.neighbor_id, r.cosine) for r in got if r.query_id == qid],
+            key=lambda t: [x for x in got if x.query_id == qid and x.neighbor_id == t[0]][0].rank,
+        )
+        assert [m[0] for m in mine] == [e[0] for e in expected]
+        np.testing.assert_allclose([m[1] for m in mine], [e[1] for e in expected], atol=1e-6)
+
+
+def test_lsh_topk_runs_and_is_subset_quality(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    approx = lsh_topk(embeddings, queries, k=5, n_planes=4)
+    rows = approx.collect()
+    assert len(rows) > 0
+    assert all(r.query_id != r.neighbor_id for r in rows)
+
+
+def test_textstats(documents):
+    out = with_token_counts(
+        with_quality_features(with_lang_guess(with_fingerprint(documents)))
+    )
+    row = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["n_words"] > 0
+    assert 0.0 <= row["quality_score"] <= 1.0
+    assert len(row["fingerprint"]) == 32
+    assert row["ws_tokens"] == row["n_words"]
+    assert row["lang_guess"] in ("en", "de", "fr", "und")
+
+
+def test_multimodal_features(spark):
+    from bioner_spark.ops.multimodal import MEDIA_SCHEMA, extract_features, frame_sample_plan
+
+    rows = [
+        ("m1", "image", b"\x00\x01\x02\xff" * 10, {"w": "4"}),
+        ("m2", "audio", b"", {}),
+        ("m3", "video", b"\x10" * 100, {"n_frames": "90"}),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats["m1"].n_bytes == 40
+    assert len(feats["m1"].feature) == 32
+    assert abs(sum(feats["m1"].feature) - 1.0) < 1e-5
+    assert sum(feats["m2"].feature) == 0.0
+    frames = frame_sample_plan(media, every_n=30).collect()
+    assert [(r.media_id, r.frame_idx) for r in frames] == [("m3", 0), ("m3", 30), ("m3", 60)]
+
+
+def test_decode_real_is_gated():
+    from bioner_spark.ops.multimodal import decode_real
+
+    with pytest.raises(NotImplementedError):
+        decode_real(b"x", "image")
