@@ -1,0 +1,142 @@
+"""Headline benchmark for the PySpark KG-construction engine.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners (chosen to exercise every heavy path of the engine):
+  kg_pipeline    — end-to-end on the deterministic synthetic Common-Crawl-style
+                   corpus (HTML-extract UDF → tokenize → gazetteer tag → span
+                   decode → link → connected components → triples), n_docs
+                   scaled by SF. The north-star job.
+  neural_ner     — encode (native SQL) + numpy BiLSTM forward inside
+                   mapInPandas over the same corpus subset.
+  dedup_lsh      — MinHash signatures → banded LSH candidates → exact Jaccard
+                   verify over `documents`.
+  cosine_topk    — brute-force cosine top-k over `embeddings`.
+  tokenize_encode— tokenize + surface + position features, full corpus count.
+
+`extra.kg_docs_per_sec` is the throughput number used for the two-parallelism
+scaling-efficiency report in BASELINE.md (scripts/scaling_bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_from_dir(sf_dir)
+    n_docs = max(200, int(40000 * sf))  # sf0.1 → 4000 synthetic pages
+
+    from pyspark.sql import functions as F
+
+    from bioner_spark.corpus import alias_dict_spark_df, generate, pages_spark_df
+    from bioner_spark.session import get_spark
+
+    spark = get_spark(app_name="bioner_bench")
+
+    corpus = generate(n_docs=n_docs, giant_doc_sentences=400)
+    pages = pages_spark_df(spark, corpus).persist()
+    alias = alias_dict_spark_df(spark, corpus)
+    n_pages = pages.count()  # materialize before timing
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- kg_pipeline: the north-star end-to-end job -------------------------
+    def run_kg():
+        from bioner_spark.pipeline import build_triples
+
+        res = build_triples(pages, alias, tagger="dict")
+        res.triples.count()
+
+    timed("kg_pipeline", run_kg)
+
+    # --- neural_ner: Arrow/numpy kernel -------------------------------------
+    def run_neural():
+        from bioner_spark.extract import with_extracted_text
+        from bioner_spark.functions.ngrams import build_vocabulary
+        from bioner_spark.ner.infer import annotate_tokens
+        from bioner_spark.ner.kernel import load_model_config
+        from bioner_spark.tokenizer import tokenize
+
+        sub = pages.limit(max(100, n_docs // 4))
+        toks = tokenize(with_extracted_text(sub.select("url", "html")))
+        vocab = build_vocabulary(toks, min_word_frequency=10)
+        vocab_size = vocab.count()
+        model = load_model_config("DATEXIS-NER", input_dim=15 + vocab_size)
+        annotate_tokens(toks, vocab, model).count()
+
+    timed("neural_ner", run_neural)
+
+    # --- dedup_lsh over documents -------------------------------------------
+    def run_dedup():
+        from bioner_spark.ops.dedup import jaccard_pairs, lsh_candidate_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cands = lsh_candidate_pairs(docs)
+        jaccard_pairs(docs, threshold=0.05, candidates=cands).count()
+
+    timed("dedup_lsh", run_dedup)
+
+    # --- cosine_topk over embeddings -----------------------------------------
+    def run_cosine():
+        from bioner_spark.ops.similarity import cosine_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cosine_topk(emb, emb.filter(F.col("vec_id") < 50), k=10).count()
+
+    timed("cosine_topk", run_cosine)
+
+    # --- tokenize + encoders --------------------------------------------------
+    def run_tok():
+        from bioner_spark.extract import with_extracted_text
+        from bioner_spark.functions.position import with_position_features
+        from bioner_spark.functions.surface import with_surface_features
+        from bioner_spark.tokenizer import tokenize
+
+        toks = tokenize(with_extracted_text(pages.select("url", "html")))
+        with_position_features(with_surface_features(toks)).count()
+
+    timed("tokenize_encode", run_tok)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": {
+                    "n_synth_docs": n_pages,
+                    "kg_docs_per_sec": round(n_pages / timings["kg_pipeline"], 2),
+                    "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
