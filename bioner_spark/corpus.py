@@ -149,8 +149,15 @@ def _wrap_html(sentences: list[str]) -> bytes:
     return (_BOILERPLATE_HEAD + body + _BOILERPLATE_TAIL).encode("utf-8")
 
 
-def generate(n_docs: int = 200, seed: int = SEED, giant_doc_sentences: int = 400) -> GoldCorpus:
-    """Deterministic corpus; same (n_docs, seed) → byte-identical output."""
+def generate(
+    n_docs: int = 200,
+    seed: int = SEED,
+    giant_doc_sentences: int = 400,
+    sent_range: tuple[int, int] = (2, 7),
+) -> GoldCorpus:
+    """Deterministic corpus; same (n_docs, seed, sent_range) → byte-identical
+    output. `sent_range` sizes documents — the (2, 7) default keeps unit
+    tests fast; benchmarks use (20, 60) to model real web pages."""
     rng = np.random.default_rng(seed)
     concept_ids = sorted(CONCEPTS)
     alias_lookup = {a: sorted(cids := [c for x, c, _ in alias_dict_rows() if x == a])[0]
@@ -163,7 +170,7 @@ def generate(n_docs: int = 200, seed: int = SEED, giant_doc_sentences: int = 400
     for d in range(n_docs):
         host = _HOSTS[rng.choice(len(_HOSTS), p=_HOST_WEIGHTS)]
         url = f"https://{host}/doc/{d}"
-        n_sent = int(rng.integers(2, 7))
+        n_sent = int(rng.integers(sent_range[0], sent_range[1]))
         if d == 1:
             n_sent = giant_doc_sentences  # the giant-document edge row
         sentences: list[str] = []

@@ -23,14 +23,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Below this many edges the graph is collected and solved with union-find on
+# the driver (one job, no iteration). The alias dictionary is a broadcast-sized
+# dimension table by contract, so in the KG pipeline this path always wins;
+# the distributed loop below exists for genuinely large general graphs.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _driver_union_find(rows: list, spark) -> DataFrame:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:  # min node id becomes the root → deterministic
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out = sorted((n, find(n)) for n in parent)
+    return spark.createDataFrame(out, schema="node string, component string")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    driver_threshold: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """edges(src, dst) → (node, component) where component = min node id
     reachable. Nodes appearing only as src or only as dst are included."""
+    if driver_threshold:
+        sample = edges.select(src, dst).limit(driver_threshold + 1).collect()
+        if len(sample) <= driver_threshold:
+            return _driver_union_find(
+                [(r[src], r[dst]) for r in sample], edges.sparkSession
+            )
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

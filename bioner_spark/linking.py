@@ -39,35 +39,57 @@ def candidate_mentions(
     """All dictionary matches: (doc_id, sentence_id, start_tok, end_tok,
     mention_text, canonical_id). Matching is lowercase-exact on the
     single-space token join (the alias table stores lowercase surface forms).
+
+    Single-pass plan: ONE window (all `lead`s share the same WindowExec →
+    one sort per (doc, sentence) partition), phrases for every length built
+    as an array and exploded, then ONE broadcast join on phrase — the
+    matched alias's own word count supplies end_tok. ~3 stages total vs one
+    window + join per length; this stage was the pipeline's bottleneck
+    before the rewrite.
     """
     w = Window.partitionBy("doc_id", "sentence_id").orderBy("token_id")
-    aliases = _aliases_by_len(alias_dict)
-    parts = []
     base = tokens.select(
         "doc_id", "sentence_id", "token_id", F.lower(F.col("text")).alias("w0")
     )
-    for L in range(1, max_alias_len + 1):
-        cols = [F.col("w0")] + [F.lead("w0", i).over(w) for i in range(1, L)]
-        phrase = F.concat_ws(" ", *cols)
-        cand = (
-            base.withColumn("phrase", phrase)
-            .withColumn("last_w", cols[-1])
-            .filter(F.col("last_w").isNotNull())
-            .select(
-                "doc_id",
-                "sentence_id",
-                F.col("token_id").alias("start_tok"),
-                (F.col("token_id") + F.lit(L - 1)).alias("end_tok"),
-                "phrase",
-            )
+    # materialize all leads in one projection (window exprs can't sit inside
+    # a Generate); they share one WindowExec → a single sort per partition
+    base = base.select(
+        "doc_id",
+        "sentence_id",
+        "token_id",
+        "w0",
+        *[F.lead("w0", i).over(w).alias(f"w{i}") for i in range(1, max_alias_len)],
+    )
+    leads = [F.col(f"w{i}") for i in range(max_alias_len)]
+    phrase_cols = [F.col("w0")]
+    for L in range(2, max_alias_len + 1):
+        # NULL once the sentence runs out (concat_ws would silently skip
+        # the NULL and fabricate a shorter phrase — guard with `when`)
+        phrase_cols.append(
+            F.when(leads[L - 1].isNotNull(), F.concat_ws(" ", *leads[:L]))
         )
-        al = aliases.filter(F.col("n_words") == L).select(
-            F.col("alias").alias("phrase"), "canonical_id"
+    cand = (
+        base.select(
+            "doc_id",
+            "sentence_id",
+            F.col("token_id").alias("start_tok"),
+            F.explode(F.array(*phrase_cols)).alias("phrase"),
         )
-        parts.append(cand.join(F.broadcast(al), "phrase", "inner"))
-    cands = parts[0]
-    for p in parts[1:]:
-        cands = cands.unionByName(p)
+        .filter(F.col("phrase").isNotNull())
+    )
+    al = (
+        _aliases_by_len(alias_dict)
+        .filter(F.col("n_words") <= max_alias_len)
+        .select(F.col("alias").alias("phrase"), "n_words", "canonical_id")
+    )
+    cands = cand.join(F.broadcast(al), "phrase", "inner").select(
+        "doc_id",
+        "sentence_id",
+        "start_tok",
+        (F.col("start_tok") + F.col("n_words") - 1).alias("end_tok"),
+        "phrase",
+        "canonical_id",
+    )
     # ambiguous alias → deterministic min canonical_id
     return cands.groupBy("doc_id", "sentence_id", "start_tok", "end_tok").agg(
         F.min("canonical_id").alias("canonical_id"),
@@ -77,32 +99,54 @@ def candidate_mentions(
 
 def resolve_overlaps(cands: DataFrame) -> DataFrame:
     """Keep a candidate iff no overlapping candidate dominates it
-    (longer, or same length and earlier start)."""
-    a = cands.alias("a")
-    b = cands.alias("b")
-    len_a = F.col("a.end_tok") - F.col("a.start_tok")
-    len_b = F.col("b.end_tok") - F.col("b.start_tok")
-    overlap = (F.col("a.start_tok") <= F.col("b.end_tok")) & (
-        F.col("b.start_tok") <= F.col("a.end_tok")
+    (longer, or same length and earlier start).
+
+    Formulation: ONE groupBy per sentence (candidates per sentence are few),
+    dominance checked with an in-array `exists` lambda, survivors re-exploded
+    with `inline`. An earlier version did a (doc, sentence)-keyed self-join
+    + distinct + anti-join — three shuffles of the full candidate table vs
+    one here, and the groupBy reuses the partitioning the candidate window
+    already established."""
+    per_sent = cands.groupBy("doc_id", "sentence_id").agg(
+        F.collect_list(
+            F.struct("start_tok", "end_tok", "canonical_id", "mention_text")
+        ).alias("cs")
     )
-    dominates = (len_b > len_a) | (
-        (len_b == len_a) & (F.col("b.start_tok") < F.col("a.start_tok"))
-    )
-    dominated = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.sentence_id") == F.col("b.sentence_id"))
-            & overlap
-            & dominates,
-            "inner",
+
+    def dominates(b, a):
+        len_a = a["end_tok"] - a["start_tok"]
+        len_b = b["end_tok"] - b["start_tok"]
+        overlap = (a["start_tok"] <= b["end_tok"]) & (b["start_tok"] <= a["end_tok"])
+        return overlap & (
+            (len_b > len_a) | ((len_b == len_a) & (b["start_tok"] < a["start_tok"]))
         )
-        .select("a.doc_id", "a.sentence_id", "a.start_tok", "a.end_tok")
-        .distinct()
+
+    kept = F.filter(
+        F.col("cs"), lambda a: ~F.exists(F.col("cs"), lambda b: dominates(b, a))
     )
-    return cands.join(
-        dominated, ["doc_id", "sentence_id", "start_tok", "end_tok"], "left_anti"
+    return (
+        per_sent.select("doc_id", "sentence_id", F.inline(kept))
+        .select(
+            "doc_id", "sentence_id", "start_tok", "end_tok",
+            "canonical_id", "mention_text",
+        )
     )
+
+
+def dict_mentions(
+    tokens: DataFrame, alias_dict: DataFrame, max_alias_len: int = 3
+) -> DataFrame:
+    """tokens → mentions directly (doc_id, sentence_id, start_tok, end_tok,
+    canonical_id, mention_text).
+
+    The gazetteer fast path: resolved candidates ARE the mention spans, so
+    the BIO round-trip (`dict_tag_tokens` → `decode_spans`) — a 12M×12M
+    tag join-back plus a window decode that exactly reconstructs the spans
+    it started from — is parity machinery, not computation. The pipeline
+    uses this; the BIO path remains for neural tags and for
+    reference-semantics tests. mention_text is the matched alias (lowercase
+    surface form), which is what linking joins on anyway."""
+    return resolve_overlaps(candidate_mentions(tokens, alias_dict, max_alias_len))
 
 
 def dict_tag_tokens(

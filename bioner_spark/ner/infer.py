@@ -40,7 +40,11 @@ from bioner_spark.functions.position import with_position_features, position_vec
 from bioner_spark.functions.surface import surface_vector
 from bioner_spark.ner.kernel import SequenceModel
 
-TAGS_SCHEMA = "doc_id string, sentence_id int, token_id int, tag string"
+def _tags_schema(sentences: DataFrame) -> str:
+    """Output schema mirrors the input's doc_id type (string urls in the
+    parity paths, long doc_key in the slim-spine pipeline)."""
+    doc_type = sentences.schema["doc_id"].dataType.simpleString()
+    return f"doc_id {doc_type}, sentence_id int, token_id int, tag string"
 
 N_POSITION = 4
 N_SURFACE = 11
@@ -157,7 +161,7 @@ def ner_tag_sentences(
                 }
             )
 
-    return sentences.mapInPandas(run, schema=TAGS_SCHEMA)
+    return sentences.mapInPandas(run, schema=_tags_schema(sentences))
 
 
 def annotate_tokens(

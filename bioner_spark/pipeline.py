@@ -15,10 +15,12 @@ everything else is recomputed and idempotently overwritten
 (partitionOverwriteMode=dynamic). Kill the job at any point and rerun — the
 result converges to the same table.
 
-Skew handling: pages are repartitioned on (bucket, salt) before the
-tokenize→tag stages, where salt = pmod(xxhash64(url), salt_factor). A few
-hosts owning ~30% of a crawl (corpus.py models this) otherwise pin a handful
-of tasks; salting spreads giant hosts across `salt_factor` tasks per bucket.
+Skew handling: pages are repartitioned by hash(url) before the tokenize→tag
+stages — a few hosts owning ~30% of a crawl (corpus.py models this) spread
+evenly because the key is the full url, not the host; every keyed stage
+after tokenize re-shuffles on (doc, sentence), which de-skews giant
+documents one explode later. Kept deliberately free of low-cardinality salt
+keys (see the in-function note).
 """
 
 from __future__ import annotations
@@ -30,7 +32,7 @@ from pyspark.sql import functions as F
 
 from bioner_spark.extract import with_extracted_text
 from bioner_spark.graph import canonical_map
-from bioner_spark.linking import dict_tag_tokens, link_mentions
+from bioner_spark.linking import dict_mentions, dict_tag_tokens, link_mentions
 from bioner_spark.spans import decode_spans
 from bioner_spark.tokenizer import tokenize
 from bioner_spark.triples import extract_triples
@@ -52,40 +54,118 @@ def build_triples(
     model=None,
     vocab=None,
     use_extractor: bool = True,
-    salt_factor: int = 8,
+    eager_cache: bool = True,
 ) -> PipelineResult:
-    """The lazy logical plan for the whole pipeline (no writes)."""
+    """The logical plan for the whole pipeline (no writes).
+
+    eager_cache: materialize the persisted token/tag hub with one count()
+    before returning. Without it, the final job's independent exchanges
+    (candidates, tag join-back, verb scan) are submitted CONCURRENTLY by
+    AQE, each misses the still-empty cache, and each recomputes the full
+    extract+tokenize lineage — measured 4× redundant CPU at 32 cores (and,
+    perversely, anti-scaling: more cores → more concurrent cache misses).
+    One eager pass costs one traversal and makes every later read a cache
+    hit."""
+    # (doc_key, url) map for the output joins — derived from the RAW input
+    # so its lineage is a column-pruned scan of `url` alone; deriving it
+    # downstream would drag the extractor UDF + repartition exchange into
+    # every broadcast of this tiny table
+    url_map = pages.select(F.xxhash64("url").alias("doc_key"), "url")
+
     if use_extractor:
         pages = with_extracted_text(pages.select("url", "html"), "html", "text")
     else:
         pages = pages.select("url", "text")
 
-    # salt spread BEFORE the heavy per-token stages (skewed hosts)
-    pages = pages.repartition(
-        F.pmod(F.xxhash64("url"), F.lit(salt_factor)).alias("_salt")
-    ).drop("_salt")
+    # Spread pages evenly BEFORE the heavy per-token stages. Hashing the full
+    # url (not the host) already de-skews crawl hot-hosts — a host owning 30%
+    # of the crawl still spreads over all partitions because no downstream
+    # stage keys on host. (An earlier version partitioned on
+    # pmod(hash(url), salt_factor), which caps the stage at salt_factor
+    # non-empty partitions — a silent parallelism ceiling; don't do that.)
+    # Giant documents: the per-page extract/explode is inherently one row's
+    # work, but every keyed stage after tokenize re-shuffles on
+    # (doc, sentence), so a 10^5-sentence page spreads right after explode;
+    # Arrow batching bounds UDF memory per batch.
+    pages = pages.repartition(F.col("url"))
 
-    tokens = tokenize(pages)
+    # Slim spine: every keyed stage between here and the final output
+    # shuffles/sorts the token table, so its key is an 8-byte
+    # xxhash64(url) instead of the ~30-byte url string (measured ~40%
+    # faster window stages — this workload is memory-bandwidth-bound).
+    # The url reappears exactly once, in the output joins below.
+    # (64-bit collisions merge documents at ~(n²/2^65); fine to ~10^9 docs
+    # per job — at full 10^12-doc scale partition the crawl into jobs, or
+    # swap in a 128-bit fingerprint here.)
+    pages = pages.select(F.xxhash64("url").alias("doc_key"), "text")
+
+    # The token table is the hub of the DAG: gazetteer candidates, the
+    # tag join-back, the verb lexicon scan and the final output all read
+    # it. Without persisting, every AQE runtime-broadcast of a small
+    # derived side RE-RUNS the extract-UDF + tokenize lineage (measured:
+    # ~12 broadcast subquery jobs × 30 s at 8k docs). MEMORY_AND_DISK —
+    # spills, never OOMs; at 100 TB this is the standard stage-reuse
+    # materialization (or a checkpoint to DFS).
+    # with_offsets=False: the KG path never reads char offsets, and the
+    # offset aggregate costs ~8× the tokenization itself.
+    from pyspark import StorageLevel
+
+    tokens = tokenize(pages, doc_col="doc_key", with_offsets=False).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    if eager_cache:
+        tokens.count()
 
     if tagger == "dict":
+        # gazetteer fast path: resolved dictionary matches ARE the mention
+        # spans — no BIO tag join-back, no window re-decode (see
+        # linking.dict_mentions). `tagged` stays a lazy parity view.
+        # already linked: gazetteer matches carry canonical_id (min-id
+        # ambiguity rule — same rule link_mentions applies)
+        mentions = dict_mentions(tokens, alias_dict)
         tagged = dict_tag_tokens(tokens, alias_dict)
+        linked = mentions
     elif tagger == "neural":
         from bioner_spark.ner.infer import annotate_tokens
 
         assert model is not None and vocab is not None
-        tagged = annotate_tokens(tokens, vocab, model)
+        tagged = annotate_tokens(tokens, vocab, model).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        if eager_cache:
+            tagged.count()
+        mentions = decode_spans(tagged)
+        linked = link_mentions(mentions, alias_dict)
     else:
         raise ValueError(f"unknown tagger: {tagger}")
-
-    mentions = decode_spans(tagged)
-    linked = link_mentions(mentions, alias_dict)
     cmap = canonical_map(alias_dict)
     linked = (
         linked.join(F.broadcast(cmap), "canonical_id", "left")
         .filter(F.col("component").isNotNull())
     )
-    triples = extract_triples(linked, tagged)
-    return PipelineResult(triples=triples, mentions=linked, tokens=tagged)
+    # verbs come from the raw token table (tags are irrelevant to the
+    # predicate scan) — keeps the lazy `tagged` parity view out of the plan
+    triples = extract_triples(linked, tokens)
+
+    # doc_key → url, once, at the narrow end of the funnel (triples and
+    # mentions are ~50× smaller than tokens). AQE broadcasts url_map when
+    # it fits; at 10^12 docs this is one shuffle join on slim rows.
+    def _rekey(df: DataFrame) -> DataFrame:
+        cols = [c for c in df.columns if c != "doc_id"]
+        return (
+            df.withColumnRenamed("doc_id", "doc_key")
+            .join(url_map, "doc_key")
+            .select(F.col("url").alias("doc_id"), *cols)
+        )
+
+    return PipelineResult(
+        triples=_rekey(triples).select(
+            "subj", "pred", "obj", "doc_id", "sentence_id"
+        ),
+        mentions=_rekey(linked),
+        tokens=tagged,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -137,24 +217,41 @@ def run_checkpointed(
     out_dir/triples/  — Parquet partitioned by bucket
     out_dir/manifest/ — per-bucket lineage rows (append-only; latest wins)
     """
+    import os
+    import time as _time
+
+    _timing = os.environ.get("SPARK_KG_TIMING") == "1"
+    _t0 = _time.time()
+
+    def _mark(phase: str) -> None:
+        if _timing:
+            print(f"[kg_timing] {phase} +{_time.time() - _t0:.1f}s", flush=True)
+
     triples_path = f"{out_dir}/triples"
     manifest_path = f"{out_dir}/manifest"
 
-    fps = bucket_fingerprints(pages, n_buckets).cache()
+    # one job: collect the (tiny — n_buckets rows) fingerprint table, then
+    # decide todo/skip driver-side instead of spending extra Spark jobs on it
+    fp_rows = bucket_fingerprints(pages, n_buckets).collect()
+    _mark("fingerprints")
     manifest = read_manifest(spark, manifest_path)
+    done_fp: dict[int, str] = {}
     if manifest is not None:
-        done = (
+        for r in (
             manifest.filter(F.col("status") == "done")
-            .select("bucket", F.col("input_fingerprint").alias("done_fp"))
+            .select("bucket", "input_fingerprint")
             .distinct()
-        )
-        todo = fps.join(done, "bucket", "left").filter(
-            F.col("done_fp").isNull() | (F.col("done_fp") != F.col("input_fingerprint"))
-        )
-    else:
-        todo = fps
-    todo_buckets = [r["bucket"] for r in todo.select("bucket").distinct().collect()]
-    n_skipped = fps.count() - len(todo_buckets)
+            .collect()
+        ):
+            done_fp[r["bucket"]] = r["input_fingerprint"]
+    todo_rows = [r for r in fp_rows if done_fp.get(r["bucket"]) != r["input_fingerprint"]]
+    todo = spark.createDataFrame(
+        [(r["bucket"], r["input_fingerprint"], r["n_docs"]) for r in todo_rows]
+        or [(None, None, None)],
+        "bucket int, input_fingerprint string, n_docs long",
+    ).filter(F.col("bucket").isNotNull())
+    todo_buckets = [r["bucket"] for r in todo_rows]
+    n_skipped = len(fp_rows) - len(todo_buckets)
 
     if todo_buckets:
         pages_todo = pages.withColumn("bucket", _bucket_col(n_buckets)).filter(
@@ -168,14 +265,20 @@ def run_checkpointed(
             vocab=vocab,
             use_extractor=use_extractor,
         )
+        _mark("build_triples(+eager cache)")
         # triples carry the page url as doc_id → same bucketing function
         out = result.triples.withColumn("bucket", _bucket_col(n_buckets, "doc_id"))
+        # co-locate each bucket into one task before partitionBy — otherwise
+        # every write task opens a file per bucket it sees (tasks × buckets
+        # small files; at 1000 executors that's a metadata storm)
+        out = out.repartition(n_buckets, "bucket")
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(triples_path)
         )
+        _mark("triples write")
         # manifest rows AFTER a successful write (crash before this line →
         # bucket is simply recomputed next run; writes are idempotent)
         written = spark.read.parquet(triples_path).filter(
@@ -195,14 +298,18 @@ def run_checkpointed(
             )
         )
         rows.write.mode("append").parquet(manifest_path)
+        _mark("manifest write")
 
     triples = spark.read.parquet(triples_path) if (todo_buckets or manifest is not None) else None
-    res = build_triples(pages, alias_dict, tagger=tagger, model=model, vocab=vocab,
-                        use_extractor=use_extractor)
+    if todo_buckets:
+        aux = result  # reuse the plan already built for the write
+    else:
+        aux = build_triples(pages, alias_dict, tagger=tagger, model=model,
+                            vocab=vocab, use_extractor=use_extractor)
     return PipelineResult(
-        triples=triples if triples is not None else res.triples,
-        mentions=res.mentions,
-        tokens=res.tokens,
+        triples=triples if triples is not None else aux.triples,
+        mentions=aux.mentions,
+        tokens=aux.tokens,
         n_buckets_processed=len(todo_buckets),
         n_buckets_skipped=int(n_skipped),
     )

@@ -19,25 +19,62 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def split_sentences(pages: DataFrame, doc_col: str = "url", text_col: str = "text") -> DataFrame:
-    """→ (doc_id, sentence_id, sentence); drops empty docs/sentences."""
+def split_sentences(
+    pages: DataFrame,
+    doc_col: str = "url",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """→ (doc_id, sentence_id, sentence [, carry_cols]); drops empty
+    docs/sentences. `carry_cols` are passed through unchanged (e.g.
+    `warc_ts` for streaming event-time) — still a narrow transformation."""
     return (
         pages.select(
             F.col(doc_col).alias("doc_id"),
+            *[F.col(c) for c in carry_cols],
             F.posexplode(F.split(F.col(text_col), "\n")).alias("sentence_id", "sentence"),
         )
         .filter(F.length("sentence") > 0)
     )
 
 
-def tokenize(pages: DataFrame, doc_col: str = "url", text_col: str = "text") -> DataFrame:
+def tokenize(
+    pages: DataFrame,
+    doc_col: str = "url",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+    with_offsets: bool = True,
+) -> DataFrame:
     """pages → canonical tokens table (TOKENS_SCHEMA minus tag).
 
     Offsets are computed inside the sentence's token array with a
     higher-order `aggregate` (running sum of len+1), THEN exploded — no
     window function, no shuffle anywhere in this lineage.
+
+    with_offsets=False skips the offset computation entirely (measured ~8×
+    the cost of the split itself) and emits start/end as NULL ints — the KG
+    pipeline never reads char offsets, only the CoNLL-parity paths do.
     """
-    sents = split_sentences(pages, doc_col=doc_col, text_col=text_col)
+    sents = split_sentences(pages, doc_col=doc_col, text_col=text_col, carry_cols=carry_cols)
+    if not with_offsets:
+        return (
+            sents.select(
+                "doc_id",
+                *[F.col(c) for c in carry_cols],
+                F.col("sentence_id").cast("int").alias("sentence_id"),
+                F.posexplode(F.split(F.col("sentence"), " ")).alias("token_id", "text"),
+            )
+            .filter(F.length("text") > 0)
+            .select(
+                "doc_id",
+                *[F.col(c) for c in carry_cols],
+                "sentence_id",
+                F.col("token_id").cast("int"),
+                "text",
+                F.lit(None).cast("int").alias("start"),
+                F.lit(None).cast("int").alias("end"),
+            )
+        )
     toks = F.split(F.col("sentence"), " ")
     # offsets[i] = cumulative (length + 1) of tokens before i
     offsets = F.aggregate(
@@ -55,11 +92,13 @@ def tokenize(pages: DataFrame, doc_col: str = "url", text_col: str = "text") -> 
     return (
         sents.select(
             "doc_id",
+            *[F.col(c) for c in carry_cols],
             "sentence_id",
             F.posexplode(zipped).alias("token_id", "tok"),
         )
         .select(
             "doc_id",
+            *[F.col(c) for c in carry_cols],
             F.col("sentence_id").cast("int"),
             F.col("token_id").cast("int"),
             F.col("tok.text").alias("text"),

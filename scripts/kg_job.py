@@ -1,0 +1,131 @@
+"""spark-submit entry for the KG-construction pipeline.
+
+The north-rule deployment shape (BASELINE.json): the whole job runs via
+
+    spark-submit --master <...> --py-files bioner_spark.zip scripts/kg_job.py \
+        --input  /path/to/pages_parquet  \
+        --alias  /path/to/alias_dict_parquet \
+        --output /path/to/out            \
+        --n-buckets 16
+
+Reads the `pages` table (url, warc_ts, html, text, lang — BASELINE.json
+input_hint), runs extract → tokenize → tag → span-decode → link →
+connected-components → triples with checkpointed per-bucket resume
+(bioner_spark/pipeline.py), and prints ONE JSON metrics line:
+
+    {"n_docs": ..., "n_triples": ..., "pipeline_sec": ..., "docs_per_sec": ...,
+     "buckets_processed": ..., "buckets_skipped": ..., "cores": ...}
+
+`pipeline_sec` excludes session startup and input materialization — it is the
+number scripts/scaling_bench.py compares across parallelism levels.
+
+Session config: when launched via spark-submit, master/memory/shuffle come
+from the submit command line; this script only fills in engine defaults that
+were not set (AQE, Arrow batch size) so the same file works standalone too.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app_name: str = "bioner_kg_job") -> SparkSession:
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="pages Parquet path")
+    ap.add_argument("--alias", required=True, help="alias dictionary Parquet path")
+    ap.add_argument("--output", required=True, help="output dir (triples/ + manifest/)")
+    ap.add_argument("--n-buckets", type=int, default=16)
+    ap.add_argument("--salt-factor", type=int, default=8)
+    ap.add_argument("--tagger", choices=["dict", "neural"], default="dict")
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="override spark.sql.shuffle.partitions (default: 2x cores)")
+    args = ap.parse_args(argv)
+
+    spark = build_session()
+
+    pages = spark.read.parquet(args.input)
+    alias = spark.read.parquet(args.alias)
+    # materialize input (cache + count) BEFORE the timed section so the
+    # scaling comparison measures the pipeline, not the disk scan
+    pages = pages.persist()
+    n_docs = pages.count()
+    alias = alias.persist()
+    alias.count()
+
+    # read parallelism AFTER the first job — on local-cluster masters the
+    # executors register asynchronously and defaultParallelism reads low
+    # until they do
+    cores = spark.sparkContext.defaultParallelism
+    shuffle = args.shuffle_partitions or max(8, 2 * cores)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+
+    model = vocab = None
+    if args.tagger == "neural":
+        from pyspark.sql import functions as F
+
+        from bioner_spark.extract import with_extracted_text
+        from bioner_spark.functions.ngrams import build_vocabulary
+        from bioner_spark.ner.kernel import load_model_config
+        from bioner_spark.tokenizer import tokenize
+
+        toks = tokenize(with_extracted_text(pages.select("url", "html")))
+        vocab = build_vocabulary(toks, min_word_frequency=10).persist()
+        model = load_model_config("DATEXIS-NER", input_dim=15 + vocab.count())
+
+    from bioner_spark.pipeline import run_checkpointed
+
+    t0 = time.time()
+    result = run_checkpointed(
+        spark,
+        pages,
+        alias,
+        out_dir=args.output,
+        n_buckets=args.n_buckets,
+        tagger=args.tagger,
+        model=model,
+        vocab=vocab,
+    )
+    n_triples = result.triples.count()
+    wall = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "n_triples": n_triples,
+                "pipeline_sec": round(wall, 3),
+                "docs_per_sec": round(n_docs / wall, 2),
+                "buckets_processed": result.n_buckets_processed,
+                "buckets_skipped": result.n_buckets_skipped,
+                "cores": cores,
+                "shuffle_partitions": shuffle,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

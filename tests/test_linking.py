@@ -87,6 +87,12 @@ def test_connected_components_chain(spark):
     )
     got = {r.node: r.component for r in connected_components(edges).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    # distributed min-label-propagation path (large-graph fallback) agrees
+    got_dist = {
+        r.node: r.component
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert got_dist == got
 
 
 def test_canonical_map_merges_ambiguous(spark):
