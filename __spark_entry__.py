@@ -43,6 +43,12 @@ GOLD_B = ("spark", "window", "hash")
 GOLD_I = ("table", "value")
 PRED_B = ("spark", "window")
 PRED_I = ("table", "value", "row")
+# second "model" for ensemble / overlap-statistics queries (SURVEY §2.6 A10-A11)
+PRED2_B = ("spark", "hash", "merge")
+PRED2_I = ("table", "row")
+# deterministic IVF / LSH similarity params (shared with the oracle SQL)
+IVF_CENTROID_IDS = list(range(16))
+NEAR_DUP_THRESHOLD = 0.3
 
 
 def _components() -> dict[str, str]:
@@ -284,6 +290,177 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["error_stats_by_length"] = error_stats_by_length
 
+    def token_prf1(spark, sf_dir):
+        """Token-level per-class P/R/F1 (SURVEY §2.6 A14 — reference
+        scibert_eval.py:80-90, confusion-count reformulation)."""
+        base = _tokens(spark, sf_dir).select(
+            _tag_expr(GOLD_B, GOLD_I).alias("gold"),
+            _tag_expr(PRED_B, PRED_I).alias("pred"),
+        )
+        n_gold = base.groupBy(F.col("gold").alias("tag")).agg(
+            F.count(F.lit(1)).alias("n_gold")
+        )
+        n_pred = base.groupBy(F.col("pred").alias("tag")).agg(
+            F.count(F.lit(1)).alias("n_pred")
+        )
+        n_corr = (
+            base.filter(F.col("gold") == F.col("pred"))
+            .groupBy(F.col("gold").alias("tag"))
+            .agg(F.count(F.lit(1)).alias("n_correct"))
+        )
+        out = (
+            n_gold.join(n_pred, "tag", "full")
+            .join(n_corr, "tag", "left")
+            .select(
+                "tag",
+                F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
+                F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+                F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+            )
+        )
+        p = F.col("n_correct") / F.greatest(F.col("n_pred"), F.lit(1))
+        r = F.col("n_correct") / F.greatest(F.col("n_gold"), F.lit(1))
+        return out.select(
+            "tag", "n_gold", "n_pred", "n_correct",
+            F.round(p, 6).alias("precision"),
+            F.round(r, 6).alias("recall"),
+            F.round(2 * p * r / (p + r + F.lit(1e-20)), 6).alias("f1"),
+        )
+
+    q["token_prf1"] = token_prf1
+
+    def sentence_perfect(spark, sf_dir):
+        """Sentence-perfect classification (SURVEY §2.6 A13 — reference
+        analysis.py:26-37): perfect iff TP == |gold| == |pred|. Sentences
+        with no span on either side are trivially perfect and excluded."""
+        key = ["doc_id", "sentence_id", "start_tok", "end_tok"]
+        gold = _spans(spark, sf_dir, GOLD_B, GOLD_I).select(*key)
+        pred = _spans(spark, sf_dir, PRED_B, PRED_I).select(*key)
+        gs = gold.groupBy("doc_id", "sentence_id").agg(F.count(F.lit(1)).alias("n_gold"))
+        ps = pred.groupBy("doc_id", "sentence_id").agg(F.count(F.lit(1)).alias("n_pred"))
+        tp = (
+            gold.join(pred, key, "inner")
+            .groupBy("doc_id", "sentence_id")
+            .agg(F.count(F.lit(1)).alias("n_tp"))
+        )
+        return (
+            gs.join(ps, ["doc_id", "sentence_id"], "full")
+            .join(tp, ["doc_id", "sentence_id"], "left")
+            .select(
+                "doc_id",
+                "sentence_id",
+                F.coalesce("n_gold", F.lit(0)).alias("n_gold"),
+                F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+                F.coalesce("n_tp", F.lit(0)).alias("n_tp"),
+            )
+            .withColumn(
+                "is_perfect",
+                (
+                    (F.col("n_tp") == F.col("n_gold"))
+                    & (F.col("n_gold") == F.col("n_pred"))
+                ).cast("int"),
+            )
+        )
+
+    q["sentence_perfect"] = sentence_perfect
+
+    def ensemble_spans(spark, sf_dir):
+        """Ensemble intersection — spans predicted by BOTH models
+        (SURVEY §2.6 A10 — reference analysis.py:106-114)."""
+        key = ["doc_id", "sentence_id", "start_tok", "end_tok"]
+        m1 = _spans(spark, sf_dir, PRED_B, PRED_I).select(*key, "mention_text")
+        m2 = _spans(spark, sf_dir, PRED2_B, PRED2_I).select(*key)
+        return m1.join(m2, key, "inner")
+
+    q["ensemble_spans"] = ensemble_spans
+
+    def overlap_stats(spark, sf_dir):
+        """Pairwise FP/FN/TP overlap between two models' error analyses
+        (SURVEY §2.6 A8+A11 — reference analysis.py:140-170)."""
+        key = ["doc_id", "sentence_id", "start_tok", "end_tok"]
+        gold = _spans(spark, sf_dir, GOLD_B, GOLD_I).select(*key)
+
+        def sets(b, i):
+            pred = _spans(spark, sf_dir, b, i).select(*key)
+            return (
+                pred.join(gold, key, "inner"),      # TP
+                pred.join(gold, key, "left_anti"),  # FP
+                gold.join(pred, key, "left_anti"),  # FN
+            )
+
+        tp1, fp1, fn1 = sets(PRED_B, PRED_I)
+        tp2, fp2, fn2 = sets(PRED2_B, PRED2_I)
+        return spark.createDataFrame(
+            [
+                (
+                    tp1.join(tp2, key, "inner").count(),
+                    fp1.join(fp2, key, "inner").count(),
+                    fn1.join(fn2, key, "inner").count(),
+                    tp1.count(), fp1.count(), fn1.count(),
+                    tp2.count(), fp2.count(), fn2.count(),
+                )
+            ],
+            "tp_overlap bigint, fp_overlap bigint, fn_overlap bigint, "
+            "tp_1 bigint, fp_1 bigint, fn_1 bigint, "
+            "tp_2 bigint, fp_2 bigint, fn_2 bigint",
+        )
+
+    q["overlap_stats"] = overlap_stats
+
+    def bioul_to_bio2(spark, sf_dir):
+        """BIOUL-tagged tokens (derived from gold spans) mapped back to BIO2
+        (SURVEY §2.2 P9 — reference scibert_eval.py:121-134: L→I, U→B,
+        else first char)."""
+        toks = _tokens(spark, sf_dir)
+        spans = _spans(spark, sf_dir, GOLD_B, GOLD_I)
+        joined = toks.join(
+            spans.select("doc_id", "sentence_id", "start_tok", "end_tok"),
+            (toks["doc_id"] == spans["doc_id"])
+            & (toks["sentence_id"] == spans["sentence_id"])
+            & (toks["token_id"] >= spans["start_tok"])
+            & (toks["token_id"] <= spans["end_tok"]),
+            "left",
+        ).select(
+            toks["doc_id"], toks["sentence_id"], toks["token_id"],
+            "start_tok", "end_tok",
+        )
+        bioul = (
+            F.when(F.col("start_tok").isNull(), "O")
+            .when(F.col("start_tok") == F.col("end_tok"), "U")
+            .when(F.col("token_id") == F.col("start_tok"), "B")
+            .when(F.col("token_id") == F.col("end_tok"), "L")
+            .otherwise("I")
+        )
+        out = joined.withColumn("bioul", bioul)
+        bio2 = (
+            F.when(F.col("bioul") == "L", "I")
+            .when(F.col("bioul") == "U", "B")
+            .otherwise(F.substring(F.col("bioul"), 1, 1))
+        )
+        return out.select(
+            "doc_id", "sentence_id", "token_id", "bioul", bio2.alias("bio2")
+        )
+
+    q["bioul_to_bio2"] = bioul_to_bio2
+
+    def eval_format(spark, sf_dir):
+        """3-col `token gold pred` eval-export lines (SURVEY §2.1 S6 —
+        reference dataset_to_conll_file.py:6-16)."""
+        toks = _tokens(spark, sf_dir)
+        return toks.select(
+            "doc_id",
+            "sentence_id",
+            "token_id",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                _tag_expr(GOLD_B, GOLD_I),
+                _tag_expr(PRED_B, PRED_I),
+            ).alias("line"),
+        )
+
+    q["eval_format"] = eval_format
+
     # --- KG stages: gazetteer tagging, linking, CC, triples -----------------
     def dict_mentions(spark, sf_dir):
         linked, _ = _kg_linked(spark, sf_dir)
@@ -417,6 +594,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["cosine_topk"] = cosine_topk_q
+
+    def lsh_topk_q(spark, sf_dir):
+        from bioner_spark.ops.similarity import lsh_topk
+
+        emb = _emb(spark, sf_dir)
+        out = lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8, dim=64)
+        return out.select(
+            "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+        )
+
+    q["lsh_topk"] = lsh_topk_q
+
+    def embedding_near_dup_q(spark, sf_dir):
+        from bioner_spark.ops.similarity import embedding_near_dup
+
+        return embedding_near_dup(
+            _emb(spark, sf_dir),
+            threshold=NEAR_DUP_THRESHOLD,
+            n_planes=8,
+            n_bands=2,
+            dim=64,
+        )
+
+    q["embedding_near_dup"] = embedding_near_dup_q
+
+    def ivf_topk_q(spark, sf_dir):
+        from bioner_spark.ops.similarity import ivf_topk
+
+        emb = _emb(spark, sf_dir)
+        out = ivf_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 10),
+            k=5,
+            centroid_ids=IVF_CENTROID_IDS,
+            n_probe=2,
+        )
+        return out.select(
+            "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+        )
+
+    q["ivf_topk"] = ivf_topk_q
 
     # --- extractor invariant (UDF, oracle = trivial identity) ----------------
     def extract_roundtrip(spark, sf_dir):
@@ -554,6 +772,15 @@ def _tag_case(b_words, i_words) -> str:
         f"CASE WHEN text IN ({_sql_in(b_words)}) THEN 'B' "
         f"WHEN text IN ({_sql_in(i_words)}) THEN 'I' ELSE 'O' END"
     )
+
+
+def _spans_cte_pref(b_words, i_words, pref: str) -> str:
+    """`_spans_cte` with every CTE name prefixed — lets one query hold span
+    pipelines for several tag rules (gold + model1 + model2)."""
+    s = _spans_cte(b_words, i_words).strip()
+    for name in ("tagged", "flagged", "runs", "spans"):
+        s = s.replace(name, f"{pref}_{name}")
+    return s
 
 
 def _spans_cte(b_words, i_words) -> str:
@@ -932,6 +1159,116 @@ SELECT t.len::INT AS len, COALESCE(e.n_errors, 0)::BIGINT AS n_errors, t.n_total
 FROM totals t LEFT JOIN errors e ON t.len = e.len
 """
 
+    o["token_prf1"] = f"""
+WITH {_TOKS_CTE},
+base AS (
+  SELECT {_tag_case(GOLD_B, GOLD_I)} AS gold,
+         {_tag_case(PRED_B, PRED_I)} AS pred
+  FROM toks WHERE length(text) > 0
+),
+g AS (SELECT gold AS tag, COUNT(*)::BIGINT AS n_gold FROM base GROUP BY 1),
+p AS (SELECT pred AS tag, COUNT(*)::BIGINT AS n_pred FROM base GROUP BY 1),
+c AS (SELECT gold AS tag, COUNT(*)::BIGINT AS n_correct FROM base WHERE gold = pred GROUP BY 1),
+m AS (
+  SELECT tag,
+    COALESCE(n_gold, 0)::BIGINT AS n_gold,
+    COALESCE(n_pred, 0)::BIGINT AS n_pred,
+    COALESCE(n_correct, 0)::BIGINT AS n_correct
+  FROM g FULL JOIN p USING (tag) LEFT JOIN c USING (tag)
+)
+SELECT tag, n_gold, n_pred, n_correct,
+  ROUND(n_correct / greatest(n_pred, 1), 6) AS precision,
+  ROUND(n_correct / greatest(n_gold, 1), 6) AS recall,
+  ROUND(2.0 * (n_correct / greatest(n_pred, 1)) * (n_correct / greatest(n_gold, 1))
+        / ((n_correct / greatest(n_pred, 1)) + (n_correct / greatest(n_gold, 1)) + 1e-20),
+        6) AS f1
+FROM m
+"""
+
+    o["sentence_perfect"] = f"""{_prf_cte},
+gs AS (SELECT doc_id, sentence_id, COUNT(*)::BIGINT AS n_gold
+       FROM g_spans GROUP BY 1, 2),
+ps AS (SELECT doc_id, sentence_id, COUNT(*)::BIGINT AS n_pred
+       FROM p_spans GROUP BY 1, 2),
+tp AS (
+  SELECT g.doc_id, g.sentence_id, COUNT(*)::BIGINT AS n_tp
+  FROM g_spans g JOIN p_spans p
+    ON p.doc_id = g.doc_id AND p.sentence_id = g.sentence_id
+   AND p.start_tok = g.start_tok AND p.end_tok = g.end_tok
+  GROUP BY 1, 2
+)
+SELECT doc_id, sentence_id,
+  COALESCE(n_gold, 0)::BIGINT AS n_gold,
+  COALESCE(n_pred, 0)::BIGINT AS n_pred,
+  COALESCE(n_tp, 0)::BIGINT AS n_tp,
+  (COALESCE(n_tp, 0) = COALESCE(n_gold, 0)
+   AND COALESCE(n_gold, 0) = COALESCE(n_pred, 0))::INT AS is_perfect
+FROM gs FULL JOIN ps USING (doc_id, sentence_id)
+LEFT JOIN tp USING (doc_id, sentence_id)
+"""
+
+    o["ensemble_spans"] = f"""
+WITH {_TOKS_CTE},
+{_spans_cte_pref(PRED_B, PRED_I, 'p')},
+{_spans_cte_pref(PRED2_B, PRED2_I, 'q')}
+SELECT p.doc_id, p.sentence_id, p.start_tok, p.end_tok, p.mention_text
+FROM p_spans p JOIN q_spans q
+  ON q.doc_id = p.doc_id AND q.sentence_id = p.sentence_id
+ AND q.start_tok = p.start_tok AND q.end_tok = p.end_tok
+"""
+
+    o["overlap_stats"] = f"""
+WITH {_TOKS_CTE},
+{_spans_cte_pref(GOLD_B, GOLD_I, 'g')},
+{_spans_cte_pref(PRED_B, PRED_I, 'p')},
+{_spans_cte_pref(PRED2_B, PRED2_I, 'q')},
+tp1 AS (SELECT p.* FROM p_spans p JOIN g_spans g USING (doc_id, sentence_id, start_tok, end_tok)),
+fp1 AS (SELECT p.* FROM p_spans p ANTI JOIN g_spans g USING (doc_id, sentence_id, start_tok, end_tok)),
+fn1 AS (SELECT g.* FROM g_spans g ANTI JOIN p_spans p USING (doc_id, sentence_id, start_tok, end_tok)),
+tp2 AS (SELECT q.* FROM q_spans q JOIN g_spans g USING (doc_id, sentence_id, start_tok, end_tok)),
+fp2 AS (SELECT q.* FROM q_spans q ANTI JOIN g_spans g USING (doc_id, sentence_id, start_tok, end_tok)),
+fn2 AS (SELECT g.* FROM g_spans g ANTI JOIN q_spans q USING (doc_id, sentence_id, start_tok, end_tok))
+SELECT
+  (SELECT COUNT(*) FROM tp1 JOIN tp2 USING (doc_id, sentence_id, start_tok, end_tok))::BIGINT AS tp_overlap,
+  (SELECT COUNT(*) FROM fp1 JOIN fp2 USING (doc_id, sentence_id, start_tok, end_tok))::BIGINT AS fp_overlap,
+  (SELECT COUNT(*) FROM fn1 JOIN fn2 USING (doc_id, sentence_id, start_tok, end_tok))::BIGINT AS fn_overlap,
+  (SELECT COUNT(*) FROM tp1)::BIGINT AS tp_1,
+  (SELECT COUNT(*) FROM fp1)::BIGINT AS fp_1,
+  (SELECT COUNT(*) FROM fn1)::BIGINT AS fn_1,
+  (SELECT COUNT(*) FROM tp2)::BIGINT AS tp_2,
+  (SELECT COUNT(*) FROM fp2)::BIGINT AS fp_2,
+  (SELECT COUNT(*) FROM fn2)::BIGINT AS fn_2
+"""
+
+    o["bioul_to_bio2"] = f"""
+WITH {_TOKS_CTE},
+{_spans_cte(GOLD_B, GOLD_I).strip()},
+t AS (SELECT * FROM toks WHERE length(text) > 0),
+labeled AS (
+  SELECT t.doc_id, t.sentence_id, t.token_id,
+    CASE WHEN s.start_tok IS NULL THEN 'O'
+         WHEN s.start_tok = s.end_tok THEN 'U'
+         WHEN t.token_id = s.start_tok THEN 'B'
+         WHEN t.token_id = s.end_tok THEN 'L'
+         ELSE 'I' END AS bioul
+  FROM t LEFT JOIN spans s
+    ON s.doc_id = t.doc_id AND s.sentence_id = t.sentence_id
+   AND t.token_id BETWEEN s.start_tok AND s.end_tok
+)
+SELECT doc_id, sentence_id, token_id, bioul,
+  CASE WHEN bioul = 'L' THEN 'I'
+       WHEN bioul = 'U' THEN 'B'
+       ELSE substr(bioul, 1, 1) END AS bio2
+FROM labeled
+"""
+
+    o["eval_format"] = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, sentence_id, token_id,
+  text || ' ' || {_tag_case(GOLD_B, GOLD_I)} || ' ' || {_tag_case(PRED_B, PRED_I)} AS line
+FROM toks WHERE length(text) > 0
+"""
+
     o["dict_mentions"] = f"""
 WITH {_TOKS_CTE},
 {_kg_cte().strip()}
@@ -1086,6 +1423,107 @@ scored AS (
     ROUND(list_dot_product(qv, cv) /
           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
   FROM c JOIN q ON query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)::INT AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+    # --- LSH / near-dup / IVF similarity: same plane constants + cosine
+    # formula as the Spark side (bioner_spark/ops/similarity.py) -----------
+    from bioner_spark.ops.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8, 1234)
+
+    def _plane_lit(p) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    def _bucket_sql(col: str, plane_slice) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {_plane_lit(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(plane_slice)
+        )
+        return f"({bits})::INT"
+
+    def _cos_sql(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    o["lsh_topk"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+         {_bucket_sql('embedding::DOUBLE[]', planes)} AS bucket
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+         {_bucket_sql('embedding::DOUBLE[]', planes)} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cosine
+  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)::INT AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+    o["embedding_near_dup"] = f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT id, v,
+         {_bucket_sql('v', planes[0:4])} AS k0,
+         {_bucket_sql('v', planes[4:8])} AS k1
+  FROM e
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+  FROM b a JOIN b bb ON a.id < bb.id AND (a.k0 = bb.k0 OR a.k1 = bb.k1)
+)
+SELECT id_a, id_b, {_cos_sql('ea.v', 'eb.v')} AS cosine
+FROM cand JOIN e ea ON ea.id = id_a JOIN e eb ON eb.id = id_b
+WHERE {_cos_sql('ea.v', 'eb.v')} >= {NEAR_DUP_THRESHOLD}
+"""
+
+    _cent_ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    o["ivf_topk"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS centv
+  FROM embeddings WHERE vec_id IN ({_cent_ids})
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 10),
+c_assign AS (
+  SELECT neighbor_id, cv, cent_id AS cell FROM (
+    SELECT c.neighbor_id, c.cv, cents.cent_id,
+      row_number() OVER (PARTITION BY c.neighbor_id
+        ORDER BY {_cos_sql('c.cv', 'cents.centv')} DESC, cents.cent_id ASC) AS rn
+    FROM c CROSS JOIN cents)
+  WHERE rn = 1
+),
+q_probe AS (
+  SELECT query_id, qv, cent_id AS cell FROM (
+    SELECT q.query_id, q.qv, cents.cent_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {_cos_sql('q.qv', 'cents.centv')} DESC, cents.cent_id ASC) AS rn
+    FROM q CROSS JOIN cents)
+  WHERE rn <= 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cosine
+  FROM c_assign JOIN q_probe USING (cell)
+  WHERE query_id <> neighbor_id
 ),
 ranked AS (
   SELECT *, row_number() OVER (

@@ -106,6 +106,19 @@ def strip_truncation_marker(text: str) -> str:
     return text
 
 
+def strip_truncation_markers(col: Column) -> Column:
+    """Native-SQL analogue of `strip_truncation_marker`: rtrim, strip AT
+    MOST ONE trailing marker (same fixed elif order as the reference),
+    rtrim again. Whole-stage-codegen-friendly — no UDF."""
+    c = F.rtrim(col)
+    chain = None
+    for m in _TRUNCATION_MARKERS:
+        cond = c.endswith(F.lit(m))
+        val = c.substr(F.lit(1), F.length(c) - F.lit(len(m)))
+        chain = F.when(cond, val) if chain is None else chain.when(cond, val)
+    return F.rtrim(chain.otherwise(c))
+
+
 def extract_text(html: bytes | str | None) -> str:
     """Single-node reference extractor. THE byte-identity authority.
 

@@ -123,3 +123,118 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def banded_buckets(vec_col, planes: list[list[float]], n_bands: int):
+    """(band_id, band_key) pairs: the planes are split into n_bands groups;
+    a pair of vectors is an LSH candidate iff they share ANY band's full
+    sign pattern (same banding trick as MinHash-LSH, on hyperplane bits)."""
+    per = len(planes) // n_bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                lsh_bucket(vec_col, planes[b * per : (b + 1) * per]).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    n_bands: int = 2,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1234,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-gated (the 100 TB path).
+
+    Candidates = pairs sharing at least one hyperplane-sign band (explode
+    bands → self-join on (band_id, band_key) → distinct pair), then exact
+    cosine ≥ threshold on candidates only. The self-join is keyed on the
+    band key, never all-pairs; band count/width trade recall vs candidate
+    volume exactly like MinHash-LSH banding.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    banded = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(banded_buckets(F.col(vec_col), planes, n_bands)).alias("band"),
+    ).select("id", "vec", "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("cosine", cosine_expr(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_ids: list[int] | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest centroid
+    (inverted lists); a query probes its n_probe nearest centroids and runs
+    exact top-k only inside those cells.
+
+    Centroids here are a deterministic id-sample of the corpus (production
+    would run k-means — the assignment/probe plan is identical). At scale
+    the corpus is written bucketed by `cell`, so a query's probe is a
+    partition-pruned scan of n_probe cells instead of the full table.
+    """
+    centroid_ids = centroid_ids or list(range(16))
+    cents = corpus.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+
+    def nearest_cells(df: DataFrame, side_id: str, side_vec: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "cent_cos", cosine_expr(F.col(side_vec), F.col("cent_vec"))
+        )
+        w = Window.partitionBy(side_id).orderBy(F.desc("cent_cos"), F.asc("cent_id"))
+        return (
+            scored.withColumn("cent_rank", F.row_number().over(w))
+            .filter(F.col("cent_rank") <= n)
+            .drop("cent_vec", "cent_cos", "cent_rank")
+        )
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c_cells = nearest_cells(c, "neighbor_id", "c_vec", 1).withColumnRenamed("cent_id", "cell")
+    q_cells = nearest_cells(q, "query_id", "q_vec", n_probe).withColumnRenamed("cent_id", "cell")
+    scored = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,99 @@
+"""Structured-Streaming ingestion tests (bioner_spark/streaming/ingest.py).
+
+Covers: incremental file pickup with checkpointed resume (only NEW files are
+processed on re-run), batch/streaming parity of the mention path, and
+watermarked windowed aggregation emitting closed windows in append mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bioner_spark.corpus import alias_dict_spark_df, generate, pages_spark_df
+from bioner_spark.streaming.ingest import (
+    batch_mentions,
+    read_page_stream,
+    run_ingest_once,
+    streaming_mention_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate(n_docs=30, giant_doc_sentences=10)
+
+
+def _write_pages(spark, corpus, path, lo, hi):
+    df = pages_spark_df(spark, corpus).filter(
+        F.split(F.col("url"), "/").getItem(4).cast("int").between(lo, hi)
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+    return df.count()
+
+
+def test_ingest_resume_processes_only_new_files(spark, corpus, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream"))
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    alias = alias_dict_spark_df(spark, corpus)
+
+    _write_pages(spark, corpus, in_dir, 0, 14)
+    run_ingest_once(spark, in_dir, alias, out_dir, ckpt)
+    first = spark.read.parquet(out_dir)
+    n_first = first.count()
+    assert n_first > 0
+    docs_first = {r.doc_id for r in first.select("doc_id").distinct().collect()}
+
+    # second batch of files → only they are processed (offsets in checkpoint)
+    _write_pages(spark, corpus, in_dir, 15, 29)
+    run_ingest_once(spark, in_dir, alias, out_dir, ckpt)
+    both = spark.read.parquet(out_dir)
+    docs_both = {r.doc_id for r in both.select("doc_id").distinct().collect()}
+    assert docs_first < docs_both  # strictly more documents
+    # no duplicates: every (doc, sentence, span) appears exactly once
+    dupes = (
+        both.groupBy("doc_id", "sentence_id", "start_tok", "end_tok")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0
+
+    # parity: streaming output == running the batch body over all pages
+    expected = batch_mentions(pages_spark_df(spark, corpus), alias)
+    key = ["doc_id", "sentence_id", "start_tok", "end_tok"]
+    assert both.count() == expected.count()
+    assert expected.join(both, key, "left_anti").count() == 0
+
+
+def test_streaming_mention_counts_watermarked(spark, corpus, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("streamagg"))
+    in_dir, ckpt = f"{base}/in", f"{base}/ckpt"
+    alias = alias_dict_spark_df(spark, corpus)
+    _write_pages(spark, corpus, in_dir, 0, 29)
+
+    pages = read_page_stream(spark, in_dir)
+    counts = streaming_mention_counts(
+        pages, alias, window_duration="10 minutes", watermark="10 minutes"
+    )
+    query = (
+        counts.writeStream.format("memory")
+        .queryName("mention_counts")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    got = spark.sql("select * from mention_counts")
+    # corpus warc_ts spans 30 minutes (1/min) → early windows are closed by
+    # the final watermark and must have been emitted
+    assert got.count() > 0
+    assert got.columns == ["window_start", "canonical_id", "n_mentions"]
+    # every emitted canonical_id is a dictionary id
+    bad = got.join(
+        alias.select(F.col("canonical_id")).distinct(), "canonical_id", "left_anti"
+    ).count()
+    assert bad == 0
