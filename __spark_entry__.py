@@ -461,6 +461,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eval_format"] = eval_format
 
+    def error_csv_rows(spark, sf_dir):
+        """Per-sentence CSV error-export rows (SURVEY §2.1 S15 — reference
+        analysis.py:57-84): text row, gold row, one row per model."""
+        from bioner_spark.metrics import error_analysis_csv_rows
+
+        gold = _tagged_tokens(spark, sf_dir, GOLD_B, GOLD_I)
+        pred = _tagged_tokens(spark, sf_dir, PRED_B, PRED_I)
+        return error_analysis_csv_rows(gold, {"model1": pred})
+
+    q["error_csv_rows"] = error_csv_rows
+
     # --- KG stages: gazetteer tagging, linking, CC, triples -----------------
     def dict_mentions(spark, sf_dir):
         linked, _ = _kg_linked(spark, sf_dir)
@@ -1267,6 +1278,27 @@ WITH {_TOKS_CTE}
 SELECT doc_id, sentence_id, token_id,
   text || ' ' || {_tag_case(GOLD_B, GOLD_I)} || ' ' || {_tag_case(PRED_B, PRED_I)} AS line
 FROM toks WHERE length(text) > 0
+"""
+
+    o["error_csv_rows"] = f"""
+WITH {_TOKS_CTE},
+t AS (
+  SELECT doc_id, sentence_id, token_id, text,
+         {_tag_case(GOLD_B, GOLD_I)} AS gold,
+         {_tag_case(PRED_B, PRED_I)} AS pred
+  FROM toks WHERE length(text) > 0
+)
+SELECT doc_id, sentence_id, 'text' AS row_kind,
+       string_agg(text, ',' ORDER BY token_id) AS line
+FROM t GROUP BY doc_id, sentence_id
+UNION ALL
+SELECT doc_id, sentence_id, 'gold' AS row_kind,
+       string_agg(gold, ',' ORDER BY token_id) AS line
+FROM t GROUP BY doc_id, sentence_id
+UNION ALL
+SELECT doc_id, sentence_id, 'model1' AS row_kind,
+       string_agg(pred, ',' ORDER BY token_id) AS line
+FROM t GROUP BY doc_id, sentence_id
 """
 
     o["dict_mentions"] = f"""

@@ -78,6 +78,73 @@ def ensemble_intersection(pred_a: DataFrame, pred_b: DataFrame) -> DataFrame:
     )
 
 
+def sample_error_sentences(
+    pred: DataFrame, gold: DataFrame, n: int = 100, seed: int = 1632737901
+) -> DataFrame:
+    """Seeded random sample of sentences containing at least one span error
+    (reference analysis.py:206-215 `select_errors`; sampling simplified from
+    with-replacement-until-n-distinct to a seeded orderBy-rand limit — same
+    contract: n distinct erroneous sentences, reproducible under a seed).
+    Default seed = the reference's sampling seed (analysis.py:206)."""
+    key = ["doc_id", "sentence_id", "start_tok", "end_tok"]
+    p = pred.select(*key).distinct()
+    g = gold.select(*key).distinct()
+    errors = (
+        p.join(g, key, "left_anti")
+        .select("doc_id", "sentence_id")
+        .union(g.join(p, key, "left_anti").select("doc_id", "sentence_id"))
+        .distinct()
+    )
+    return errors.orderBy(F.rand(seed)).limit(n)
+
+
+def error_analysis_csv_rows(
+    tokens_gold: DataFrame, model_tags: dict[str, DataFrame]
+) -> DataFrame:
+    """Per-sentence CSV export rows (reference analysis.py:57-84
+    `ManualErrorAnalysis.export_to_csv`): for each sentence one text row,
+    one gold-tag row, then one tag row per model, each comma-joined in
+    token order. Output: (doc_id, sentence_id, row_kind, line) ordered by
+    (doc_id, sentence_id, row_order)."""
+    def rows_for(df: DataFrame, kind: str, order: int, col: str) -> DataFrame:
+        return (
+            df.groupBy("doc_id", "sentence_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("token_id", F.col(col)))),
+                        lambda s: s[col],
+                    ),
+                    ",",
+                ).alias("line")
+            )
+            .select(
+                "doc_id", "sentence_id",
+                F.lit(kind).alias("row_kind"), F.lit(order).alias("row_order"),
+                "line",
+            )
+        )
+
+    out = rows_for(tokens_gold, "text", 0, "text").unionByName(
+        rows_for(tokens_gold, "gold", 1, "tag")
+    )
+    for i, (name, df) in enumerate(sorted(model_tags.items())):
+        out = out.unionByName(rows_for(df, name, 2 + i, "tag"))
+    return out.orderBy("doc_id", "sentence_id", "row_order").drop("row_order")
+
+
+def human_format(col):
+    """1234 → '1.23K' (reference analysis.py:173-180) — cosmetic helper for
+    report tables; native expression, no UDF."""
+    magnitude = F.floor(F.log10(F.greatest(F.abs(col), F.lit(1))) / 3)
+    scaled = col / F.pow(F.lit(1000.0), magnitude)
+    suffix = F.element_at(
+        F.array(F.lit(""), F.lit("K"), F.lit("M"), F.lit("B"), F.lit("T")),
+        (magnitude + 1).cast("int"),
+    )
+    return F.concat(F.format_number(scaled, 2), F.coalesce(suffix, F.lit("")))
+
+
 def token_level_confusion(tokens_pred: DataFrame, tokens_gold: DataFrame) -> DataFrame:
     """Token-level confusion counts (reference scibert_eval.py:80-90 computes
     micro/macro P/R/F1 via sklearn; the engine exposes the confusion matrix

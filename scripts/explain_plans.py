@@ -59,17 +59,23 @@ def main() -> None:
     for name in picks:
         txt = plan_text(q[name](spark, sf_dir))
         out += [f"## {name}", "", "```", txt.rstrip(), "```", ""]
+        # formatted mode marks WSCG as [codegen id : N]; un-executed AQE
+        # plans hide codegen markers until runtime, so report n/a there
+        cg = "yes" if "codegen id" in txt else (
+            "n/a (AQE)" if "AdaptiveSparkPlan" in txt else "NO"
+        )
         checks.append(
             (
                 name,
-                "BroadcastHashJoin" in txt,
-                "WholeStageCodegen" in txt,
-                txt.count("Exchange"),
+                "Broadcast" in txt,
+                cg,
+                txt.count("ShuffleExchange") + txt.count("Exchange (")
+                + txt.count("+- Exchange"),
             )
         )
-    out += ["## Summary", "", "| query | broadcast join | codegen | #Exchange refs |", "|---|---|---|---|"]
+    out += ["## Summary", "", "| query | broadcast | codegen | exchanges |", "|---|---|---|---|"]
     for name, bc, cg, ex in checks:
-        out.append(f"| {name} | {'yes' if bc else '—'} | {'yes' if cg else 'NO'} | {ex} |")
+        out.append(f"| {name} | {'yes' if bc else '—'} | {cg} | {ex} |")
     out.append("")
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(out))

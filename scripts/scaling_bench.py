@@ -79,7 +79,7 @@ def make_zip() -> str:
     return zpath
 
 
-def run_level(n_exec: int, pages: str, alias: str, zpath: str) -> dict:
+def run_level(n_exec: int, pages: str, alias: str, zpath: str, tagger: str = "dict") -> dict:
     """One spark-submit at `n_exec` single-core executor JVMs.
 
     local-cluster[N,1,mem] spawns N separate executor processes — the honest
@@ -105,6 +105,7 @@ def run_level(n_exec: int, pages: str, alias: str, zpath: str) -> dict:
         "--alias", alias,
         "--output", out_dir,
         "--n-buckets", "32",
+        "--tagger", tagger,
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     for line in proc.stdout.splitlines():
@@ -222,17 +223,21 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "200000")))
     ap.add_argument("--cores", type=int, nargs=2, default=[2, 8],
                     help="executor counts: N and 4N single-core executor JVMs")
+    ap.add_argument("--tagger", choices=["dict", "neural"], default="dict",
+                    help="neural = BiLSTM mapInPandas inference (the north-star"
+                         " compute kernel); use a smaller --n-docs")
     ap.add_argument("--no-probe", action="store_true")
     ap.add_argument("--update-md", action="store_true")
     args = ap.parse_args()
 
     pages, alias = prepare_input(args.n_docs)
     zpath = make_zip()
-    levels = [run_level(c, pages, alias, zpath) for c in args.cores]
+    levels = [run_level(c, pages, alias, zpath, tagger=args.tagger) for c in args.cores]
     lo, hi = levels
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi["cores"] / lo["cores"])
     summary = {
         "n_docs": args.n_docs,
+        "tagger": args.tagger,
         "levels": levels,
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
