@@ -68,6 +68,47 @@ def test_ingest_resume_processes_only_new_files(spark, corpus, tmp_path_factory)
     assert expected.join(both, key, "left_anti").count() == 0
 
 
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path_factory):
+    """applyInPandasWithState: the first copy of each fingerprint wins, state
+    survives into later micro-batches (and restarts via the checkpoint)."""
+    import pandas as pd
+
+    from bioner_spark.streaming.stateful import streaming_dedup
+
+    base = str(tmp_path_factory.mktemp("dedupstate"))
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+
+    def drain(rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "text"])
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        pages = spark.readStream.schema("url string, text string").parquet(in_dir)
+        (
+            streaming_dedup(pages)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain([("u1", "same text"), ("u2", "Same   TEXT"), ("u3", "other text")])
+    drain([("u4", "same text"), ("u5", "third text")])  # u4 dups batch-1 state
+
+    got = {
+        r.url: (r.is_first, r.n_duplicates_so_far)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(got) == 5
+    # normalization folds u1/u2/u4 onto one fingerprint; exactly one first
+    firsts = {u for u, (f, _) in got.items() if f == 1}
+    assert firsts == {"u1", "u3", "u5"} or firsts == {"u2", "u3", "u5"}
+    # u4 arrived in batch 2 but still counted as duplicate via carried state
+    assert got["u4"][0] == 0 and got["u4"][1] >= 1
+
+
 def test_streaming_mention_counts_watermarked(spark, corpus, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("streamagg"))
     in_dir, ckpt = f"{base}/in", f"{base}/ckpt"
