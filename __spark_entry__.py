@@ -116,23 +116,25 @@ def _spans(spark: SparkSession, sf_dir: str, b_words, i_words) -> DataFrame:
 
 
 def _kg_linked(spark: SparkSession, sf_dir: str):
-    """documents → dict-tag → span decode → link → canonicalize.
-    Returns (linked_mentions_with_component, tagged_tokens)."""
+    """documents → gazetteer match → overlap resolve → canonicalize.
+    Returns (linked_mentions_with_component, tokens).
+
+    Uses the pipeline's fast path (linking.dict_mentions): resolved matches
+    ARE the mentions, already carrying canonical_id under the same min-id
+    ambiguity rule — no BIO round-trip. The second return value feeds the
+    triple extractor's verb scan, which reads raw token text only."""
     from bioner_spark.graph import canonical_map
-    from bioner_spark.linking import dict_tag_tokens, link_mentions
-    from bioner_spark.spans import decode_spans
+    from bioner_spark.linking import dict_mentions as dict_mentions_fast
 
     alias = _alias_df(spark)
     toks = _tokens(spark, sf_dir)
-    tagged = dict_tag_tokens(toks, alias, max_alias_len=2)
-    mentions = decode_spans(tagged)
-    linked = link_mentions(mentions, alias)
+    mentions = dict_mentions_fast(toks, alias, max_alias_len=2)
     cmap = canonical_map(alias)
     linked = (
-        linked.join(F.broadcast(cmap), "canonical_id", "left")
+        mentions.join(F.broadcast(cmap), "canonical_id", "left")
         .filter(F.col("component").isNotNull())
     )
-    return linked, tagged
+    return linked, toks
 
 
 # ---------------------------------------------------------------------------
