@@ -790,41 +790,42 @@ def _tag_case(b_words, i_words) -> str:
 def _spans_cte_pref(b_words, i_words, pref: str) -> str:
     """`_spans_cte` with every CTE name prefixed — lets one query hold span
     pipelines for several tag rules (gold + model1 + model2)."""
-    s = _spans_cte(b_words, i_words).strip()
-    for name in ("tagged", "flagged", "runs", "spans"):
-        s = s.replace(name, f"{pref}_{name}")
-    return s
+    return _spans_cte(b_words, i_words, pref=pref)
 
 
-def _spans_cte(b_words, i_words) -> str:
+def _spans_cte(b_words, i_words, pref: str = "") -> str:
     """CTEs tagged → spans implementing the reference BIO state machine
     (I-after-O opens; B closes+opens; reference
-    entity_level_precision_recall.py:134-164)."""
+    entity_level_precision_recall.py:134-164). The CTE names are
+    parameterized (f-string prefix), never post-hoc string-replaced — a
+    substring replace would silently corrupt any future column/alias that
+    happened to contain a CTE name."""
+    p = f"{pref}_" if pref else ""
     return f"""
-tagged AS (
+{p}tagged AS (
   SELECT doc_id, sentence_id, token_id, text,
          {_tag_case(b_words, i_words)} AS tag
   FROM toks WHERE length(text) > 0
 ),
-flagged AS (
+{p}flagged AS (
   SELECT *, CASE WHEN tag <> 'O' AND (
       lag(tag) OVER (PARTITION BY doc_id, sentence_id ORDER BY token_id) IS NULL
       OR lag(tag) OVER (PARTITION BY doc_id, sentence_id ORDER BY token_id) = 'O'
       OR tag = 'B') THEN 1 ELSE 0 END AS is_start
-  FROM tagged
+  FROM {p}tagged
 ),
-runs AS (
+{p}runs AS (
   SELECT *, SUM(is_start) OVER (
       PARTITION BY doc_id, sentence_id ORDER BY token_id
       ROWS UNBOUNDED PRECEDING) AS span_id
-  FROM flagged
+  FROM {p}flagged
 ),
-spans AS (
+{p}spans AS (
   SELECT doc_id, sentence_id,
          MIN(token_id)::INT AS start_tok,
          MAX(token_id)::INT AS end_tok,
          string_agg(text, ' ' ORDER BY token_id) AS mention_text
-  FROM runs WHERE tag <> 'O'
+  FROM {p}runs WHERE tag <> 'O'
   GROUP BY doc_id, sentence_id, span_id
 )
 """
@@ -1136,8 +1137,8 @@ SELECT doc_id, sentence_id, start_tok, end_tok, mention_text FROM spans
 
     _prf_cte = f"""
 WITH {_TOKS_CTE},
-{_spans_cte(GOLD_B, GOLD_I).strip().replace('tagged', 'g_tagged').replace('flagged', 'g_flagged').replace('runs', 'g_runs').replace('spans', 'g_spans')},
-{_spans_cte(PRED_B, PRED_I).strip().replace('tagged', 'p_tagged').replace('flagged', 'p_flagged').replace('runs', 'p_runs').replace('spans', 'p_spans').lstrip().lstrip(',')}
+{_spans_cte(GOLD_B, GOLD_I, pref='g').strip()},
+{_spans_cte(PRED_B, PRED_I, pref='p').strip()}
 """
 
     o["entity_prf1"] = f"""{_prf_cte},

@@ -24,16 +24,18 @@ from pyspark.sql import functions as F
 
 
 # Below this many edges the graph is collected and solved with union-find on
-# the driver (one job, no iteration). The alias dictionary is a broadcast-sized
-# dimension table by contract, so in the KG pipeline this path always wins;
-# the distributed loop below exists for genuinely large general graphs.
-DRIVER_CC_MAX_EDGES = 2_000_000
+# the driver (one job, no iteration). Kept modest: the gate itself costs a
+# limit(threshold+1).collect(), i.e. up to threshold rows of driver memory
+# even when the graph ends up on the distributed path. Callers that KNOW
+# their graph is driver-sized (the alias dictionary is a broadcast-sized
+# dimension table by contract) pass a larger explicit threshold.
+DRIVER_CC_MAX_EDGES = 100_000
 
 
-def _driver_union_find(rows: list, spark) -> DataFrame:
-    parent: dict[str, str] = {}
+def _driver_union_find(rows: list, spark, node_type: str) -> DataFrame:
+    parent: dict = {}
 
-    def find(x: str) -> str:
+    def find(x):
         parent.setdefault(x, x)
         while parent[x] != x:
             parent[x] = parent[parent[x]]
@@ -47,7 +49,9 @@ def _driver_union_find(rows: list, spark) -> DataFrame:
                 ru, rv = rv, ru
             parent[rv] = ru
     out = sorted((n, find(n)) for n in parent)
-    return spark.createDataFrame(out, schema="node string, component string")
+    return spark.createDataFrame(
+        out, schema=f"node {node_type}, component {node_type}"
+    )
 
 
 def connected_components(
@@ -58,12 +62,19 @@ def connected_components(
     driver_threshold: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """edges(src, dst) → (node, component) where component = min node id
-    reachable. Nodes appearing only as src or only as dst are included."""
+    reachable. Nodes appearing only as src or only as dst are included.
+    The output node/component type mirrors the src column's type.
+
+    driver_threshold: edge count below which the graph is solved with
+    union-find on the driver (one job). Pass 0/None to force the
+    distributed path, or a larger value when the caller knows the graph is
+    driver-sized (saves the iteration entirely)."""
+    node_type = edges.schema[src].dataType.simpleString()
     if driver_threshold:
         sample = edges.select(src, dst).limit(driver_threshold + 1).collect()
         if len(sample) <= driver_threshold:
             return _driver_union_find(
-                [(r[src], r[dst]) for r in sample], edges.sparkSession
+                [(r[src], r[dst]) for r in sample], edges.sparkSession, node_type
             )
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -112,7 +123,9 @@ def canonical_map(alias_dict: DataFrame) -> DataFrame:
     from bioner_spark.linking import alias_edges
 
     edges = alias_edges(alias_dict)
-    comp = connected_components(edges)
+    # the alias dictionary is a broadcast-sized dimension table by contract,
+    # so the driver union-find path always wins here — gate high explicitly
+    comp = connected_components(edges, driver_threshold=2_000_000)
     all_ids = alias_dict.select(F.col("canonical_id").alias("node")).distinct()
     return (
         all_ids.join(comp, "node", "left")

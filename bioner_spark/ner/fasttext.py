@@ -1,0 +1,229 @@
+"""numpy fastText subword embedding inference (P5).
+
+The reference encodes every token with a trained fastText model — load at
+reference bioner/model/encoder/fasttext_encoder.py:14-15, per-token lookup
+``self.model[token.text]`` at fasttext_encoder.py:26-28; training config
+(skipgram, dim=300, char-ngrams minn/maxn 3-4 or 3-6) at
+bioner/embeddings/fasttext_runner.py:13-28.  The fasttext library is not in
+this environment (SURVEY.md §7), so the engine reimplements the inference
+(``get_word_vector``) semantics in numpy over a pre-staged matrix:
+
+  * subwords(word) = all character n-grams of ``"<" + word + ">"`` with
+    minn <= n <= maxn (character = Unicode codepoint, matching fastText's
+    UTF-8-aware ``computeSubwords``);
+  * each subword indexes the input matrix at ``fnv1a(subword) % bucket``
+    (fastText ``Dictionary::hash``: FNV-1a 32-bit over UTF-8 bytes with the
+    signed-char cast);
+  * ``word_vector(word) = sum(matrix[rows]) / n_subwords`` (fastText's OOV /
+    pure-subword path — the general case for open-vocabulary web text; an
+    in-vocab word row would be one extra gather, same plan).
+
+Spark path: ``fasttext_token_vectors`` runs the lookup inside
+``mapInPandas`` — subword hashing per DISTINCT word (token frequency is
+Zipfian, so an executor-local LRU cache turns the per-word Python cost into
+a near-O(#distinct) one), matrix gather + sum vectorized in numpy, matrix
+shipped once per executor via the module-level cache (see ner/infer.py's
+SparkFiles path, shared here).
+
+Correctness: the committed fixture matrix is an integer lattice
+(``fixture_matrix_int``) scaled by 1/1000, so the driver-contract query
+``fasttext_vectors`` can verify the FULL pipeline (subwords → hash → bucket
+→ gather → sum) against a DuckDB oracle in exact int64 arithmetic — no
+float tolerance anywhere.  ``tests/test_fasttext.py`` additionally golden-
+tests the float path (incl. non-ASCII words the ASCII-only oracle skips).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+FNV_OFFSET = 2166136261
+FNV_PRIME = 16777619
+MASK32 = 0xFFFFFFFF
+
+# fixture-lattice constants — shared (as literals) with the DuckDB oracle in
+# __spark_entry__.oracle_sql()["fasttext_vectors"]
+LATTICE_A = 2654435761  # Knuth multiplicative-hash constant
+LATTICE_B = 40503
+LATTICE_C = 17
+LATTICE_MOD = 2001  # entries span [-1000, 1000]
+LATTICE_SCALE = 1000.0
+
+
+def fnv1a(subword: str) -> int:
+    """fastText Dictionary::hash — FNV-1a 32-bit over UTF-8 bytes with the
+    signed-char cast (bytes >= 0x80 are sign-extended before the XOR)."""
+    h = FNV_OFFSET
+    for b in subword.encode("utf-8"):
+        if b >= 128:
+            b -= 256
+        h = ((h ^ (b & MASK32)) * FNV_PRIME) & MASK32
+    return h
+
+
+def subwords(word: str, minn: int = 3, maxn: int = 4) -> list[str]:
+    """Character n-grams of '<word>' with minn <= n <= maxn (codepoint-wise,
+    like fastText computeSubwords; includes the full '<word>' sequence when
+    its length falls in range)."""
+    w = f"<{word}>"
+    L = len(w)
+    out: list[str] = []
+    for n in range(minn, maxn + 1):
+        for i in range(L - n + 1):
+            out.append(w[i : i + n])
+    return out
+
+
+def fixture_matrix_int(bucket: int = 2000, dim: int = 16) -> np.ndarray:
+    """Deterministic integer lattice [bucket, dim] in [-1000, 1000].
+
+    Used instead of a trained matrix so that (a) no large binary artifact is
+    needed and (b) the oracle can recompute any entry exactly in SQL:
+    M[r, k] = ((r*A + k*B + C) mod MOD) - 1000."""
+    r = np.arange(bucket, dtype=np.int64)[:, None]
+    k = np.arange(dim, dtype=np.int64)[None, :]
+    return (r * LATTICE_A + k * LATTICE_B + LATTICE_C) % LATTICE_MOD - 1000
+
+
+@dataclass
+class FastTextModel:
+    """Inference-only fastText subword model (bucket-only input matrix)."""
+
+    matrix: np.ndarray  # [bucket, dim] float32
+    minn: int = 3
+    maxn: int = 4
+
+    @property
+    def bucket(self) -> int:
+        return self.matrix.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.matrix.shape[1]
+
+    def subword_rows(self, word: str) -> np.ndarray:
+        return np.array(
+            [fnv1a(sw) % self.bucket for sw in subwords(word, self.minn, self.maxn)],
+            dtype=np.int64,
+        )
+
+    def word_vector(self, word: str) -> np.ndarray:
+        """fastText get_word_vector for an OOV word: mean of subword rows;
+        zero vector when the word yields no subwords (len(word)+2 < minn)."""
+        rows = self.subword_rows(word)
+        if len(rows) == 0:
+            return np.zeros(self.dim, dtype=np.float32)
+        return self.matrix[rows].sum(axis=0, dtype=np.float64).astype(np.float32) / np.float32(
+            len(rows)
+        )
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path, matrix=self.matrix, minn=np.array(self.minn), maxn=np.array(self.maxn)
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "FastTextModel":
+        z = np.load(path)
+        return cls(matrix=z["matrix"], minn=int(z["minn"]), maxn=int(z["maxn"]))
+
+    @classmethod
+    def fixture(cls, bucket: int = 2000, dim: int = 16, minn: int = 3, maxn: int = 4):
+        m = (fixture_matrix_int(bucket, dim) / LATTICE_SCALE).astype(np.float32)
+        return cls(matrix=m, minn=minn, maxn=maxn)
+
+
+class _VectorCache:
+    """Bounded word→vector cache (executor-local). Zipfian token frequency
+    makes the hit rate ~99% on web text, so per-word Python hashing costs
+    ~O(#distinct words), not O(#tokens)."""
+
+    def __init__(self, model: FastTextModel, max_size: int = 1 << 20):
+        self.model = model
+        self.max_size = max_size
+        self.data: dict[str, np.ndarray] = {}
+
+    def get_many(self, words: pd.Series) -> list:
+        uniq = pd.unique(words)
+        miss = [w for w in uniq if w not in self.data]
+        if miss:
+            if len(self.data) + len(miss) > self.max_size:
+                self.data.clear()  # simple epoch eviction; rebuild is cheap
+            for w in miss:
+                self.data[w] = self.model.word_vector(w)
+        d = self.data
+        return [d[w] for w in words]
+
+
+def fasttext_token_vectors(
+    tokens: DataFrame,
+    model: FastTextModel,
+    token_col: str = "text",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """tokens → tokens + per-token fastText vector (array<float>).
+
+    The engine analogue of FasttextEncoder.encode (reference
+    fasttext_encoder.py:17-28), distributed: a narrow mapInPandas, no
+    shuffle; matrix travels in the closure once per executor (use
+    ner/infer's SparkFiles shipping for the 300-dim/2M-bucket real thing).
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in tokens.schema.fields
+    ) + f", {out_col} array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache = _VectorCache(model)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = cache.get_many(pdf[token_col])
+            pdf = pdf.copy()
+            pdf[out_col] = [v.tolist() for v in vecs]
+            yield pdf
+
+    return tokens.mapInPandas(run, schema=out_schema)
+
+
+def int_subword_check(
+    tokens: DataFrame,
+    bucket: int = 2000,
+    dim: int = 16,
+    minn: int = 3,
+    maxn: int = 4,
+    n_dims_out: int = 3,
+    token_col: str = "text",
+) -> DataFrame:
+    """Exact-integer verification projection for the driver contract.
+
+    Per DISTINCT token: n_subwords and the int64 sums of the first
+    `n_dims_out` matrix columns over the token's subword rows — the same
+    subwords()/fnv1a() code the float path uses, with the un-scaled integer
+    lattice, so the DuckDB oracle can reproduce every value exactly.
+    """
+    mat = fixture_matrix_int(bucket, dim)[:, :n_dims_out]
+    cols = [f"s{k}" for k in range(n_dims_out)]
+    schema = "token string, n_subwords int, " + ", ".join(f"{c} long" for c in cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for w in pdf[token_col]:
+                sws = subwords(w, minn, maxn)
+                idx = np.array([fnv1a(s) % bucket for s in sws], dtype=np.int64)
+                sums = (
+                    mat[idx].sum(axis=0)
+                    if len(idx)
+                    else np.zeros(n_dims_out, dtype=np.int64)
+                )
+                rows.append((w, len(sws), *sums.tolist()))
+            yield pd.DataFrame(rows, columns=["token", "n_subwords", *cols])
+
+    return tokens.select(token_col).distinct().mapInPandas(run, schema=schema)

@@ -21,24 +21,66 @@ are additionally re-chunked by a TOKEN BUDGET (pad-aware, sorted by length
 to minimize pad waste) so one giant document cannot OOM an executor
 (SURVEY.md §4 engineering point 2).
 
-The model weights travel inside the UDF closure — serialized once per
-executor with the task; at real cluster scale, ship the .npz via
-SparkFiles and lazy-load per executor (same code path, see load_model_udf).
+Model shipping: a `SequenceModel` passed directly travels inside the UDF
+closure — fine for DATEXIS-sized weights (~100 KB), a scale-killer for
+BioNER (~60M params ≈ 240 MB pickled per task). For that, `ship_model`
+saves the weights once as .npz, registers the file with
+`SparkContext.addFile`, and the UDF receives only the FILE NAME; each
+executor lazy-loads the matrix from its local SparkFiles copy exactly once
+(module-level cache below), so task serialization stays O(bytes of a
+string) regardless of model size.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import os
+import tempfile
+from typing import Iterator, Union
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bioner_spark.functions.ngrams import encode_multihot_indices
 from bioner_spark.functions.position import with_position_features, position_vector
 from bioner_spark.functions.surface import surface_vector
 from bioner_spark.ner.kernel import SequenceModel
+
+# executor-local model cache: file name → loaded SequenceModel. Lives for
+# the lifetime of the Python worker, so N tasks on one executor load once.
+_MODEL_CACHE: dict = {}
+
+ModelRef = Union[SequenceModel, str]
+
+
+def ship_model(spark: SparkSession, model: SequenceModel, name: str = "ner_model") -> str:
+    """Save `model` as .npz and register it with SparkContext.addFile.
+
+    Returns the SparkFiles name to pass to ner_tag_sentences /
+    annotate_tokens in place of the model object — the scale path for
+    BioNER-sized weights (the closure then carries ~40 bytes, not ~240 MB;
+    the executors fetch the file once and cache the loaded matrices)."""
+    d = tempfile.mkdtemp(prefix="bioner_model_")
+    fname = f"{name}.npz"
+    path = os.path.join(d, fname)
+    model.save(path)
+    spark.sparkContext.addFile(path)
+    return fname
+
+
+def _resolve_model(model: ModelRef) -> SequenceModel:
+    """Closure-shipped model → itself; SparkFiles name → per-executor
+    lazy-loaded singleton (the `load_model_udf` path promised in round 1)."""
+    if isinstance(model, SequenceModel):
+        return model
+    m = _MODEL_CACHE.get(model)
+    if m is None:
+        from pyspark import SparkFiles
+
+        m = SequenceModel.load(SparkFiles.get(model))
+        _MODEL_CACHE[model] = m
+    return m
 
 def _tags_schema(sentences: DataFrame) -> str:
     """Output schema mirrors the input's doc_id type (string urls in the
@@ -86,16 +128,17 @@ def encoded_sentences(tokens: DataFrame, vocab: DataFrame) -> DataFrame:
 
 
 def _densify(
-    feat_dense: list, feat_sparse: list, vocab_size: int, max_len: int
+    feat_dense: list, feat_sparse: list, sparse_dim: int, max_len: int
 ) -> np.ndarray:
-    """One sentence → [max_len, 15+V] float32 (pad rows zero, like
-    collate_batch's zero padding, reference annotator.py:26-46)."""
+    """One sentence → [max_len, W+S] float32 where W = width of the dense
+    feature arrays and S = sparse_dim (multi-hot scatter width; 0 for the
+    fastText path). Pad rows zero, like collate_batch's zero padding
+    (reference annotator.py:26-46)."""
     T = len(feat_dense)
-    D = N_POSITION + N_SURFACE + vocab_size
-    x = np.zeros((max_len, D), dtype=np.float32)
     dense = np.asarray([np.asarray(fd, dtype=np.float32) for fd in feat_dense])
-    x[:T, : N_POSITION + N_SURFACE] = dense
-    base = N_POSITION + N_SURFACE
+    base = dense.shape[1] if T else 0
+    x = np.zeros((max_len, base + sparse_dim), dtype=np.float32)
+    x[:T, :base] = dense
     for t, idxs in enumerate(feat_sparse):
         if len(idxs):
             x[t, base + np.asarray(idxs, dtype=np.int64)] = 1.0
@@ -104,14 +147,19 @@ def _densify(
 
 def ner_tag_sentences(
     sentences: DataFrame,
-    model: SequenceModel,
-    vocab_size: int,
+    model: ModelRef,
+    sparse_dim: int,
     token_budget: int = 32768,
 ) -> DataFrame:
     """sentence rows → (doc_id, sentence_id, token_id, tag). The one neural
-    kernel of the engine; vectorized per Arrow batch, never per-row."""
+    kernel of the engine; vectorized per Arrow batch, never per-row.
+
+    `model` may be a SequenceModel (travels in the closure — small configs)
+    or a SparkFiles name from ship_model (lazy per-executor load — the
+    BioNER-sized path)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mdl = _resolve_model(model)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -138,13 +186,13 @@ def ner_tag_sentences(
                         _densify(
                             pdf["feat_dense"].iloc[k],
                             pdf["feat_sparse"].iloc[k],
-                            vocab_size,
+                            sparse_dim,
                             max_len,
                         )
                         for k in sel
                     ]
                 )
-                tags = model.predict_tags(x, lengths)
+                tags = mdl.predict_tags(x, lengths)
                 for row_idx, k in enumerate(sel):
                     tids = pdf["token_ids"].iloc[k]
                     out_docs.extend([pdf["doc_id"].iloc[k]] * len(tids))
@@ -165,7 +213,7 @@ def ner_tag_sentences(
 
 
 def annotate_tokens(
-    tokens: DataFrame, vocab: DataFrame, model: SequenceModel
+    tokens: DataFrame, vocab: DataFrame, model: ModelRef
 ) -> DataFrame:
     """tokens (untagged) → tokens + neural `tag` column.
 
@@ -176,4 +224,52 @@ def annotate_tokens(
     vocab_size = vocab.count()
     sents = encoded_sentences(tokens, vocab)
     tags = ner_tag_sentences(sents, model, vocab_size)
+    return tokens.drop("tag").join(tags, ["doc_id", "sentence_id", "token_id"], "left")
+
+
+# --------------------------------------------------------------------------
+# fastText-encoded path (the reference BioNER feature space, P5)
+# --------------------------------------------------------------------------
+
+def encoded_sentences_fasttext(tokens: DataFrame, ft_model) -> DataFrame:
+    """tokens → sentence rows whose feat_dense is the per-token fastText
+    subword vector (reference FasttextEncoder.encode,
+    fasttext_encoder.py:17-28; BioNER consumes ONLY this embedding as
+    features — annotate_dataset.py:16-18). feat_sparse is empty (the
+    trigram multi-hot belongs to the DATEXIS encoder, not this path)."""
+    from bioner_spark.ner.fasttext import fasttext_token_vectors
+
+    enc = fasttext_token_vectors(tokens, ft_model, out_col="_ft_vec")
+    return (
+        enc.select(
+            "doc_id",
+            "sentence_id",
+            "token_id",
+            F.col("_ft_vec").alias("feat_dense"),
+            F.array().cast("array<int>").alias("feat_sparse"),
+        )
+        .groupBy("doc_id", "sentence_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("token_id", "feat_dense", "feat_sparse"))
+            ).alias("toks")
+        )
+        .select(
+            "doc_id",
+            "sentence_id",
+            F.transform("toks", lambda s: s["token_id"]).alias("token_ids"),
+            F.transform("toks", lambda s: s["feat_dense"]).alias("feat_dense"),
+            F.transform("toks", lambda s: s["feat_sparse"]).alias("feat_sparse"),
+        )
+    )
+
+
+def annotate_tokens_fasttext(
+    tokens: DataFrame, ft_model, model: ModelRef
+) -> DataFrame:
+    """tokens → tokens + neural tag via the BioNER-shape path: fastText
+    subword embeddings → sequence model. model.input_dim must equal
+    ft_model.dim."""
+    sents = encoded_sentences_fasttext(tokens, ft_model)
+    tags = ner_tag_sentences(sents, model, sparse_dim=0)
     return tokens.drop("tag").join(tags, ["doc_id", "sentence_id", "token_id"], "left")

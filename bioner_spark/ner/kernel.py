@@ -78,9 +78,27 @@ def bilstm_forward(
     return np.concatenate([out_f, out_b], axis=-1)
 
 
+def batchnorm_infer(x: np.ndarray, bn: tuple) -> np.ndarray:
+    """BatchNorm1d at INFERENCE: per-channel affine with running stats —
+    y = gamma * (x - mean) / sqrt(var + eps) + beta. The reference permutes
+    to [B, C, T] because torch's BatchNorm1d normalizes dim 1
+    (datexis_model.py:182-188); element-wise over channels, that equals
+    broadcasting over the trailing feature axis here — no permute needed."""
+    gamma, beta, mean, var, eps = bn
+    return gamma * (x - mean) / np.sqrt(var + eps) + beta
+
+
 @dataclass
 class SequenceModel:
-    """Inference-only weights for the DATEXIS/BioNER family."""
+    """Inference-only weights for the DATEXIS/BioNER family.
+
+    Optional BatchNorm (reference StackedBiLSTMModel with
+    batch_normalization_enabled, datexis_model.py:105-109, 132-167): each
+    bn field is None or (gamma, beta, running_mean, running_var, eps).
+    Placement mirrors the reference forward exactly — after the FF layer
+    (PRE-ReLU, :134-138), after EVERY BiLSTM incl. the first (:142-156),
+    and after the encoder LSTM (:158-161). Dropout between layers is
+    identity at inference."""
 
     ff_w: np.ndarray  # [F, D_in]
     ff_b: np.ndarray  # [F]
@@ -91,6 +109,9 @@ class SequenceModel:
     out_w: np.ndarray  # [3, H]
     out_b: np.ndarray  # [3]
     name: str = "DATEXIS-NER"
+    ff_bn: tuple | None = None
+    bilstm_bns: list | None = None  # one per BiLSTM layer, entries may be None
+    enc_bn: tuple | None = None
 
     @property
     def input_dim(self) -> int:
@@ -103,10 +124,18 @@ class SequenceModel:
         datexis_model.py:59-63 — a training concern; argmax is axis-final
         here either way.)
         """
-        h = np.maximum(x @ self.ff_w.T + self.ff_b, 0.0)  # FF + ReLU
-        for fwd, bwd in self.bilstms:
+        h = x @ self.ff_w.T + self.ff_b
+        if self.ff_bn is not None:
+            h = batchnorm_infer(h, self.ff_bn)
+        h = np.maximum(h, 0.0)  # ReLU (after BN, datexis_model.py:134-138)
+        for i, (fwd, bwd) in enumerate(self.bilstms):
             h = bilstm_forward(h, lengths, fwd, bwd)
+            bn = self.bilstm_bns[i] if self.bilstm_bns else None
+            if bn is not None:
+                h = batchnorm_infer(h, bn)
         h = lstm_forward(h, self.enc_w_ih, self.enc_w_hh, self.enc_b)
+        if self.enc_bn is not None:
+            h = batchnorm_infer(h, self.enc_bn)
         return h @ self.out_w.T + self.out_b
 
     def predict_tags(self, x: np.ndarray, lengths: np.ndarray) -> list[list[str]]:
@@ -134,6 +163,17 @@ class SequenceModel:
                 arrays[f"l{i}{d}_w_ih"] = w_ih
                 arrays[f"l{i}{d}_w_hh"] = w_hh
                 arrays[f"l{i}{d}_b"] = b
+
+        def _pack_bn(prefix: str, bn: tuple | None) -> None:
+            if bn is not None:
+                gamma, beta, mean, var, eps = bn
+                arrays[f"{prefix}_bn"] = np.stack([gamma, beta, mean, var])
+                arrays[f"{prefix}_bn_eps"] = np.array(eps)
+
+        _pack_bn("ff", self.ff_bn)
+        _pack_bn("enc", self.enc_bn)
+        for i, bn in enumerate(self.bilstm_bns or []):
+            _pack_bn(f"l{i}", bn)
         np.savez_compressed(path, **arrays)
 
     @classmethod
@@ -147,10 +187,21 @@ class SequenceModel:
             )
             for i in range(n)
         ]
+
+        def _unpack_bn(prefix: str) -> tuple | None:
+            key = f"{prefix}_bn"
+            if key not in z:
+                return None
+            g, b, m, v = z[key]
+            return (g, b, m, v, float(z[f"{key}_eps"]))
+
+        bilstm_bns = [_unpack_bn(f"l{i}") for i in range(n)]
         return cls(
             ff_w=z["ff_w"], ff_b=z["ff_b"], bilstms=bilstms,
             enc_w_ih=z["enc_w_ih"], enc_w_hh=z["enc_w_hh"], enc_b=z["enc_b"],
             out_w=z["out_w"], out_b=z["out_b"],
+            ff_bn=_unpack_bn("ff"), enc_bn=_unpack_bn("enc"),
+            bilstm_bns=bilstm_bns if any(b is not None for b in bilstm_bns) else None,
         )
 
 
@@ -168,6 +219,17 @@ def _lstm_params(rng: np.random.Generator, d_in: int, h: int):
     )
 
 
+def _bn_params(rng: np.random.Generator, c: int, eps: float = 1e-5) -> tuple:
+    """Seeded non-trivial BatchNorm running stats for fixture models —
+    gamma/beta/mean drawn, var positive; a freshly-initialized torch BN
+    would be (1, 0, 0, 1) (identity), which would hide placement bugs."""
+    gamma = (1.0 + 0.1 * rng.normal(size=c)).astype(np.float32)
+    beta = (0.1 * rng.normal(size=c)).astype(np.float32)
+    mean = (0.2 * rng.normal(size=c)).astype(np.float32)
+    var = (0.5 + rng.random(size=c)).astype(np.float32)
+    return (gamma, beta, mean, var, eps)
+
+
 def init_model(
     input_dim: int,
     feedforward_size: int = 150,
@@ -176,10 +238,13 @@ def init_model(
     out_features: int = 3,
     seed: int = 1632737901,  # reference training seed (main.py:89-92)
     name: str = "DATEXIS-NER",
+    batch_norm: bool = False,
 ) -> SequenceModel:
     """Seeded init mirroring the reference scheme: FF He-normal
     std=sqrt(2/fan_in) (datexis_model.py:48-50), LSTM/Linear xavier-normal,
-    biases 0 (datexis_model.py:34-46)."""
+    biases 0 (datexis_model.py:34-46). batch_norm=True builds the
+    StackedBiLSTMModel BN set (datexis_model.py:105-109): FF-BN [F],
+    one BN per BiLSTM [2H], encoder BN [H]."""
     rng = np.random.default_rng(seed)
     ff_w = rng.normal(0.0, np.sqrt(2.0 / input_dim), size=(feedforward_size, input_dim)).astype(
         np.float32
@@ -193,10 +258,16 @@ def init_model(
     enc = _lstm_params(rng, d, lstm_size)
     out_w = _xavier(rng, (out_features, lstm_size))
     out_b = np.zeros(out_features, dtype=np.float32)
+    ff_bn = bilstm_bns = enc_bn = None
+    if batch_norm:
+        ff_bn = _bn_params(rng, feedforward_size)
+        bilstm_bns = [_bn_params(rng, 2 * lstm_size) for _ in range(n_bilstm_layers)]
+        enc_bn = _bn_params(rng, lstm_size)
     return SequenceModel(
         ff_w=ff_w, ff_b=ff_b, bilstms=bilstms,
         enc_w_ih=enc[0], enc_w_hh=enc[1], enc_b=enc[2],
         out_w=out_w, out_b=out_b, name=name,
+        ff_bn=ff_bn, bilstm_bns=bilstm_bns, enc_bn=enc_bn,
     )
 
 
@@ -208,7 +279,11 @@ def load_model_config(name: str, input_dim: int, **overrides) -> SequenceModel:
     elif name == "CustomConfig_DATEXIS-NER":
         cfg = dict(feedforward_size=150, lstm_size=20, n_bilstm_layers=1)
     elif name == "CustomConfig_Stacked-DATEXIS-NER":
-        cfg = dict(feedforward_size=150, lstm_size=20, n_bilstm_layers=2)
+        # the stacked reference model supports BatchNorm1d between layers
+        # (datexis_model.py:105-109); enabled here so BN-trained weights are
+        # loadable/reproducible — BN with identity stats equals no-BN
+        cfg = dict(feedforward_size=150, lstm_size=20, n_bilstm_layers=2,
+                   batch_norm=True)
     elif name == "BioNER":
         cfg = dict(feedforward_size=2048, lstm_size=1024, n_bilstm_layers=3)
     else:

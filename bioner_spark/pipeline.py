@@ -69,8 +69,12 @@ def build_triples(
     # (doc_key, url) map for the output joins — derived from the RAW input
     # so its lineage is a column-pruned scan of `url` alone; deriving it
     # downstream would drag the extractor UDF + repartition exchange into
-    # every broadcast of this tiny table
-    url_map = pages.select(F.xxhash64("url").alias("doc_key"), "url")
+    # every broadcast of this tiny table. dropDuplicates: crawls commonly
+    # contain repeated urls, and a duplicated map row would multiply every
+    # triple/mention of that document in the _rekey join below.
+    url_map = pages.select(F.xxhash64("url").alias("doc_key"), "url").dropDuplicates(
+        ["doc_key"]
+    )
 
     if use_extractor:
         pages = with_extracted_text(pages.select("url", "html"), "html", "text")
@@ -301,11 +305,16 @@ def run_checkpointed(
         _mark("manifest write")
 
     triples = spark.read.parquet(triples_path) if (todo_buckets or manifest is not None) else None
-    if todo_buckets:
-        aux = result  # reuse the plan already built for the write
+    if todo_buckets and n_skipped == 0:
+        aux = result  # full run: the write plan already covers every page
     else:
+        # Partial resume (or all-skipped): the write plan covered only the
+        # recomputed buckets, but mentions/tokens are a logical view of the
+        # WHOLE input — rebuild them (lazily) over the full pages DataFrame
+        # so callers' metrics never silently cover a subset.
         aux = build_triples(pages, alias_dict, tagger=tagger, model=model,
-                            vocab=vocab, use_extractor=use_extractor)
+                            vocab=vocab, use_extractor=use_extractor,
+                            eager_cache=False)
     return PipelineResult(
         triples=triples if triples is not None else aux.triples,
         mentions=aux.mentions,

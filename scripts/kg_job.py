@@ -56,7 +56,6 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--alias", required=True, help="alias dictionary Parquet path")
     ap.add_argument("--output", required=True, help="output dir (triples/ + manifest/)")
     ap.add_argument("--n-buckets", type=int, default=16)
-    ap.add_argument("--salt-factor", type=int, default=8)
     ap.add_argument("--tagger", choices=["dict", "neural"], default="dict")
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="override spark.sql.shuffle.partitions (default: 2x cores)")

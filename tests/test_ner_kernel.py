@@ -120,6 +120,115 @@ def test_golden_logits_regression(tmp_path):
     np.testing.assert_allclose(logits, golden, rtol=1e-6)
 
 
+def test_batchnorm_identity_stats_is_noop():
+    """BN with gamma=1, beta=0, mean=0, var=1-eps equals the BN-free model —
+    placement sanity for the inference affine."""
+    base = init_model(input_dim=10, feedforward_size=8, lstm_size=4, seed=5)
+    eps = 1e-5
+    ident = lambda c: (  # noqa: E731
+        np.ones(c, dtype=np.float32), np.zeros(c, dtype=np.float32),
+        np.zeros(c, dtype=np.float32), np.full(c, 1.0 - eps, dtype=np.float32), eps,
+    )
+    bn = init_model(input_dim=10, feedforward_size=8, lstm_size=4, seed=5)
+    bn.ff_bn = ident(8)
+    bn.bilstm_bns = [ident(8)]
+    bn.enc_bn = ident(4)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 6, 10)).astype(np.float32)
+    lengths = np.array([6, 4])
+    np.testing.assert_allclose(
+        bn.forward(x, lengths), base.forward(x, lengths), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_batchnorm_placement_differential():
+    """Non-trivial BN stats: forward must equal a hand-applied affine at the
+    reference's exact placement (FF pre-ReLU → each BiLSTM → encoder LSTM;
+    datexis_model.py:132-167)."""
+    from bioner_spark.ner.kernel import batchnorm_infer, bilstm_forward, lstm_forward
+
+    m = init_model(
+        input_dim=10, feedforward_size=8, lstm_size=4, n_bilstm_layers=2,
+        seed=11, batch_norm=True,
+    )
+    assert m.ff_bn is not None and m.enc_bn is not None and len(m.bilstm_bns) == 2
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 5, 10)).astype(np.float32)
+    lengths = np.array([5, 3])
+    h = batchnorm_infer(x @ m.ff_w.T + m.ff_b, m.ff_bn)
+    h = np.maximum(h, 0.0)
+    for i, (fwd, bwd) in enumerate(m.bilstms):
+        h = batchnorm_infer(bilstm_forward(h, lengths, fwd, bwd), m.bilstm_bns[i])
+    h = batchnorm_infer(lstm_forward(h, m.enc_w_ih, m.enc_w_hh, m.enc_b), m.enc_bn)
+    expected = h @ m.out_w.T + m.out_b
+    np.testing.assert_allclose(m.forward(x, lengths), expected, rtol=1e-6)
+
+
+def test_golden_logits_stacked_bn(tmp_path):
+    """Regression lock for the stacked+BN fixture (VERDICT round-1 item 6):
+    fixed seed + fixed input → logits bit-stable across kernel refactors."""
+    import os
+
+    model = load_model_config(
+        "CustomConfig_Stacked-DATEXIS-NER", input_dim=10,
+        feedforward_size=8, lstm_size=4, seed=1234,
+    )
+    assert model.ff_bn is not None  # the stacked config enables BN
+    rng = np.random.default_rng(1234)
+    x = rng.normal(size=(2, 5, 10)).astype(np.float32)
+    lengths = np.array([5, 3])
+    logits = model.forward(x, lengths)
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "golden_logits_stacked_bn.npz"
+    )
+    if not os.path.exists(golden_path):
+        os.makedirs(os.path.dirname(golden_path), exist_ok=True)
+        np.savez(golden_path, logits=logits)
+    golden = np.load(golden_path)["logits"]
+    np.testing.assert_allclose(logits, golden, rtol=1e-6)
+
+
+def test_save_load_roundtrip_with_bn(tmp_path):
+    m = init_model(input_dim=12, feedforward_size=6, lstm_size=3,
+                   n_bilstm_layers=2, seed=21, batch_norm=True)
+    p = str(tmp_path / "bn_weights.npz")
+    m.save(p)
+    m2 = SequenceModel.load(p)
+    assert m2.ff_bn is not None and m2.enc_bn is not None
+    assert len(m2.bilstm_bns) == 2
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 4, 12)).astype(np.float32)
+    lengths = np.array([4, 2])
+    np.testing.assert_array_equal(m.forward(x, lengths), m2.forward(x, lengths))
+
+
+def test_sparkfiles_model_shipping(spark, corpus):
+    """ship_model → SparkFiles name → identical tags to the closure path,
+    with the closure carrying only a file-name string."""
+    from bioner_spark import corpus as corpus_mod  # noqa: F401
+    from bioner_spark.functions.ngrams import build_vocabulary
+    from bioner_spark.ner.infer import annotate_tokens, ship_model
+    from bioner_spark.schemas import TOKENS_SCHEMA
+
+    tokens_pd = corpus.tokens.head(300).copy()
+    tokens = spark.createDataFrame(tokens_pd, schema=TOKENS_SCHEMA).drop("tag")
+    vocab = build_vocabulary(tokens, min_word_frequency=1).cache()
+    vocab_size = vocab.count()
+    model = init_model(input_dim=15 + vocab_size, seed=1234)
+    ref = model
+    fname = ship_model(spark, model, name="test_ship")
+    key = ["doc_id", "sentence_id", "token_id"]
+    got_file = (
+        annotate_tokens(tokens, vocab, fname).select(*key, "tag").toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    got_closure = (
+        annotate_tokens(tokens, vocab, ref).select(*key, "tag").toPandas()
+        .sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_file, got_closure)
+
+
 def test_spark_inference_matches_single_node(spark, corpus):
     """End-to-end parity: Spark mapInPandas inference == single-node numpy
     on the same features (the 'no per-row Python / same-kernel' invariant)."""
