@@ -77,6 +77,136 @@ def _components() -> dict[str, str]:
 
 COMPONENTS = _components()
 
+# ---------------------------------------------------------------------------
+# Neural fixture: a fixed corpus + seeded stacked+BN model + fastText fixture
+# embeddings. The oracle for `neural_ner_tags` is NEURAL_GOLDEN_TAGS —
+# computed ONCE by the single-node numpy authority
+# (scripts/gen_neural_golden.py, no Spark involved) and committed; the
+# distributed path must reproduce it token-for-token.
+# ---------------------------------------------------------------------------
+
+NEURAL_FIXTURE_SENTENCES: list[tuple[str, int, str]] = [
+    ("doc0", 0, "aspirin inhibits cyclooxygenase in human platelets"),
+    ("doc0", 1, "the patient received beta-blocker therapy daily"),
+    ("doc0", 2, "microbiome diversity declined after antibiotic exposure"),
+    ("doc1", 0, "insulin regulates glucose uptake in muscle"),
+    ("doc1", 1, "tumor suppressor genes prevent uncontrolled growth"),
+    ("doc1", 2, "dopamine receptors mediate reward signaling"),
+    ("doc2", 0, "the trial randomized patients to placebo or statin"),
+    ("doc2", 1, "hemoglobin carries oxygen through arterial blood"),
+    ("doc2", 2, "cortisol rises under chronic physiological stress"),
+    ("doc3", 0, "antibodies bind antigens with high specificity"),
+    ("doc3", 1, "mitochondria produce adenosine triphosphate continuously"),
+    ("doc3", 2, "the ribosome translates messenger rna into protein"),
+]
+
+
+NEURAL_GOLDEN_TAGS = [
+    ('doc0', 0, 0, 'aspirin', 'O', 0.04),
+    ('doc0', 0, 1, 'inhibits', 'I', 0.02),
+    ('doc0', 0, 2, 'cyclooxygenase', 'I', 0.01),
+    ('doc0', 0, 3, 'in', 'B', 0.04),
+    ('doc0', 0, 4, 'human', 'B', 0.06),
+    ('doc0', 0, 5, 'platelets', 'B', 0.07),
+    ('doc0', 1, 0, 'the', 'O', 0.04),
+    ('doc0', 1, 1, 'patient', 'I', 0.02),
+    ('doc0', 1, 2, 'received', 'I', 0.0),
+    ('doc0', 1, 3, 'beta-blocker', 'B', 0.03),
+    ('doc0', 1, 4, 'therapy', 'B', 0.05),
+    ('doc0', 1, 5, 'daily', 'B', 0.06),
+    ('doc0', 2, 0, 'microbiome', 'O', 0.05),
+    ('doc0', 2, 1, 'diversity', 'I', 0.01),
+    ('doc0', 2, 2, 'declined', 'B', 0.01),
+    ('doc0', 2, 3, 'after', 'B', 0.04),
+    ('doc0', 2, 4, 'antibiotic', 'B', 0.06),
+    ('doc0', 2, 5, 'exposure', 'B', 0.07),
+    ('doc1', 0, 0, 'insulin', 'O', 0.04),
+    ('doc1', 0, 1, 'regulates', 'I', 0.01),
+    ('doc1', 0, 2, 'glucose', 'B', 0.01),
+    ('doc1', 0, 3, 'uptake', 'B', 0.04),
+    ('doc1', 0, 4, 'in', 'B', 0.05),
+    ('doc1', 0, 5, 'muscle', 'B', 0.06),
+    ('doc1', 1, 0, 'tumor', 'O', 0.05),
+    ('doc1', 1, 1, 'suppressor', 'I', 0.02),
+    ('doc1', 1, 2, 'genes', 'I', 0.01),
+    ('doc1', 1, 3, 'prevent', 'B', 0.03),
+    ('doc1', 1, 4, 'uncontrolled', 'B', 0.05),
+    ('doc1', 1, 5, 'growth', 'B', 0.06),
+    ('doc1', 2, 0, 'dopamine', 'O', 0.04),
+    ('doc1', 2, 1, 'receptors', 'I', 0.02),
+    ('doc1', 2, 2, 'mediate', 'I', 0.01),
+    ('doc1', 2, 3, 'reward', 'B', 0.03),
+    ('doc1', 2, 4, 'signaling', 'B', 0.05),
+    ('doc2', 0, 0, 'the', 'O', 0.04),
+    ('doc2', 0, 1, 'trial', 'I', 0.01),
+    ('doc2', 0, 2, 'randomized', 'B', 0.02),
+    ('doc2', 0, 3, 'patients', 'B', 0.05),
+    ('doc2', 0, 4, 'to', 'B', 0.07),
+    ('doc2', 0, 5, 'placebo', 'B', 0.08),
+    ('doc2', 0, 6, 'or', 'B', 0.08),
+    ('doc2', 0, 7, 'statin', 'B', 0.08),
+    ('doc2', 1, 0, 'hemoglobin', 'O', 0.05),
+    ('doc2', 1, 1, 'carries', 'I', 0.02),
+    ('doc2', 1, 2, 'oxygen', 'I', 0.01),
+    ('doc2', 1, 3, 'through', 'B', 0.03),
+    ('doc2', 1, 4, 'arterial', 'B', 0.05),
+    ('doc2', 1, 5, 'blood', 'B', 0.06),
+    ('doc2', 2, 0, 'cortisol', 'O', 0.04),
+    ('doc2', 2, 1, 'rises', 'I', 0.02),
+    ('doc2', 2, 2, 'under', 'B', 0.0),
+    ('doc2', 2, 3, 'chronic', 'B', 0.03),
+    ('doc2', 2, 4, 'physiological', 'B', 0.05),
+    ('doc2', 2, 5, 'stress', 'B', 0.06),
+    ('doc3', 0, 0, 'antibodies', 'O', 0.04),
+    ('doc3', 0, 1, 'bind', 'I', 0.02),
+    ('doc3', 0, 2, 'antigens', 'I', 0.01),
+    ('doc3', 0, 3, 'with', 'B', 0.03),
+    ('doc3', 0, 4, 'high', 'B', 0.05),
+    ('doc3', 0, 5, 'specificity', 'B', 0.06),
+    ('doc3', 1, 0, 'mitochondria', 'O', 0.04),
+    ('doc3', 1, 1, 'produce', 'I', 0.01),
+    ('doc3', 1, 2, 'adenosine', 'B', 0.01),
+    ('doc3', 1, 3, 'triphosphate', 'B', 0.04),
+    ('doc3', 1, 4, 'continuously', 'B', 0.06),
+    ('doc3', 2, 0, 'the', 'O', 0.04),
+    ('doc3', 2, 1, 'ribosome', 'I', 0.01),
+    ('doc3', 2, 2, 'translates', 'B', 0.01),
+    ('doc3', 2, 3, 'messenger', 'B', 0.04),
+    ('doc3', 2, 4, 'rna', 'B', 0.06),
+    ('doc3', 2, 5, 'into', 'B', 0.07),
+    ('doc3', 2, 6, 'protein', 'B', 0.07),
+]
+
+
+def neural_fixture_models():
+    """(FastTextModel fixture, stacked+BN SequenceModel) — shared by the
+    Spark query, the golden generator, and the parity pytest.
+
+    The output biases are CENTERED on the fixture corpus (subtract the
+    per-class mean logit, computed single-node) so the untrained fixture
+    model doesn't collapse to one tag class — the golden check then covers
+    all three BIO branches. Seed 23 chosen for worst-case argmax margin
+    1.3e-3 (≫ float32 noise) and tag diversity (B/I/O = 43/18/12)."""
+    import numpy as np
+
+    from bioner_spark.ner.fasttext import FastTextModel
+    from bioner_spark.ner.kernel import load_model_config
+
+    ft = FastTextModel.fixture(bucket=2000, dim=16)
+    model = load_model_config(
+        "CustomConfig_Stacked-DATEXIS-NER", input_dim=16,
+        feedforward_size=32, lstm_size=8, seed=23,
+    )
+    logits = []
+    for _doc, _si, text in NEURAL_FIXTURE_SENTENCES:
+        words = text.split(" ")
+        x = np.stack([ft.word_vector(w) for w in words])[None, :, :]
+        logits.append(model.forward(x, np.array([len(words)]))[0])
+    model.out_b = (model.out_b - np.concatenate(logits).mean(axis=0)).astype(
+        np.float32
+    )
+    return ft, model
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -683,20 +813,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extract_roundtrip"] = extract_roundtrip
 
-    # --- non-SQL-expressible: rows-only checks --------------------------------
-    def neural_ner_tags(spark, sf_dir):
-        from bioner_spark.functions.ngrams import build_vocabulary
-        from bioner_spark.ner.infer import annotate_tokens
-        from bioner_spark.ner.kernel import load_model_config
+    # --- fastText subword inference (P5): exact-integer oracle ----------------
+    def fasttext_vectors(spark, sf_dir):
+        """Per distinct corpus token: subword count + int64 lattice sums of
+        the first 3 embedding dims — the full subwords→FNV-1a→bucket→gather
+        pipeline verified in exact integer arithmetic (bioner_spark/ner/
+        fasttext.py; reference fasttext_encoder.py:26-28)."""
+        from bioner_spark.ner.fasttext import int_subword_check
 
-        toks = _tokens(spark, sf_dir).withColumn(
-            "doc_id", F.col("doc_id").cast("string")
+        return int_subword_check(_tokens(spark, sf_dir))
+
+    q["fasttext_vectors"] = fasttext_vectors
+
+    # --- neural north-star path: golden-fixture oracle ------------------------
+    def neural_ner_tags(spark, sf_dir):
+        """Distributed BioNER-shape inference (fastText encode → stacked+BN
+        numpy forward inside mapInPandas, token-budget batching) on the
+        fixed fixture corpus. Oracle = NEURAL_GOLDEN_TAGS, committed values
+        computed by the SINGLE-NODE numpy authority
+        (scripts/gen_neural_golden.py) — tags AND winning-logit scores, so
+        the check verifies the forward numerically, not just argmax.
+        sf_dir is unused by design: the fixture corpus is sf-independent."""
+        from bioner_spark.ner.infer import annotate_tokens_fasttext
+
+        ft, model = neural_fixture_models()
+        rows = []
+        for doc_id, sentence_id, text in NEURAL_FIXTURE_SENTENCES:
+            for ti, w in enumerate(text.split(" ")):
+                rows.append((doc_id, sentence_id, ti, w))
+        tokens = spark.createDataFrame(
+            rows, "doc_id string, sentence_id int, token_id int, text string"
         )
-        vocab = build_vocabulary(toks, min_word_frequency=10)
-        vocab_size = vocab.count()
-        model = load_model_config("DATEXIS-NER", input_dim=15 + vocab_size)
-        tagged = annotate_tokens(toks, vocab, model)
-        return tagged.groupBy("tag").agg(F.count(F.lit(1)).alias("n_tokens"))
+        tagged = annotate_tokens_fasttext(tokens, ft, model, with_scores=True)
+        return tagged.select(
+            "doc_id", "sentence_id", "token_id", "text", "tag", "score"
+        )
 
     q["neural_ner_tags"] = neural_ner_tags
 
@@ -1572,7 +1723,60 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 SELECT COUNT(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatch FROM documents
 """
 
-    # neural_ner_tags, multimodal_features, kg_pipeline_synthetic:
-    # intentionally no oracle (numpy kernel / binary UDF / synthetic input)
-    # → driver records rows-only checks.
+    # fastText subword inference (P5): DuckDB independently recomputes
+    # subwords ('<w>' codepoint n-grams, n∈[3,4]) → FNV-1a (list_reduce
+    # byte fold; corpus tokens are ASCII so ascii()=byte; the signed-char
+    # cast for >=0x80 bytes is covered by tests/test_fasttext.py) → bucket
+    # (mod 2000) → integer-lattice sums. Exact int64 equality, no floats.
+    o["fasttext_vectors"] = f"""
+WITH {_TOKS_CTE},
+words AS (
+  SELECT DISTINCT text AS token FROM toks WHERE length(text) > 0
+),
+sub AS (
+  SELECT token, '<' || token || '>' AS w FROM words
+),
+grams AS (
+  SELECT token, substring(w, i, n) AS sw
+  FROM sub, (SELECT unnest(generate_series(3, 4)) AS n) ns,
+       (SELECT unnest(generate_series(1, 300)) AS i) pos
+  WHERE i <= length(w) - n + 1
+),
+hashed AS (
+  SELECT token,
+    list_reduce(
+      list_prepend(2166136261::BIGINT,
+        list_transform(generate_series(1, length(sw)), j -> ascii(substring(sw, j, 1)))),
+      (h, b) -> (xor(h, b) * 16777619) % 4294967296
+    ) % 2000 AS r
+  FROM grams
+)
+SELECT token, COUNT(*)::INT AS n_subwords,
+  SUM(((r * 2654435761 + 0 * 40503 + 17) % 2001) - 1000)::BIGINT AS s0,
+  SUM(((r * 2654435761 + 1 * 40503 + 17) % 2001) - 1000)::BIGINT AS s1,
+  SUM(((r * 2654435761 + 2 * 40503 + 17) % 2001) - 1000)::BIGINT AS s2
+FROM hashed GROUP BY token
+"""
+
+    # neural north-star path: the oracle is the committed output of the
+    # single-node numpy authority (scripts/gen_neural_golden.py) on the
+    # fixed fixture corpus — tags + winning-logit scores. This makes the
+    # distributed fastText-encode → stacked+BN forward a REAL pass/fail
+    # CORRECTNESS row (VERDICT round-1 item 2).
+    golden_rows = ",\n  ".join(
+        f"('{d}', {s}, {t}, '{w}', '{tag}', {score})"
+        for d, s, t, w, tag, score in NEURAL_GOLDEN_TAGS
+    )
+    o["neural_ner_tags"] = f"""
+SELECT doc_id, sentence_id::INT AS sentence_id, token_id::INT AS token_id,
+       text, tag, score::DOUBLE AS score
+FROM (VALUES
+  {golden_rows}
+) AS t(doc_id, sentence_id, token_id, text, tag, score)
+"""
+
+    # multimodal_features, kg_pipeline_synthetic: intentionally no oracle
+    # (binary decode stub / full-pipeline synthetic input) → driver records
+    # rows-only checks; kg pipeline correctness is gated in pytest by
+    # triple P/R >= 0.95 vs the synthetic-corpus gold (tests/test_pipeline.py).
     return o

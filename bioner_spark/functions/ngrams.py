@@ -56,22 +56,59 @@ def build_vocabulary(
     token_col: str = "text",
     n: int = 3,
     min_word_frequency: int = 10,
+    rank_partitions: int | None = None,
 ) -> DataFrame:
     """Corpus n-gram vocabulary: (ngram, count, index).
 
     index = dense position by (count DESC, ngram ASC), 0-based — the
     engine's deterministic version of LookupCache (ngram_encoder.py:110-121).
+
+    The global rank is a DISTRIBUTED two-phase assignment (no
+    single-partition window, whatever the vocab size — a 100× web corpus's
+    post-HAVING char-n-gram vocab can reach 10^7–10^8 rows):
+      1. range-partition the counts by the sort key (partitions are ordered
+         ranges of the global order);
+      2. per-partition row_number — a PARTITIONED window, runs parallel;
+      3. global index = partition offset (driver-side cumulative sum of the
+         tiny per-partition size table) + local rank.
+    The counts are persisted so phase 3 doesn't recompute the corpus agg.
     """
+    spark = tokens.sparkSession
     counts = (
         tokens.select(F.explode(char_ngrams(F.col(token_col), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= min_word_frequency)
     )
-    # Vocab is tiny post-aggregation (≤ ~50k rows even web-scale: trigram
-    # space is bounded) → single-partition window is safe and deterministic.
-    w = Window.orderBy(F.desc("count"), F.asc("ngram"))
-    return counts.withColumn("index", F.row_number().over(w) - 1)
+    if rank_partitions is None:
+        rank_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sort_key = [F.desc("count"), F.asc("ngram")]
+    from pyspark import StorageLevel
+
+    ranged = (
+        counts.repartitionByRange(rank_partitions, *sort_key)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = {
+        r["_pid"]: r["sz"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("sz")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_expr = F.element_at(
+        F.create_map(
+            *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+        ),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*sort_key)
+    return (
+        ranged.withColumn("index", F.row_number().over(w) - 1 + offset_expr)
+        .drop("_pid")
+    )
 
 
 def encode_multihot_indices(

@@ -111,11 +111,26 @@ def conll_document_strings(tokens: DataFrame, doc_order_col: str = "doc_id") -> 
     return per_doc
 
 
-def write_conll(tokens: DataFrame, path: str) -> None:
-    """Write the whole corpus as one reference-format file (driver-side
-    concat of per-doc strings — CoNLL export is a small-output boundary
-    format; the engine's scale format is Parquet)."""
-    docs = conll_document_strings(tokens).orderBy("doc_id").collect()
+DRIVER_WRITE_MAX_DOCS = 100_000
+
+
+def write_conll(tokens: DataFrame, path: str, max_docs: int = DRIVER_WRITE_MAX_DOCS) -> None:
+    """Write the whole corpus as ONE reference-format file.
+
+    DRIVER-SIDE collect — a boundary/parity format, NOT a scale path: the
+    whole serialized corpus passes through driver memory. Guarded by
+    max_docs (raises instead of OOMing the driver); for real corpora use
+    write_conll_distributed, or Parquet (the engine's scale format)."""
+    docs = (
+        conll_document_strings(tokens).orderBy("doc_id").limit(max_docs + 1).collect()
+    )
+    if len(docs) > max_docs:
+        raise ValueError(
+            f"write_conll: corpus exceeds max_docs={max_docs} documents; "
+            "this is a driver-side parity writer. Use "
+            "write_conll_distributed(tokens, dir) for large corpora, or "
+            "raise max_docs explicitly if you accept the driver memory."
+        )
     # Reference writes sentence blocks each followed by ONE blank line and
     # each doc separated by its DOCSTART header; concatenation preserves that.
     with open(path, "w", encoding="utf8") as f:
@@ -123,12 +138,39 @@ def write_conll(tokens: DataFrame, path: str) -> None:
             f.write(row["doc_text"])
 
 
+def write_conll_distributed(
+    tokens: DataFrame, dir_path: str, num_files: int = 32
+) -> None:
+    """Distributed CoNLL export: documents range-partitioned and sorted by
+    doc_id, one text row per document. Concatenating the part-* files in
+    file-name order reproduces the exact single-file byte format (each row
+    already carries its internal newlines; the text writer restores the one
+    trailing newline stripped below). Scale path — nothing touches the
+    driver."""
+    docs = (
+        conll_document_strings(tokens)
+        .repartitionByRange(num_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+        # doc_text ends with '\n'; the text datasource appends one '\n' per
+        # row, so strip exactly one to keep bytes identical
+        .select(F.regexp_replace("doc_text", "\n$", "").alias("value"))
+    )
+    docs.write.mode("overwrite").text(dir_path)
+
+
 def write_eval_conll(
-    tokens_gold: DataFrame, tokens_pred: DataFrame, path: str
+    tokens_gold: DataFrame,
+    tokens_pred: DataFrame,
+    path: str,
+    max_sentences: int = DRIVER_WRITE_MAX_DOCS,
 ) -> None:
     """3-column eval export `token gold pred` (space-sep), blank line before
     each sentence (reference dataset_to_conll_file.py:6-16) — the
-    conlleval.pl input format."""
+    conlleval.pl input format.
+
+    DRIVER-SIDE collect (same caveat as write_conll): eval exports are
+    held-out test sets by construction, so small — guarded by max_sentences
+    to fail loudly instead of OOMing if misused on a full corpus."""
     key = ["doc_id", "sentence_id", "token_id"]
     joined = (
         tokens_gold.select(*key, "text", F.col("tag").alias("gold"))
@@ -147,8 +189,15 @@ def write_eval_conll(
             ).alias("block")
         )
         .orderBy("doc_id", "sentence_id")
+        .limit(max_sentences + 1)
         .collect()
     )
+    if len(per_sentence) > max_sentences:
+        raise ValueError(
+            f"write_eval_conll: corpus exceeds max_sentences={max_sentences}; "
+            "this driver-side writer is for held-out eval sets. Raise "
+            "max_sentences explicitly if you accept the driver memory."
+        )
     with open(path, "w", encoding="utf8") as f:
         for row in per_sentence:
             f.write("\n" + row["block"] + "\n")

@@ -88,6 +88,10 @@ def _tags_schema(sentences: DataFrame) -> str:
     doc_type = sentences.schema["doc_id"].dataType.simpleString()
     return f"doc_id {doc_type}, sentence_id int, token_id int, tag string"
 
+
+def _tags_scores_schema(sentences: DataFrame) -> str:
+    return _tags_schema(sentences) + ", score double"
+
 N_POSITION = 4
 N_SURFACE = 11
 
@@ -150,13 +154,16 @@ def ner_tag_sentences(
     model: ModelRef,
     sparse_dim: int,
     token_budget: int = 32768,
+    with_scores: bool = False,
 ) -> DataFrame:
-    """sentence rows → (doc_id, sentence_id, token_id, tag). The one neural
-    kernel of the engine; vectorized per Arrow batch, never per-row.
+    """sentence rows → (doc_id, sentence_id, token_id, tag[, score]). The
+    one neural kernel of the engine; vectorized per Arrow batch, never
+    per-row.
 
     `model` may be a SequenceModel (travels in the closure — small configs)
     or a SparkFiles name from ship_model (lazy per-executor load — the
-    BioNER-sized path)."""
+    BioNER-sized path). with_scores adds the winning logit rounded to 2
+    decimals (the golden-oracle fingerprint)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mdl = _resolve_model(model)
@@ -166,7 +173,7 @@ def ner_tag_sentences(
             lengths_all = pdf["token_ids"].map(len).to_numpy()
             # sort by length: minimizes pad waste inside each sub-batch
             order = np.argsort(lengths_all, kind="stable")
-            out_docs, out_sents, out_toks, out_tags = [], [], [], []
+            out_docs, out_sents, out_toks, out_tags, out_scores = [], [], [], [], []
             i = 0
             while i < len(order):
                 # grow the chunk while batch_size * running_max_len ≤ budget
@@ -192,24 +199,31 @@ def ner_tag_sentences(
                         for k in sel
                     ]
                 )
-                tags = mdl.predict_tags(x, lengths)
+                if with_scores:
+                    tags, scores = mdl.predict_tags_scores(x, lengths)
+                else:
+                    tags, scores = mdl.predict_tags(x, lengths), None
                 for row_idx, k in enumerate(sel):
                     tids = pdf["token_ids"].iloc[k]
                     out_docs.extend([pdf["doc_id"].iloc[k]] * len(tids))
                     out_sents.extend([pdf["sentence_id"].iloc[k]] * len(tids))
                     out_toks.extend(list(tids))
                     out_tags.extend(tags[row_idx])
+                    if scores is not None:
+                        out_scores.extend(scores[row_idx])
                 i = j
-            yield pd.DataFrame(
-                {
-                    "doc_id": out_docs,
-                    "sentence_id": np.asarray(out_sents, dtype=np.int32),
-                    "token_id": np.asarray(out_toks, dtype=np.int32),
-                    "tag": out_tags,
-                }
-            )
+            cols = {
+                "doc_id": out_docs,
+                "sentence_id": np.asarray(out_sents, dtype=np.int32),
+                "token_id": np.asarray(out_toks, dtype=np.int32),
+                "tag": out_tags,
+            }
+            if with_scores:
+                cols["score"] = np.asarray(out_scores, dtype=np.float64)
+            yield pd.DataFrame(cols)
 
-    return sentences.mapInPandas(run, schema=_tags_schema(sentences))
+    schema = _tags_scores_schema(sentences) if with_scores else _tags_schema(sentences)
+    return sentences.mapInPandas(run, schema=schema)
 
 
 def annotate_tokens(
@@ -265,11 +279,11 @@ def encoded_sentences_fasttext(tokens: DataFrame, ft_model) -> DataFrame:
 
 
 def annotate_tokens_fasttext(
-    tokens: DataFrame, ft_model, model: ModelRef
+    tokens: DataFrame, ft_model, model: ModelRef, with_scores: bool = False
 ) -> DataFrame:
     """tokens → tokens + neural tag via the BioNER-shape path: fastText
     subword embeddings → sequence model. model.input_dim must equal
     ft_model.dim."""
     sents = encoded_sentences_fasttext(tokens, ft_model)
-    tags = ner_tag_sentences(sents, model, sparse_dim=0)
+    tags = ner_tag_sentences(sents, model, sparse_dim=0, with_scores=with_scores)
     return tokens.drop("tag").join(tags, ["doc_id", "sentence_id", "token_id"], "left")

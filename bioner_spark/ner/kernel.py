@@ -146,6 +146,28 @@ class SequenceModel:
         tags = np.array(["B", "I", "O"])
         return [list(tags[idx[i, : lengths[i]]]) for i in range(len(lengths))]
 
+    def predict_tags_scores(
+        self, x: np.ndarray, lengths: np.ndarray
+    ) -> tuple[list[list[str]], list[list[float]]]:
+        """predict_tags + the winning logit per token rounded to 2 decimals —
+        a numeric fingerprint of the whole forward pass (used by the golden
+        neural oracle so the check verifies values, not just argmax)."""
+        logits = self.forward(x, lengths)
+        idx = np.argmax(logits, axis=-1)
+        # widen to float64 BEFORE rounding so 0.04 is exactly the double
+        # 0.04, not the widened float32 0.039999999…
+        top = np.round(
+            np.take_along_axis(logits, idx[..., None], axis=-1)[..., 0].astype(
+                np.float64
+            ),
+            2,
+        )
+        tags = np.array(["B", "I", "O"])
+        return (
+            [list(tags[idx[i, : lengths[i]]]) for i in range(len(lengths))],
+            [[float(v) for v in top[i, : lengths[i]]] for i in range(len(lengths))],
+        )
+
     # ---- persistence -------------------------------------------------------
     def save(self, path: str) -> None:
         arrays = {

@@ -62,26 +62,41 @@ def extract_features(media: DataFrame, byte_budget: int = 64 << 20) -> DataFrame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_rows: list[dict] = []
+            # column-wise zip, not iterrows: iterrows materializes a pandas
+            # Series per row (~10-50× slower than tuple iteration); the
+            # per-item decode is inherent, the iterator overhead is not
+            ids = pdf["media_id"].to_numpy()
+            modalities = pdf["modality"].to_numpy()
+            payloads = pdf["payload"].to_numpy()
+            out_ids: list = []
+            out_mods: list = []
+            out_nbytes: list[int] = []
+            out_feats: list[list[float]] = []
             acc = 0
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
-                n = len(payload) if payload is not None else 0
-                acc += n
-                feat = _decode_stub(payload, row["modality"])
-                out_rows.append(
+
+            def flush() -> pd.DataFrame:
+                return pd.DataFrame(
                     {
-                        "media_id": row["media_id"],
-                        "modality": row["modality"],
-                        "n_bytes": n,
-                        "feature": feat.tolist(),
+                        "media_id": out_ids,
+                        "modality": out_mods,
+                        "n_bytes": np.asarray(out_nbytes, dtype=np.int32),
+                        "feature": out_feats,
                     }
                 )
+
+            for media_id, modality, payload in zip(ids, modalities, payloads):
+                n = len(payload) if payload is not None else 0
+                acc += n
+                out_ids.append(media_id)
+                out_mods.append(modality)
+                out_nbytes.append(n)
+                out_feats.append(_decode_stub(payload, modality).tolist())
                 if acc >= byte_budget:
-                    yield pd.DataFrame(out_rows)
-                    out_rows, acc = [], 0
-            if out_rows:
-                yield pd.DataFrame(out_rows)
+                    yield flush()
+                    out_ids, out_mods, out_nbytes, out_feats = [], [], [], []
+                    acc = 0
+            if out_ids:
+                yield flush()
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 

@@ -68,6 +68,20 @@ def cosine_topk(
     )
 
 
+def _require_dim(dim: int | None, op: str) -> int:
+    """The hyperplane ops need the embedding dimensionality up front. An
+    earlier version inferred it with corpus.first() — an extra driver-side
+    Spark job buried inside the operator (at scale: a full-stage launch per
+    call). Callers know their embedding dim; make them say it."""
+    if dim is None:
+        raise ValueError(
+            f"{op}: pass dim= explicitly (the embedding width, e.g. "
+            "len(embedding) of the written table). Inferring it would "
+            "launch a hidden driver-side job per operator call."
+        )
+    return dim
+
+
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 1234) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.normal(size=(n_planes, dim)).round(6).tolist()
@@ -102,8 +116,7 @@ def lsh_topk(
     At scale the corpus side is pre-bucketed and written bucketed-by-bucket;
     the per-query work is then one partition-pruned scan + local top-k.
     """
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    dim = _require_dim(dim, "lsh_topk")
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -159,8 +172,7 @@ def embedding_near_dup(
     band key, never all-pairs; band count/width trade recall vs candidate
     volume exactly like MinHash-LSH banding.
     """
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+    dim = _require_dim(dim, "embedding_near_dup")
     planes = hyperplanes(dim, n_planes, seed)
     banded = emb.select(
         F.col(id_col).alias("id"),

@@ -125,7 +125,7 @@ def test_cosine_topk_matches_numpy(embeddings):
 
 def test_lsh_topk_runs_and_is_subset_quality(embeddings):
     queries = embeddings.filter(F.col("vec_id") < 3)
-    approx = lsh_topk(embeddings, queries, k=5, n_planes=4)
+    approx = lsh_topk(embeddings, queries, k=5, n_planes=4, dim=64)
     rows = approx.collect()
     assert len(rows) > 0
     assert all(r.query_id != r.neighbor_id for r in rows)
