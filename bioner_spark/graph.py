@@ -1,20 +1,22 @@
 """Connected components over an edge DataFrame — alias canonicalization.
 
 GraphFrames is not installed (SURVEY.md §7), so this is plain DataFrame
-iteration: min-label propagation to fixpoint. Each node's component label
-starts as the node id; every iteration each node takes the min of its own
-label and all neighbors' labels. Deterministic (min of string ids), so
-output is run- and retry-invariant (SURVEY.md §4 engineering point 5).
+iteration. Three paths:
 
-Scale notes:
-  * lineage is truncated each iteration with localCheckpoint — without it
-    the plan doubles per iteration and the job dies on plan-compile time;
-  * convergence is O(graph diameter) iterations; alias graphs are
-    near-star-shaped (diameter ~2-4). For web-scale general graphs swap in
-    the large-star/small-star variant (same join primitives, fewer rounds);
-  * the edge table is symmetrized once; each round is one join + one
-    groupBy — both hash-partitioned on the node id, so AQE reuses the
-    exchange layout between rounds.
+  * driver union-find for driver-sized graphs (the alias dictionary is a
+    broadcast-sized dimension table by contract — one collect, no rounds);
+  * large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — the DISTRIBUTED DEFAULT: converges in
+    O(log d) rounds on diameter-d graphs, each round a groupBy + join
+    hash-partitioned on the node id (AQE reuses the exchange layout);
+  * min-label propagation (O(d) rounds) kept as
+    `connected_components_propagation` — simpler, fine for near-star alias
+    graphs, differential-tested against the star variant.
+
+All paths are deterministic (component id = min node id), so output is
+run- and retry-invariant (SURVEY.md §4 engineering point 5). Lineage is
+truncated each round with localCheckpoint — without it the plan doubles per
+iteration and the job dies on plan-compile time.
 """
 
 from __future__ import annotations
@@ -67,8 +69,9 @@ def connected_components(
 
     driver_threshold: edge count below which the graph is solved with
     union-find on the driver (one job). Pass 0/None to force the
-    distributed path, or a larger value when the caller knows the graph is
-    driver-sized (saves the iteration entirely)."""
+    distributed path (large-star/small-star), or a larger value when the
+    caller knows the graph is driver-sized (saves the iteration
+    entirely)."""
     node_type = edges.schema[src].dataType.simpleString()
     if driver_threshold:
         sample = edges.select(src, dst).limit(driver_threshold + 1).collect()
@@ -76,6 +79,83 @@ def connected_components(
             return _driver_union_find(
                 [(r[src], r[dst]) for r in sample], edges.sparkSession, node_type
             )
+    return connected_components_star(edges, src, dst, max_iterations)
+
+
+def _edge_checksum(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al., SoCC'14)
+    — the web-scale path: O(log d) rounds on diameter-d graphs vs O(d) for
+    label propagation, each round one groupBy(u) + one join(u) on the same
+    key (one exchange layout, AQE-reused).
+
+      large-star(u): attach every neighbor v > u to m = min(Γ(u) ∪ {u})
+      small-star(u): attach every neighbor v ≤ u, and u itself, to m
+
+    Alternating rounds converge to a forest of stars whose roots are the
+    component minima. Deterministic by construction (min over ids)."""
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        for large in (True, False):
+            sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            mins = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mv"))
+                .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+            )
+            joined = sym.join(mins, "u")
+            kept = joined.filter(
+                F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+            ).select(F.col("v").alias("u"), F.col("m").alias("v"))
+            if not large:
+                # small-star also re-attaches u itself to its min
+                kept = kept.union(mins.select(F.col("u"), F.col("m").alias("v")))
+            cur = (
+                kept.filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        sig = _edge_checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged star forest: u → root. Roots (and only they) never appear
+    # as a child; add their self-assignment.
+    roots = cur.select(F.col("v").alias("node")).distinct().join(
+        cur.select(F.col("u").alias("node")).distinct(), "node", "left_anti"
+    )
+    return cur.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+        roots.select("node", F.col("node").alias("component"))
+    )
+
+
+def connected_components_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Min-label propagation to fixpoint — O(diameter) rounds. Kept as the
+    simple differential authority for the star variant; fine for near-star
+    alias graphs (diameter ~2-4)."""
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))

@@ -1,0 +1,100 @@
+"""Connected-components correctness: large-star/small-star vs min-label
+propagation vs driver union-find — three independent implementations must
+agree on random graphs, chains (worst-case diameter), and edge cases."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from bioner_spark.graph import (
+    _driver_union_find,
+    connected_components,
+    connected_components_propagation,
+    connected_components_star,
+)
+
+
+def _as_map(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def _edges_df(spark, pairs, typ="string"):
+    return spark.createDataFrame(pairs, f"src {typ}, dst {typ}")
+
+
+def _expected(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {n: find(n) for n in parent}
+
+
+def test_star_simple_components(spark):
+    pairs = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")]
+    got = _as_map(connected_components_star(_edges_df(spark, pairs)))
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_star_long_chain_converges_fast(spark):
+    """A 40-node chain has diameter 39 — label propagation needs ~39 rounds;
+    large/small-star must finish well inside max_iterations=8 (O(log d))."""
+    n = 40
+    pairs = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)]
+    got = _as_map(
+        connected_components_star(_edges_df(spark, pairs), max_iterations=8)
+    )
+    assert set(got.values()) == {"n000"}
+    assert len(got) == n
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_star_matches_propagation_and_union_find(spark, seed):
+    rng = random.Random(seed)
+    nodes = [f"v{i:02d}" for i in range(30)]
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(25)
+    ]
+    pairs = [(u, v) for u, v in pairs if u != v]
+    df = _edges_df(spark, pairs)
+    star = _as_map(connected_components_star(df))
+    prop = _as_map(connected_components_propagation(df))
+    expected = _expected(pairs)
+    assert star == expected
+    assert prop == expected
+
+
+def test_star_integer_node_ids(spark):
+    pairs = [(1, 2), (2, 3), (10, 11)]
+    df = _edges_df(spark, pairs, typ="long")
+    got = _as_map(connected_components_star(df))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # the auto path (driver union-find) preserves the type too
+    got2 = _as_map(connected_components(df))
+    assert got2 == got
+
+
+def test_distributed_path_forced(spark):
+    """driver_threshold=0 forces the star path through the public API."""
+    pairs = [("a", "b"), ("c", "d"), ("b", "c")]
+    got = _as_map(connected_components(_edges_df(spark, pairs), driver_threshold=0))
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_union_find_determinism(spark):
+    pairs = [("z", "a"), ("a", "m"), ("m", "z")]
+    got = _driver_union_find(pairs, spark, "string")
+    assert {r["component"] for r in got.collect()} == {"a"}
