@@ -60,6 +60,20 @@ def candidate_mentions(
         "w0",
         *[F.lead("w0", i).over(w).alias(f"w{i}") for i in range(1, max_alias_len)],
     )
+    # first-word prefilter (exact): a phrase can only match an alias whose
+    # first word equals w0, so rows whose w0 never starts any alias produce
+    # no candidates — drop them BEFORE building/exploding phrases. On real
+    # text the overwhelming majority of tokens are not alias starts, so this
+    # cuts the explode output and broadcast probe traffic by 1-2 orders of
+    # magnitude (memory-bandwidth relief measured in BENCH.md). One hash
+    # probe of a small first-word set per token replaces 3 phrase probes +
+    # 2 concats + 3 generated rows per non-matching token.
+    first_words = (
+        alias_dict.select(
+            F.element_at(F.split(F.col("alias"), " "), 1).alias("w0")
+        ).distinct()
+    )
+    base = base.join(F.broadcast(first_words), "w0", "left_semi")
     leads = [F.col(f"w{i}") for i in range(max_alias_len)]
     phrase_cols = [F.col("w0")]
     for L in range(2, max_alias_len + 1):
