@@ -85,7 +85,15 @@ def sample_error_sentences(
     (reference analysis.py:206-215 `select_errors`; sampling simplified from
     with-replacement-until-n-distinct to a seeded orderBy-rand limit — same
     contract: n distinct erroneous sentences, reproducible under a seed).
-    Default seed = the reference's sampling seed (analysis.py:206)."""
+    Default seed = the reference's sampling seed (analysis.py:206).
+
+    Divergence, quantified (tests/test_sampling_differential.py): both
+    procedures draw a uniformly random n-subset of the error sentences —
+    the reference's with-replacement stream only thins draws with non-error
+    sentences, which does not change the law of the first n distinct error
+    hits — so they differ only in which subset a FIXED seed maps to
+    (different PRNGs), never in distribution; and when n >= |errors| both
+    return the identical full error set."""
     key = ["doc_id", "sentence_id", "start_tok", "end_tok"]
     p = pred.select(*key).distinct()
     g = gold.select(*key).distinct()
