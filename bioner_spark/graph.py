@@ -197,15 +197,55 @@ def connected_components_propagation(
     return labels
 
 
-def canonical_map(alias_dict: DataFrame) -> DataFrame:
+def canonical_map(alias_dict: DataFrame, driver_threshold: int = 2_000_000) -> DataFrame:
     """canonical_id → component id (min canonical_id of its alias-connected
-    component). Ids with no shared alias map to themselves."""
+    component). Ids with no shared alias map to themselves.
+
+    The alias dictionary is a broadcast-sized dimension table by contract,
+    so the default path collects it ONCE and solves alias-grouping +
+    union-find on the driver: one job total, vs the previous plan's
+    alias self-join + distinct + gate-collect + left-join chain (~5 small
+    shuffles whose scheduling overhead dominated the whole KG pipeline at
+    bench scale). Dictionaries larger than driver_threshold rows fall back
+    to the distributed edge build + large-star/small-star."""
+    rows = (
+        alias_dict.select("alias", "canonical_id")
+        .limit(driver_threshold + 1)
+        .collect()
+    )
+    if len(rows) <= driver_threshold:
+        by_alias: dict = {}
+        ids: set = set()
+        for r in rows:
+            by_alias.setdefault(r["alias"], []).append(r["canonical_id"])
+            ids.add(r["canonical_id"])
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for members in by_alias.values():
+            m0 = min(members)
+            for m in members:
+                ru, rv = find(m0), find(m)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        id_type = alias_dict.schema["canonical_id"].dataType.simpleString()
+        out = sorted((i, find(i)) for i in ids)
+        return alias_dict.sparkSession.createDataFrame(
+            out, schema=f"canonical_id {id_type}, component {id_type}"
+        )
+
     from bioner_spark.linking import alias_edges
 
     edges = alias_edges(alias_dict)
-    # the alias dictionary is a broadcast-sized dimension table by contract,
-    # so the driver union-find path always wins here — gate high explicitly
-    comp = connected_components(edges, driver_threshold=2_000_000)
+    comp = connected_components(edges, driver_threshold=0)
     all_ids = alias_dict.select(F.col("canonical_id").alias("node")).distinct()
     return (
         all_ids.join(comp, "node", "left")

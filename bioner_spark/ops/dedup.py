@@ -142,25 +142,60 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs.
 
-    With `candidates` (e.g. from lsh_candidate_pairs) only those pairs are
-    verified — the scale path. Without, the shingle self-join bounds the
-    blowup to docs actually sharing a shingle (still not a cross join).
+    With `candidates` (e.g. from lsh_candidate_pairs) the verify is driven
+    FROM the candidate pairs: shingles are aggregated to one set-array row
+    per doc (ONE pass over the shingle table, and the identical subplan on
+    both join sides lets AQE reuse the exchange), then each pair joins its
+    two doc rows and intersects natively (array_intersect builds a hash
+    set — O(|a|+|b|) per pair). Work is linear in docs + candidate pairs.
+    (An earlier version self-joined the full shingle table on shingle and
+    only then semi-joined candidates; a boilerplate shingle shared by d
+    docs costs d² rows there, a 100 TB scale killer. Per-doc arrays are
+    bounded by document size — the same bound every doc-level op here has.)
+    Without candidates, the shingle self-join bounds the blowup to docs
+    actually sharing a shingle (still not a cross join).
     """
     sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shs"))
+        pairs = (
+            candidates.join(
+                sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")),
+                "doc_a",
+            )
+            .join(
+                sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")),
+                "doc_b",
+            )
+        )
+        return (
+            pairs.select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("shs_a", "shs_b")).alias("n_common"),
+                F.size("shs_a").alias("n_a"),
+                F.size("shs_b").alias("n_b"),
+            )
+            .withColumn(
+                "jaccard",
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+    else:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -53,4 +53,25 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_icu(spark)
     return spark
+
+
+def _warm_icu(spark: SparkSession) -> None:
+    """Force Spark 4's collation-aware string path to class-load ICU now.
+
+    The first non-ASCII lower()/upper() in a JVM triggers
+    CollationAwareUTF8String's static initializer, which loads ICU break
+    iterators and collation data — measured 10-18 s on this sandbox, during
+    which EVERY concurrently running task serializes behind the class-init
+    lock (thread dump: 31/32 executor threads parked in
+    CollationSupport$Lower.execBinaryICU while one sits in
+    com.ibm.icu...<clinit>). Paying it here, once, at session build keeps it
+    out of every job; on a real cluster each executor JVM likewise pays it
+    once at first use — this warmup just makes the cost deterministic."""
+    try:
+        spark.createDataFrame([("Äß",)], "s string").selectExpr(
+            "lower(s)", "upper(s)", "initcap(s)"
+        ).collect()
+    except Exception:
+        pass  # warmup is best-effort; never fail session creation over it
