@@ -685,6 +685,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash"] = simhash_q
 
+    def near_dup_clusters_q(spark, sf_dir):
+        from bioner_spark.ops.dedup import near_dup_clusters
+
+        return near_dup_clusters(_docs(spark, sf_dir), threshold=0.8)
+
+    q["near_dup_clusters"] = near_dup_clusters_q
+
+    def decontamination_q(spark, sf_dir):
+        # benchmark set = every 41st doc (stand-in for a held-out eval set);
+        # flag the REST of the corpus for n-gram overlap against it
+        from bioner_spark.ops.dedup import contamination_flags
+
+        docs = _docs(spark, sf_dir)
+        bench = docs.filter(F.col("doc_id") % 41 == 0)
+        train = docs.filter(F.col("doc_id") % 41 != 0)
+        return contamination_flags(train, bench, n=8)
+
+    q["decontamination"] = decontamination_q
+
     # --- text stats (training-data ops) --------------------------------------
     def lang_guess(spark, sf_dir):
         from bioner_spark.ops.textstats import with_lang_guess
@@ -1539,6 +1558,84 @@ FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.05
+"""
+
+    # near-dup clusters: the same pairwise-Jaccard SQL, then a recursive-CTE
+    # transitive closure (min-id per component) — independent of the engine's
+    # LSH + large-star/small-star path, so it also re-proves LSH recall on
+    # this corpus (a >=0.8 pair missed by the banded candidates would split
+    # a cluster and hash-mismatch; at jaccard >=0.9 — all pairs here — band
+    # recall is ~0.999 and the deterministic hashes do collide).
+    o["near_dup_clusters"] = r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+shingles AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= 3 THEN
+      list_distinct(list_transform(range(0, len(ws) - 2),
+        i -> array_to_string(list_slice(ws, (i + 1)::INT, (i + 3)::INT), ' ')))
+    ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM words
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(node, reached) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.reached
+),
+comp AS (SELECT node, MIN(reached) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       (CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+             THEN 1 ELSE 0 END)::INT AS is_representative
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+    # decontamination: 8-gram overlap vs the doc_id%41 benchmark split,
+    # recomputed with DuckDB list ops
+    o["decontamination"] = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= 8 THEN
+      list_distinct(list_transform(range(0, len(ws) - 7),
+        i -> array_to_string(list_slice(ws, (i + 1)::INT, (i + 8)::INT), ' ')))
+    ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM words
+),
+bench_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0),
+hits AS (
+  SELECT DISTINCT doc_id FROM sh
+  WHERE doc_id % 41 != 0 AND shingle IN (SELECT shingle FROM bench_sh)
+)
+SELECT d.doc_id,
+       (CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)::INT AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 41 != 0) d
+LEFT JOIN hits h USING (doc_id)
 """
 
     o["simhash"] = _simhash_sql()

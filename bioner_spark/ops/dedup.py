@@ -15,6 +15,10 @@ Operators:
                             on small corpora)
   * SimHash               — 32-bit signature via per-bit majority vote,
                             expressed as 32 conditional sums (one groupBy)
+  * near-dup clusters     — LSH candidates → Jaccard gate → connected
+                            components → (doc, cluster, representative)
+  * decontamination       — flag docs sharing any word n-gram with a
+                            broadcast benchmark corpus (train/test overlap)
 """
 
 from __future__ import annotations
@@ -207,6 +211,80 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Assign every document to a near-duplicate cluster: (doc_id,
+    cluster_id, is_representative), cluster_id = min doc_id of the
+    Jaccard-connected component, singletons cluster with themselves.
+
+    The full dedup composition a training-data pipeline actually runs:
+    MinHash-LSH candidates → exact Jaccard gate (≥ threshold) → connected
+    components over surviving pairs → left-join back to all docs. Every
+    stage is the scale path: banded bucket join (never O(n²)), per-pair
+    set intersect, large-star/small-star for big graphs (the driver
+    union-find gate handles the common small-cluster case in one job)."""
+    from bioner_spark.graph import connected_components
+
+    cands = lsh_candidate_pairs(df, id_col, text_col, n, rows_per_band)
+    pairs = jaccard_pairs(df, id_col, text_col, n, threshold, candidates=cands)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges)
+    out = df.select(F.col(id_col).alias("doc_id")).join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    ).withColumn(
+        "is_representative",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int"),
+    )
+
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Train/test decontamination: (doc_id, contaminated) — 1 iff the doc
+    shares any word n-gram with the benchmark corpus (the standard
+    n-gram-overlap decontamination rule for LLM training data).
+
+    The benchmark n-gram set is small by construction (eval sets, not
+    crawls) → broadcast; the docs side then needs NO shuffle at all — the
+    semi join and the distinct-by-doc both stay map-side until the final
+    per-doc aggregation. Normalization matches the dedup ops (lowercase,
+    collapsed whitespace)."""
+    doc_sh = shingle_table(df, id_col, text_col, n)
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        ).distinct()
+    )
+    hit = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("contaminated"), F.lit(0)).cast("int").alias("contaminated"),
+        )
     )
 
 

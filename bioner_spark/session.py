@@ -70,8 +70,13 @@ def _warm_icu(spark: SparkSession) -> None:
     out of every job; on a real cluster each executor JVM likewise pays it
     once at first use — this warmup just makes the cost deterministic."""
     try:
-        spark.createDataFrame([("Äß",)], "s string").selectExpr(
-            "lower(s)", "upper(s)", "initcap(s)"
+        # one tiny task per core slot (×4 waves) so every executor JVM in
+        # local-cluster / real-cluster mode class-loads ICU, not just the one
+        # that happens to win the first task
+        n = spark.sparkContext.defaultParallelism * 4
+        spark.range(0, n, 1, n).selectExpr(
+            "max(length(lower(concat('Äß', id)))) as w",
+            "max(length(initcap(concat('ßä ', id)))) as t",
         ).collect()
     except Exception:
         pass  # warmup is best-effort; never fail session creation over it

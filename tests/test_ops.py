@@ -166,3 +166,45 @@ def test_decode_real_is_gated():
 
     with pytest.raises(NotImplementedError):
         decode_real(b"x", "image")
+
+
+def test_near_dup_clusters(documents):
+    from bioner_spark.ops.dedup import near_dup_clusters
+
+    df = _with_dups(documents)
+    out = near_dup_clusters(df, threshold=0.8).cache()
+    rows = {r.doc_id: (r.cluster_id, r.is_representative) for r in out.collect()}
+    # every doc appears exactly once
+    assert len(rows) == df.count()
+    # each injected dup (id+1e6) clusters with its original, original is rep
+    for orig in range(10):
+        dup = orig + 1000000
+        if orig in rows and dup in rows:
+            assert rows[dup][0] == rows[orig][0] == min(orig, rows[orig][0])
+            assert rows[orig][1] == 1 and rows[dup][1] == 0
+    # representatives are exactly the docs whose id equals their cluster id
+    for d, (c, rep) in rows.items():
+        assert rep == (1 if d == c else 0)
+        assert c <= d  # cluster id is the component minimum
+
+
+def test_contamination_flags(spark):
+    from bioner_spark.ops.dedup import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the benchmark 8-gram "the quick brown fox jumps over the lazy"
+            (10, "prefix words the quick brown fox jumps over the lazy and more"),
+            # shares words but no 8-gram run
+            (11, "the quick brown fox sleeps now over the lazy dog today"),
+            # completely disjoint
+            (12, "completely different content with no overlap whatsoever here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.contaminated for r in contamination_flags(train, bench, n=8).collect()}
+    assert out == {10: 1, 11: 0, 12: 0}
