@@ -44,6 +44,9 @@ def main() -> None:
         "lsh_candidates",        # banded self-join
         "cosine_topk",           # broadcast + higher-order funcs
         "ivf_topk",              # cell-pruned ANN
+        "jaccard_pairs",         # standalone shingle self-join verify
+        "near_dup_clusters",     # LSH -> set-intersect verify -> components
+        "decontamination",       # broadcast benchmark n-gram semi join
     ]
     out = [
         "# PLANS — physical plans of headline queries",
