@@ -63,6 +63,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--output", required=True, help="output dir (triples/ + manifest/)")
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--tagger", choices=["dict", "neural"], default="dict")
+    ap.add_argument("--model", default="DATEXIS-NER",
+                    help="neural tagger config (DATEXIS-NER | "
+                         "CustomConfig_Stacked-DATEXIS-NER | BioNER)")
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="override spark.sql.shuffle.partitions (default: 2x cores)")
     args = ap.parse_args(argv)
@@ -94,9 +97,15 @@ def main(argv: list[str] | None = None) -> None:
         from bioner_spark.ner.kernel import load_model_config
         from bioner_spark.tokenizer import tokenize
 
+        from bioner_spark.ner.infer import ship_model
+
         toks = tokenize(with_extracted_text(pages.select("url", "html")))
         vocab = build_vocabulary(toks, min_word_frequency=10).persist()
-        model = load_model_config("DATEXIS-NER", input_dim=15 + vocab.count())
+        model_obj = load_model_config(args.model, input_dim=15 + vocab.count())
+        # SparkFiles shipping: executors lazy-load the weight matrices from
+        # their local copy once per JVM instead of per-task closure pickling
+        # (at BioNER size the closure would be ~300 MB per task)
+        model = ship_model(spark, model_obj, name=f"kgjob_{args.model}")
 
     from bioner_spark.pipeline import run_checkpointed
 
