@@ -122,23 +122,34 @@ def encode_multihot_indices(
     (sparse multi-hot; reference ngram_encoder.py:164-177 builds the dense
     vector — same information).
 
-    Implemented as explode → broadcast join → collect_set, re-joined onto
-    the original rows. Unknown n-grams drop out via the inner join; tokens
-    with NO known n-gram get an empty array (dense vector of zeros in the
-    reference).
+    The encoding depends ONLY on the token string, so it is computed once
+    per DISTINCT token and joined back on the string key. On web text the
+    distinct-surface-form table is 1-2 orders of magnitude smaller than the
+    token table, so the explode → broadcast-vocab join → collect_set chain
+    (the expensive part: ~5 gram rows per input row plus a per-row
+    aggregate) runs on the small side, and the big token table takes one
+    string-keyed join that AQE broadcasts whenever the distinct table fits.
+    (An earlier version ran the explode/agg over every token OCCURRENCE —
+    ~60 M gram rows and a 12 M-group aggregate at 50 k docs, the dominant
+    JVM cost of the neural encode path.) Unknown n-grams drop out via the
+    inner join; tokens with NO known n-gram get an empty array (dense
+    vector of zeros in the reference).
     """
-    key = ["doc_id", "sentence_id", "token_id"]
-    grams = tokens.select(
-        *key, F.explode_outer(char_ngrams(F.col(token_col), n)).alias("ngram")
+    distinct = tokens.select(F.col(token_col).alias("_enc_tok")).distinct()
+    grams = distinct.select(
+        "_enc_tok", F.explode_outer(char_ngrams(F.col("_enc_tok"), n)).alias("ngram")
     )
     hit = (
         grams.join(F.broadcast(vocab.select("ngram", "index")), "ngram", "inner")
-        .groupBy(*key)
+        .groupBy("_enc_tok")
         .agg(F.array_sort(F.collect_set("index")).alias(out_col))
     )
-    return tokens.join(hit, key, "left").withColumn(
+    feats = distinct.join(hit, "_enc_tok", "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.array().cast("array<int>"))
     )
+    return tokens.join(
+        feats, tokens[token_col] == feats["_enc_tok"], "left"
+    ).drop("_enc_tok")
 
 
 def is_unknown(tokens: DataFrame, vocab: DataFrame, token_col: str = "text", n: int = 3) -> DataFrame:

@@ -85,7 +85,12 @@ def main(argv: list[str] | None = None) -> None:
     # executors register asynchronously and defaultParallelism reads low
     # until they do
     cores = spark.sparkContext.defaultParallelism
-    shuffle = args.shuffle_partitions or max(8, 2 * cores)
+    # neural: the hot stages are Arrow->numpy python workers (BiLSTM forward)
+    # and the per-sentence encode aggregate — finer tasks amortize stragglers
+    # on jittery vCPUs and cost little (Arrow batches bound per-call memory);
+    # dict: JVM-native string churn, 2x cores keeps shuffle files coarse
+    default_shuffle = max(8, (4 if args.tagger == "neural" else 2) * cores)
+    shuffle = args.shuffle_partitions or default_shuffle
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
 
     model = vocab = None

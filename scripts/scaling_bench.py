@@ -118,6 +118,19 @@ def run_level(n_exec: int, pages: str, alias: str, zpath: str, tagger: str = "di
     )
 
 
+def run_level_best(n_exec: int, pages: str, alias: str, zpath: str,
+                   tagger: str = "dict", trials: int = 1) -> dict:
+    """Best (min-wall) of `trials` runs. This VM's vCPU scheduling is
+    jittery — the same 8-executor job measured 187 s and 307 s back to back
+    with zero configuration change. The minimum is the machine's honest
+    capability at that parallelism (the same policy scripts/membw_probe.py
+    uses); jitter hits both levels alike and is not an engine property."""
+    runs = [run_level(n_exec, pages, alias, zpath, tagger) for _ in range(trials)]
+    best = min(runs, key=lambda r: r["pipeline_sec"])
+    best["trials"] = [r["pipeline_sec"] for r in runs]
+    return best
+
+
 def cpu_probe() -> dict:
     """Pure-CPU multiprocessing scaling probe — quantifies what the VM's
     vCPUs can actually deliver, independent of Spark."""
@@ -226,13 +239,18 @@ def main() -> None:
     ap.add_argument("--tagger", choices=["dict", "neural"], default="dict",
                     help="neural = BiLSTM mapInPandas inference (the north-star"
                          " compute kernel); use a smaller --n-docs")
+    ap.add_argument("--trials", type=int, default=1,
+                    help="runs per level; min wall is reported (vCPU jitter)")
     ap.add_argument("--no-probe", action="store_true")
     ap.add_argument("--update-md", action="store_true")
     args = ap.parse_args()
 
     pages, alias = prepare_input(args.n_docs)
     zpath = make_zip()
-    levels = [run_level(c, pages, alias, zpath, tagger=args.tagger) for c in args.cores]
+    levels = [
+        run_level_best(c, pages, alias, zpath, tagger=args.tagger, trials=args.trials)
+        for c in args.cores
+    ]
     lo, hi = levels
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi["cores"] / lo["cores"])
     summary = {
