@@ -185,15 +185,15 @@ def update_md(summary: dict) -> None:
     ]
     for lv in (lo, hi):
         lines.append(
-            f"| local-cluster[{lv['cores']},1,{EXEC_MEM_MB}] | {lv['cores']} | {lv['shuffle_partitions']} "
+            f"| local-cluster[{lv['executors']},1,{EXEC_MEM_MB}] | {lv['executors']} | {lv['shuffle_partitions']} "
             f"| {lv['pipeline_sec']} | {lv['docs_per_sec']} |"
         )
     lines += [
         "",
-        f"**Scaling efficiency ({lo['cores']}→{hi['cores']} executors): "
+        f"**Scaling efficiency ({lo['executors']}→{hi['executors']} executors): "
         f"{summary['scaling_efficiency']}** "
         f"(= ({hi['docs_per_sec']} / {lo['docs_per_sec']}) / "
-        f"({hi['cores']}/{lo['cores']})); north-rule target ≥ 0.8 → "
+        f"({hi['executors']}/{lo['executors']})); north-rule target ≥ 0.8 → "
         f"{'PASS' if summary['scaling_efficiency'] >= 0.8 else 'FAIL'}.",
         "",
     ]
@@ -252,7 +252,12 @@ def main() -> None:
         for c in args.cores
     ]
     lo, hi = levels
-    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi["cores"] / lo["cores"])
+    # efficiency uses the REQUESTED executor counts: the job-side "cores"
+    # field reads sc.defaultParallelism, which Spark floors at 2 even on a
+    # 1-executor cluster (local-cluster[1,...] used to report cores=2 here
+    # and silently inflate the ratio)
+    lo["executors"], hi["executors"] = args.cores
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (args.cores[1] / args.cores[0])
     summary = {
         "n_docs": args.n_docs,
         "tagger": args.tagger,
