@@ -3,9 +3,12 @@
 BASELINE.json north_rule requires ≥0.8 throughput scaling efficiency between
 cluster sizes N and 4N executors. No real cluster exists in this sandbox, so
 (per the driver instruction) we run the SAME spark-submit job on the SAME
-input at two executor counts — local-cluster[2,1,m] vs local-cluster[8,1,m],
-i.e. 2 vs 8 single-core executor JVMs — and report throughput at both plus
-efficiency = (docs_per_sec_8 / docs_per_sec_2) / (8/2).
+input at two executor counts — local-cluster[N,1,m] vs local-cluster[4N,1,m]
+single-core executor JVMs — and report throughput at both plus
+efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4. Round-2 default
+comparison is 1→4 executors with --trials (min wall): this VM's vCPU
+scheduling is jittery beyond ~4 concurrent heavy processes (BENCH.md), so
+1→4 is the widest factor-4 pair the box measures cleanly.
 
 Usage:
     python scripts/scaling_bench.py [--n-docs 200000] [--cores 2 8] [--update-md]
