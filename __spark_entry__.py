@@ -893,6 +893,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = multimodal_features
 
+    def multimodal_hist(spark, sf_dir):
+        # same media table and mapInPandas plumbing as multimodal_features,
+        # integer histogram output -> exact DuckDB oracle (no float
+        # tolerance); one row per (item, bin)
+        from bioner_spark.ops.multimodal import extract_features
+
+        media = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+            .otherwise(F.lit("audio"))
+            .alias("modality"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+            F.create_map(
+                F.lit("n_frames"), (F.col("n_chars") % 100).cast("string")
+            ).alias("meta"),
+        )
+        feats = extract_features(media, normalize=False)
+        return feats.select(
+            "media_id", "modality", "n_bytes",
+            F.posexplode("feature").alias("bin", "n"),
+        )
+
+    q["multimodal_hist"] = multimodal_hist
+
     def kg_pipeline_synthetic(spark, sf_dir):
         """Full pipeline incl. HTML extractor UDF + salted repartition on the
         deterministic synthetic Common-Crawl-style corpus (corpus.py)."""
@@ -1870,6 +1894,36 @@ SELECT doc_id, sentence_id::INT AS sentence_id, token_id::INT AS token_id,
 FROM (VALUES
   {golden_rows}
 ) AS t(doc_id, sentence_id, token_id, text, tag, score)
+"""
+
+    # multimodal_hist: DuckDB recomputes the byte histogram from
+    # hex(encode(text)) — bin = byte >> 3, zero bins materialized — in exact
+    # integer arithmetic, verifying the binary-column mapInPandas plumbing
+    # end-to-end
+    o["multimodal_hist"] = """
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text))::INT AS n_bytes
+  FROM documents
+),
+bytes AS (
+  SELECT media_id,
+    unnest(list_transform(range(0, n_bytes),
+      i -> (strpos('0123456789ABCDEF', substring(hx, (2*i+1)::INT, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substring(hx, (2*i+2)::INT, 1)) - 1))) AS b
+  FROM media
+),
+counts AS (
+  SELECT media_id, (b // 8)::INT AS bin, COUNT(*)::INT AS n
+  FROM bytes GROUP BY 1, 2
+),
+bins AS (SELECT unnest(range(0, 32))::INT AS bin)
+SELECT m.media_id, m.modality, m.n_bytes, bins.bin,
+       COALESCE(c.n, 0)::INT AS n
+FROM media m CROSS JOIN bins
+LEFT JOIN counts c ON c.media_id = m.media_id AND c.bin = bins.bin
 """
 
     # multimodal_features, kg_pipeline_synthetic: intentionally no oracle

@@ -31,17 +31,25 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURES_SCHEMA = "media_id string, modality string, n_bytes int, feature array<float>"
+HIST_SCHEMA = "media_id string, modality string, n_bytes int, feature array<int>"
 
 REAL_CODECS_AVAILABLE = False  # flipped when PIL/librosa exist in the image
 
 
-def _decode_stub(payload: bytes, modality: str) -> np.ndarray:
+def _decode_stub(payload: bytes, modality: str, normalize: bool = True) -> np.ndarray:
     """Deterministic fake 'decode + featurize': 32-bin byte histogram,
-    L1-normalized. Stands in for resize/mel-spectrogram/frame-sample."""
+    L1-normalized (normalize=False returns the raw int32 counts — exact
+    integer output lets the DuckDB oracle verify the full mapInPandas
+    plumbing bit-for-bit, no float32-vs-double tolerance games).
+    Stands in for resize/mel-spectrogram/frame-sample."""
     if payload is None or len(payload) == 0:
-        return np.zeros(32, dtype=np.float32)
+        z = np.zeros(32, dtype=np.float32 if normalize else np.int32)
+        return z
     arr = np.frombuffer(payload, dtype=np.uint8)
-    hist = np.bincount(arr >> 3, minlength=32).astype(np.float32)
+    hist = np.bincount(arr >> 3, minlength=32)
+    if not normalize:
+        return hist.astype(np.int32)
+    hist = hist.astype(np.float32)
     return hist / max(hist.sum(), 1.0)
 
 
@@ -53,11 +61,14 @@ def decode_real(payload: bytes, modality: str) -> np.ndarray:
     )
 
 
-def extract_features(media: DataFrame, byte_budget: int = 64 << 20) -> DataFrame:
+def extract_features(
+    media: DataFrame, byte_budget: int = 64 << 20, normalize: bool = True
+) -> DataFrame:
     """media table → per-item feature vectors via mapInPandas.
 
     Sub-batches by cumulative payload bytes so a partition of 4K-video rows
     cannot blow executor memory even if Arrow hands us 2048 rows at once.
+    normalize=False → integer histogram counts (oracle-exact output).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -90,7 +101,9 @@ def extract_features(media: DataFrame, byte_budget: int = 64 << 20) -> DataFrame
                 out_ids.append(media_id)
                 out_mods.append(modality)
                 out_nbytes.append(n)
-                out_feats.append(_decode_stub(payload, modality).tolist())
+                out_feats.append(
+                    _decode_stub(payload, modality, normalize=normalize).tolist()
+                )
                 if acc >= byte_budget:
                     yield flush()
                     out_ids, out_mods, out_nbytes, out_feats = [], [], [], []
@@ -98,7 +111,9 @@ def extract_features(media: DataFrame, byte_budget: int = 64 << 20) -> DataFrame
             if out_ids:
                 yield flush()
 
-    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+    return media.mapInPandas(
+        run, schema=FEATURES_SCHEMA if normalize else HIST_SCHEMA
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:

@@ -208,3 +208,18 @@ def test_contamination_flags(spark):
     )
     out = {r.doc_id: r.contaminated for r in contamination_flags(train, bench, n=8).collect()}
     assert out == {10: 1, 11: 0, 12: 0}
+
+
+def test_multimodal_hist_counts(spark):
+    from bioner_spark.ops.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(b"\x00\x07\x08\xff\xff"), None),
+         ("m2", "audio", bytearray(b""), None)],
+        "media_id string, modality string, payload binary, meta map<string,string>",
+    )
+    rows = {r.media_id: r for r in extract_features(media, normalize=False).collect()}
+    f1 = rows["m1"].feature
+    assert len(f1) == 32 and sum(f1) == rows["m1"].n_bytes == 5
+    assert f1[0] == 2 and f1[1] == 1 and f1[31] == 2  # bins 0,1,31
+    assert sum(rows["m2"].feature) == rows["m2"].n_bytes == 0
