@@ -917,6 +917,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_hist"] = multimodal_hist
 
+    def corpus_filter(spark, sf_dir):
+        # the C4-style cleaning chain, composed from the engine's own ops:
+        # benchmark holdout -> language -> length -> exact-dup rep ->
+        # near-dup rep -> decontamination; one row per doc with keep flag
+        # and first-failing reject reason (fixed precedence)
+        from bioner_spark.ops.dedup import (
+            contamination_flags,
+            exact_duplicate_groups,
+            near_dup_clusters,
+        )
+        from bioner_spark.ops.textstats import with_lang_guess, with_token_counts
+
+        docs = _docs(spark, sf_dir)
+        d = with_token_counts(with_lang_guess(docs))
+        reps = exact_duplicate_groups(docs).select(
+            F.col("min_doc_id").alias("doc_id"), F.lit(1).alias("is_exact_rep")
+        )
+        nd = near_dup_clusters(docs, threshold=0.8).select(
+            "doc_id", F.col("is_representative").alias("is_nd_rep")
+        )
+        bench = docs.filter(F.col("doc_id") % 41 == 0)
+        train = docs.filter(F.col("doc_id") % 41 != 0)
+        cont = contamination_flags(train, bench, n=8)
+        out = (
+            d.join(reps, "doc_id", "left")
+            .join(nd, "doc_id", "left")
+            .join(cont, "doc_id", "left")
+        )
+        reason = (
+            F.when(F.col("doc_id") % 41 == 0, F.lit("benchmark"))
+            .when(F.col("lang_guess") != "en", F.lit("lang"))
+            .when(
+                (F.col("ws_tokens") < 50) | (F.col("ws_tokens") > 100000),
+                F.lit("length"),
+            )
+            .when(F.col("is_exact_rep").isNull(), F.lit("exact_dup"))
+            .when(F.col("is_nd_rep") == 0, F.lit("near_dup"))
+            .when(F.col("contaminated") == 1, F.lit("contaminated"))
+            .otherwise(F.lit(""))
+        )
+        return out.select(
+            "doc_id",
+            reason.alias("reject_reason"),
+            (reason == "").cast("int").alias("keep"),
+        )
+
+    q["corpus_filter"] = corpus_filter
+
     def kg_pipeline_synthetic(spark, sf_dir):
         """Full pipeline incl. HTML extractor UDF + salted repartition on the
         deterministic synthetic Common-Crawl-style corpus (corpus.py)."""
@@ -1894,6 +1942,99 @@ SELECT doc_id, sentence_id::INT AS sentence_id, token_id::INT AS token_id,
 FROM (VALUES
   {golden_rows}
 ) AS t(doc_id, sentence_id, token_id, text, tag, score)
+"""
+
+    # corpus_filter: the composed cleaning chain, every rule recomputed
+    # independently (lang argmax, whitespace tokens, md5 min-id exact rep,
+    # recursive-CTE near-dup closure at 0.8, 8-gram decontamination) with
+    # the same fixed reject precedence
+    o["corpus_filter"] = rf"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+shingles AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= 3 THEN
+      list_distinct(list_transform(range(0, len(ws) - 2),
+        i -> array_to_string(list_slice(ws, (i + 1)::INT, (i + 3)::INT), ' ')))
+    ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM words
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(node, reached) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.reached
+),
+comp AS (SELECT node, MIN(reached) AS cluster_id FROM reach GROUP BY node),
+sh8 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= 8 THEN
+      list_distinct(list_transform(range(0, len(ws) - 7),
+        i -> array_to_string(list_slice(ws, (i + 1)::INT, (i + 8)::INT), ' ')))
+    ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM words
+),
+bench_sh AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 41 = 0),
+cont AS (
+  SELECT DISTINCT doc_id FROM sh8
+  WHERE doc_id % 41 != 0 AND shingle IN (SELECT shingle FROM bench_sh)
+),
+feats AS (
+  SELECT doc_id,
+    {_HITS.format(words=_STOP_EN)} AS h_en,
+    {_HITS.format(words=_STOP_DE)} AS h_de,
+    {_HITS.format(words=_STOP_FR)} AS h_fr,
+    len(string_split_regex(trim(text), '\s+'))::INT AS ws_tokens,
+    MIN(doc_id) OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    ) AS rep_id
+  FROM documents
+),
+lang AS (
+  SELECT doc_id, ws_tokens, rep_id,
+    CASE WHEN greatest(h_en, h_de, h_fr) <= 0 THEN 'und'
+         WHEN h_en = greatest(h_en, h_de, h_fr) THEN 'en'
+         WHEN h_de = greatest(h_en, h_de, h_fr) THEN 'de'
+         ELSE 'fr' END AS lang_guess
+  FROM feats
+),
+verdict AS (
+  SELECT l.doc_id,
+    CASE
+      WHEN l.doc_id % 41 = 0 THEN 'benchmark'
+      WHEN l.lang_guess != 'en' THEN 'lang'
+      WHEN l.ws_tokens < 50 OR l.ws_tokens > 100000 THEN 'length'
+      WHEN l.rep_id != l.doc_id THEN 'exact_dup'
+      WHEN COALESCE(c.cluster_id, l.doc_id) != l.doc_id THEN 'near_dup'
+      WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+      ELSE '' END AS reject_reason
+  FROM lang l
+  LEFT JOIN comp c ON c.node = l.doc_id
+  LEFT JOIN cont ct ON ct.doc_id = l.doc_id
+)
+SELECT doc_id, reject_reason,
+       (CASE WHEN reject_reason = '' THEN 1 ELSE 0 END)::INT AS keep
+FROM verdict
 """
 
     # multimodal_hist: DuckDB recomputes the byte histogram from
