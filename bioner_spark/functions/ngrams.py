@@ -105,10 +105,17 @@ def build_vocabulary(
         F.col("_pid"),
     ) if offsets else F.lit(0)
     w = Window.partitionBy("_pid").orderBy(*sort_key)
-    return (
+    out = (
         ranged.withColumn("index", F.row_number().over(w) - 1 + offset_expr)
         .drop("_pid")
     )
+    # The two-phase rank already computed the total vocab size on the driver
+    # (sum of the per-partition size table). Stash it on the DataFrame so
+    # downstream consumers (annotate_tokens' multi-hot scatter width) don't
+    # need a hidden vocab.count() job. persist()/cache() return self, so the
+    # attribute survives the usual caching chains.
+    out._bioner_vocab_size = acc
+    return out
 
 
 def encode_multihot_indices(
@@ -147,9 +154,14 @@ def encode_multihot_indices(
     feats = distinct.join(hit, "_enc_tok", "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.array().cast("array<int>"))
     )
-    return tokens.join(
-        feats, tokens[token_col] == feats["_enc_tok"], "left"
-    ).drop("_enc_tok")
+    # eqNullSafe + final coalesce: a NULL token string must still get the
+    # empty-array (dense-zeros) encoding, not a NULL feature column that
+    # silently nulls every downstream array concat/size.
+    return (
+        tokens.join(feats, tokens[token_col].eqNullSafe(feats["_enc_tok"]), "left")
+        .drop("_enc_tok")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.array().cast("array<int>")))
+    )
 
 
 def is_unknown(tokens: DataFrame, vocab: DataFrame, token_col: str = "text", n: int = 3) -> DataFrame:

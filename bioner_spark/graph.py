@@ -207,13 +207,15 @@ def canonical_map(alias_dict: DataFrame, driver_threshold: int = 2_000_000) -> D
     alias self-join + distinct + gate-collect + left-join chain (~5 small
     shuffles whose scheduling overhead dominated the whole KG pipeline at
     bench scale). Dictionaries larger than driver_threshold rows fall back
-    to the distributed edge build + large-star/small-star."""
-    rows = (
-        alias_dict.select("alias", "canonical_id")
-        .limit(driver_threshold + 1)
-        .collect()
-    )
-    if len(rows) <= driver_threshold:
+    to the distributed edge build + large-star/small-star.
+
+    NOTE: this function is EAGER — it runs 1-2 small Spark jobs at call
+    time (a count-only gate, then the collect when under threshold). The
+    gate itself moves only a count, never full rows, so an over-threshold
+    dictionary costs one cheap count before taking the distributed path."""
+    n = alias_dict.limit(driver_threshold + 1).count()
+    if n <= driver_threshold:
+        rows = alias_dict.select("alias", "canonical_id").collect()
         by_alias: dict = {}
         ids: set = set()
         for r in rows:

@@ -227,17 +227,27 @@ def ner_tag_sentences(
 
 
 def annotate_tokens(
-    tokens: DataFrame, vocab: DataFrame, model: ModelRef
+    tokens: DataFrame, vocab: DataFrame, model: ModelRef,
+    sparse_dim: int | None = None,
 ) -> DataFrame:
     """tokens (untagged) → tokens + neural `tag` column.
 
     The tag write-back is a join on the token key — the engine version of
     the reference's positional deepcopy write-back (annotator.py:250-264),
     which needs no copy because DataFrames are immutable.
+
+    sparse_dim (the multi-hot scatter width) is resolved without a hidden
+    driver-side job: explicit argument first, then the size stashed by
+    build_vocabulary's two-phase rank. Only an arbitrary external vocab
+    DataFrame with neither falls back to a count() (and that fallback is
+    the caller's one-time, documented cost — not a per-call surprise).
     """
-    vocab_size = vocab.count()
+    if sparse_dim is None:
+        sparse_dim = getattr(vocab, "_bioner_vocab_size", None)
+    if sparse_dim is None:
+        sparse_dim = vocab.count()
     sents = encoded_sentences(tokens, vocab)
-    tags = ner_tag_sentences(sents, model, vocab_size)
+    tags = ner_tag_sentences(sents, model, sparse_dim)
     return tokens.drop("tag").join(tags, ["doc_id", "sentence_id", "token_id"], "left")
 
 

@@ -57,6 +57,12 @@ def get_spark(
     return spark
 
 
+# applicationIds whose JVM already ran the ICU warmup — getOrCreate returns
+# the same session on repeated get_spark() calls, and re-running the warmup
+# job on an already-warm JVM is a pointless Spark job per call.
+_ICU_WARMED: set = set()
+
+
 def _warm_icu(spark: SparkSession) -> None:
     """Force Spark 4's collation-aware string path to class-load ICU now.
 
@@ -68,8 +74,15 @@ def _warm_icu(spark: SparkSession) -> None:
     CollationSupport$Lower.execBinaryICU while one sits in
     com.ibm.icu...<clinit>). Paying it here, once, at session build keeps it
     out of every job; on a real cluster each executor JVM likewise pays it
-    once at first use — this warmup just makes the cost deterministic."""
+    once at first use — this warmup just makes the cost deterministic.
+
+    Runs once per SparkContext (keyed by applicationId), not once per
+    get_spark() call."""
     try:
+        app_id = spark.sparkContext.applicationId
+        if app_id in _ICU_WARMED:
+            return
+        _ICU_WARMED.add(app_id)
         # one tiny task per core slot (×4 waves) so every executor JVM in
         # local-cluster / real-cluster mode class-loads ICU, not just the one
         # that happens to win the first task
