@@ -688,7 +688,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def near_dup_clusters_q(spark, sf_dir):
         from bioner_spark.ops.dedup import near_dup_clusters
 
-        return near_dup_clusters(_docs(spark, sf_dir), threshold=0.8)
+        # rows_per_band=1 for the oracle-checked contract query: the DuckDB
+        # oracle computes ALL exact-Jaccard>=0.8 pairs, so the query runs
+        # LSH at ~0.9997 pair recall to keep the probabilistic gap far
+        # below the corpus size (recall contract: near_dup_clusters doc)
+        return near_dup_clusters(_docs(spark, sf_dir), threshold=0.8, rows_per_band=1)
 
     q["near_dup_clusters"] = near_dup_clusters_q
 
@@ -884,11 +888,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("meta"),
         )
         feats = extract_features(media)
+        # f0 = hist[0]/sum(hist), computed in float32 inside the UDF. No
+        # rounding: IEEE single-precision division is bit-reproducible, so
+        # the DuckDB oracle recomputes the exact same double (FLOAT/FLOAT
+        # then cast) — exactness beats a round() whose half-way cases could
+        # disagree between engines.
         return feats.select(
             "media_id",
             "modality",
             "n_bytes",
-            F.round(F.element_at(F.col("feature"), 1).cast("double"), 4).alias("f0"),
+            F.element_at(F.col("feature"), 1).cast("double").alias("f0"),
         )
 
     q["multimodal_features"] = multimodal_features
@@ -921,25 +930,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the C4-style cleaning chain, composed from the engine's own ops:
         # benchmark holdout -> language -> length -> exact-dup rep ->
         # near-dup rep -> decontamination; one row per doc with keep flag
-        # and first-failing reject reason (fixed precedence)
+        # and first-failing reject reason (fixed precedence).
+        #
+        # Single-scan: the corpus is read ONCE into a persisted base that
+        # carries the split-normalized word array; the exact-dup
+        # fingerprint, the 3-gram shingles (near-dup) and the 8-gram
+        # shingles (decontamination) all derive from that cached array
+        # instead of re-scanning + re-normalizing the corpus per stage
+        # (was 3-4 full scans). Eagerly materialized for the same
+        # AQE-concurrent-subquery reason as the KG token hub (pipeline.py).
+        from pyspark import StorageLevel
+
         from bioner_spark.ops.dedup import (
             contamination_flags,
             exact_duplicate_groups,
             near_dup_clusters,
+            normalized,
         )
         from bioner_spark.ops.textstats import with_lang_guess, with_token_counts
 
         docs = _docs(spark, sf_dir)
-        d = with_token_counts(with_lang_guess(docs))
-        reps = exact_duplicate_groups(docs).select(
+        base = docs.withColumn("_words", F.split(normalized(F.col("text")), " ")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        base.count()
+        d = with_token_counts(with_lang_guess(base))
+        reps = exact_duplicate_groups(base, words_col="_words").select(
             F.col("min_doc_id").alias("doc_id"), F.lit(1).alias("is_exact_rep")
         )
-        nd = near_dup_clusters(docs, threshold=0.8).select(
-            "doc_id", F.col("is_representative").alias("is_nd_rep")
-        )
-        bench = docs.filter(F.col("doc_id") % 41 == 0)
-        train = docs.filter(F.col("doc_id") % 41 != 0)
-        cont = contamination_flags(train, bench, n=8)
+        # rows_per_band=1: ~0.9997 pair recall at j=0.8 — the oracle computes
+        # ALL exact-Jaccard pairs, so the contract query minimizes the
+        # probabilistic banding gap (see near_dup_clusters docstring)
+        nd = near_dup_clusters(
+            base, threshold=0.8, rows_per_band=1, words_col="_words"
+        ).select("doc_id", F.col("is_representative").alias("is_nd_rep"))
+        bench = base.filter(F.col("doc_id") % 41 == 0)
+        train = base.filter(F.col("doc_id") % 41 != 0)
+        cont = contamination_flags(train, bench, n=8, words_col="_words")
         out = (
             d.join(reps, "doc_id", "left")
             .join(nd, "doc_id", "left")
@@ -978,6 +1005,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.triples
 
     q["kg_pipeline_synthetic"] = kg_pipeline_synthetic
+
+    def streaming_dedup_ledger(spark, sf_dir):
+        """Cross-batch stateful streaming dedup (applyInPandasWithState) run
+        to completion with an availableNow trigger over 4 file micro-batches
+        (maxFilesPerTrigger=1), then summarized per fingerprint.
+
+        The summary is deliberately order-insensitive (arrival order within
+        a micro-batch is not contractual) while still proving the stateful
+        semantics end-to-end: `n_firsts` must be exactly 1 per fingerprint —
+        if state were NOT carried across micro-batches, any fingerprint
+        spanning two batches would emit two is_first rows and fail the hash —
+        and `max_dup` must be n_docs - 1 (the last arrival saw every earlier
+        one via state).
+        """
+        import tempfile
+
+        from bioner_spark.streaming.stateful import streaming_dedup
+
+        docs = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("url"), "text"
+        )
+        base = tempfile.mkdtemp(prefix="stream_dedup_q_")
+        in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+        # 4 deterministic micro-batches by doc_id mod 4 — duplicate groups
+        # have scattered doc_ids, so fingerprints genuinely span batches
+        for b in range(4):
+            docs.filter(F.col("url").cast("long") % 4 == b).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+        pages = (
+            spark.readStream.schema("url string, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        (
+            streaming_dedup(pages)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return (
+            spark.read.parquet(out_dir)
+            .groupBy("fingerprint")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("is_first").cast("long").alias("n_firsts"),
+                F.max("n_duplicates_so_far").alias("max_dup"),
+                F.min("url").alias("min_doc"),
+            )
+        )
+
+    q["streaming_dedup_ledger"] = streaming_dedup_ledger
 
     return q
 
@@ -2067,8 +2150,117 @@ FROM media m CROSS JOIN bins
 LEFT JOIN counts c ON c.media_id = m.media_id AND c.bin = bins.bin
 """
 
-    # multimodal_features, kg_pipeline_synthetic: intentionally no oracle
-    # (binary decode stub / full-pipeline synthetic input) → driver records
-    # rows-only checks; kg pipeline correctness is gated in pytest by
-    # triple P/R >= 0.95 vs the synthetic-corpus gold (tests/test_pipeline.py).
+    # kg_pipeline_synthetic: the oracle RECOMPUTES the expected triples in
+    # DuckDB from the generator's committed GOLD side tables
+    # (tests/fixtures/kg_gold/*.parquet, written by scripts/gen_kg_gold.py
+    # from the same generate(n_docs=60, giant_doc_sentences=40) call the
+    # query makes): alias-closure components via recursive CTE, ordered
+    # same-sentence mention pairs, first-lexicon-verb-strictly-between rule
+    # (triples.py semantics), DISTINCT 5-tuples. The gold tables come from
+    # the single-node generator (corpus.py), never from the Spark engine —
+    # so the whole HTML-extract → tokenize → gazetteer → CC → triple chain
+    # is hash-verified end to end.
+    import os as _os
+
+    _kg_gold = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "tests", "fixtures", "kg_gold"
+    )
+    o["kg_pipeline_synthetic"] = f"""
+WITH RECURSIVE
+al AS (SELECT * FROM read_parquet('{_kg_gold}/alias.parquet')),
+gm AS (SELECT * FROM read_parquet('{_kg_gold}/mentions.parquet')),
+gt AS (SELECT * FROM read_parquet('{_kg_gold}/tokens.parquet')),
+-- canonical ids sharing an alias are connected (graph.py canonical_map rule)
+e0 AS (
+  SELECT a.canonical_id AS s, b.canonical_id AS d
+  FROM al a JOIN al b ON a.alias = b.alias AND a.canonical_id <> b.canonical_id
+),
+reach(node, reached) AS (
+  SELECT canonical_id, canonical_id FROM (SELECT DISTINCT canonical_id FROM al)
+  UNION
+  SELECT r.node, e.d FROM reach r JOIN e0 e ON e.s = r.reached
+),
+comp AS (SELECT node AS canonical_id, MIN(reached) AS component FROM reach GROUP BY node),
+linked AS (
+  SELECT m.doc_id, m.sentence_id, m.start_tok, m.end_tok, c.component
+  FROM gm m JOIN comp c USING (canonical_id)
+),
+verbs AS (
+  SELECT doc_id, sentence_id, token_id AS verb_tok, lower(text) AS verb
+  FROM gt
+  WHERE lower(text) IN ('treats', 'causes', 'inhibits', 'prevents', 'reduces')
+),
+pairs AS (
+  SELECT m1.doc_id, m1.sentence_id,
+         m1.component AS subj, m2.component AS obj,
+         m1.end_tok AS subj_end, m2.start_tok AS obj_start
+  FROM linked m1 JOIN linked m2
+    ON m1.doc_id = m2.doc_id AND m1.sentence_id = m2.sentence_id
+   AND m1.start_tok < m2.start_tok
+),
+firstverb AS (
+  SELECT p.doc_id, p.sentence_id, p.subj, p.obj, p.subj_end, p.obj_start,
+         MIN(CASE WHEN v.verb_tok > p.subj_end AND v.verb_tok < p.obj_start
+                  THEN v.verb_tok END) AS first_tok
+  FROM pairs p LEFT JOIN verbs v
+    ON v.doc_id = p.doc_id AND v.sentence_id = p.sentence_id
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT DISTINCT w.subj,
+       COALESCE(v.verb, 'co_occurs_with') AS pred,
+       w.obj, w.doc_id, w.sentence_id::INT AS sentence_id
+FROM firstverb w
+LEFT JOIN verbs v ON v.doc_id = w.doc_id AND v.sentence_id = w.sentence_id
+                 AND v.verb_tok = w.first_tok
+"""
+
+    # multimodal_features: f0 = bin-0 byte-histogram count / total bytes,
+    # recomputed in single precision (FLOAT/FLOAT → bit-identical to the
+    # UDF's numpy float32 division) and cast to double. The decode itself is
+    # the documented deterministic stub; the oracle verifies the float path
+    # of the same mapInPandas plumbing multimodal_hist verifies in ints.
+    o["multimodal_features"] = """
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text))::INT AS n_bytes
+  FROM documents
+),
+bytes AS (
+  SELECT media_id,
+    unnest(list_transform(range(0, n_bytes),
+      i -> (strpos('0123456789ABCDEF', substring(hx, (2*i+1)::INT, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substring(hx, (2*i+2)::INT, 1)) - 1))) AS b
+  FROM media
+),
+bin0 AS (
+  SELECT media_id, COUNT(*)::INT AS h0 FROM bytes WHERE b < 8 GROUP BY media_id
+)
+SELECT m.media_id, m.modality, m.n_bytes,
+       CASE WHEN m.n_bytes = 0 THEN 0.0
+            ELSE CAST(CAST(COALESCE(b.h0, 0) AS FLOAT)
+                      / CAST(m.n_bytes AS FLOAT) AS DOUBLE)
+       END AS f0
+FROM media m LEFT JOIN bin0 b USING (media_id)
+"""
+
+    # streaming_dedup_ledger: the final per-fingerprint ledger of the
+    # stateful streaming dedup is deterministic regardless of micro-batch
+    # boundaries — n_firsts is 1 by the operator contract (state carries
+    # across batches) and the max running-duplicate counter is n_docs - 1.
+    o["streaming_dedup_ledger"] = r"""
+WITH fp AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(1 AS BIGINT) AS n_firsts,
+       (COUNT(*) - 1)::BIGINT AS max_dup,
+       MIN(doc) AS min_doc
+FROM fp GROUP BY fingerprint
+"""
+
     return o

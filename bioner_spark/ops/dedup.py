@@ -42,10 +42,22 @@ def normalized(text_col):
     return F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
 
 
-def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """→ (fingerprint, n_docs, min_doc_id) per normalized-text group."""
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    words_col: str | None = None,
+) -> DataFrame:
+    """→ (fingerprint, n_docs, min_doc_id) per normalized-text group.
+
+    words_col: fingerprint from the shared pre-split word array instead of
+    re-normalizing text (array_join of the split is the exact inverse of the
+    split, so the md5 is identical)."""
+    fp = (
+        F.md5(F.array_join(F.col(words_col), " "))
+        if words_col
+        else F.md5(normalized(F.col(text_col)))
+    )
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.md5(normalized(F.col(text_col))).alias("fingerprint"))
+        df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
     )
@@ -59,9 +71,11 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.join(w_rep, id_col, "left_semi")
 
 
-def word_shingles(text_col, n: int = 3):
-    """Array of word n-gram shingles of the normalized text (native HOF)."""
-    words = F.split(normalized(text_col), " ")
+def shingles_from_words(words, n: int = 3):
+    """Array of word n-gram shingles from a pre-split word array (native
+    HOF). Shared base for every shingle-n: a corpus-filter chain that needs
+    3-grams AND 8-grams splits the text ONCE and derives both from the same
+    persisted word array — one corpus scan instead of one per n."""
     return F.when(
         F.size(words) >= n,
         F.array_distinct(
@@ -73,18 +87,35 @@ def word_shingles(text_col, n: int = 3):
     ).otherwise(F.array(F.array_join(words, " ")))
 
 
-def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+def word_shingles(text_col, n: int = 3):
+    """Array of word n-gram shingles of the normalized text (native HOF)."""
+    return shingles_from_words(F.split(normalized(text_col), " "), n)
+
+
+def _words_src(text_col: str, words_col: str | None):
+    """Shingle source: a pre-split word-array column when given (the shared
+    single-scan base), else split-normalize the text column."""
+    return F.col(words_col) if words_col else F.split(normalized(F.col(text_col)), " ")
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    words_col: str | None = None,
+) -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        F.explode(shingles_from_words(_words_src(text_col, words_col), n)).alias("shingle"),
     )
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    words_col: str | None = None,
 ) -> DataFrame:
     """→ (doc_id, mh0..mh{k-1}); k = len(MINHASH_COEFFS)."""
-    sh = shingle_table(df, id_col, text_col, n).withColumn("h", _hash32(F.col("shingle")))
+    sh = shingle_table(df, id_col, text_col, n, words_col).withColumn(
+        "h", _hash32(F.col("shingle"))
+    )
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(LSH_PRIME)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -98,14 +129,21 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     n: int = 3,
     rows_per_band: int = 2,
+    words_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature, bucket-join.
 
     With k=8, r=2 → 4 bands; docs sharing any full band collide. The join is
     on (band_id, band_key) — never a cross join; skewed buckets (boilerplate
     shingles) are handled by AQE skew-join splitting.
+
+    Recall is probabilistic: a pair at Jaccard j collides with probability
+    1 - (1 - j^r)^(k/r). At j = 0.8: r=2 → ~98.3% (misses ~1 in 60 true
+    pairs), r=1 → ~99.9997%. Pick r=1 when downstream must match an exact
+    all-pairs oracle; r=2 trades that recall tail for ~an order of magnitude
+    fewer candidate verifications on boilerplate-heavy corpora.
     """
-    sig = minhash_signatures(df, id_col, text_col, n)
+    sig = minhash_signatures(df, id_col, text_col, n, words_col)
     k = len(MINHASH_COEFFS)
     n_bands = k // rows_per_band
     bands = sig.select(
@@ -143,6 +181,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    words_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs.
 
@@ -159,7 +198,7 @@ def jaccard_pairs(
     Without candidates, the shingle self-join bounds the blowup to docs
     actually sharing a shingle (still not a cross join).
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingle_table(df, id_col, text_col, n, words_col)
     if candidates is not None:
         sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shs"))
         pairs = (
@@ -221,6 +260,7 @@ def near_dup_clusters(
     n: int = 3,
     threshold: float = 0.8,
     rows_per_band: int = 2,
+    words_col: str | None = None,
 ) -> DataFrame:
     """Assign every document to a near-duplicate cluster: (doc_id,
     cluster_id, is_representative), cluster_id = min doc_id of the
@@ -231,11 +271,22 @@ def near_dup_clusters(
     components over surviving pairs → left-join back to all docs. Every
     stage is the scale path: banded bucket join (never O(n²)), per-pair
     set intersect, large-star/small-star for big graphs (the driver
-    union-find gate handles the common small-cluster case in one job)."""
+    union-find gate handles the common small-cluster case in one job).
+
+    RECALL CONTRACT: candidate generation is MinHash-LSH, so clustering is
+    probabilistic — a true pair at exactly the threshold escapes banding
+    with probability (1 - threshold^rows_per_band)^(k/rows_per_band)
+    (k = 8 hashes; see lsh_candidate_pairs). A missed pair can split a
+    cluster. rows_per_band=1 gives ~0.9997 pair recall at threshold 0.8 and
+    is what the oracle-checked contract queries use; rows_per_band=2 is the
+    cheaper production default when exact parity with an all-pairs oracle
+    is not required."""
     from bioner_spark.graph import connected_components
 
-    cands = lsh_candidate_pairs(df, id_col, text_col, n, rows_per_band)
-    pairs = jaccard_pairs(df, id_col, text_col, n, threshold, candidates=cands)
+    cands = lsh_candidate_pairs(df, id_col, text_col, n, rows_per_band, words_col)
+    pairs = jaccard_pairs(
+        df, id_col, text_col, n, threshold, candidates=cands, words_col=words_col
+    )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = connected_components(edges)
     out = df.select(F.col(id_col).alias("doc_id")).join(
@@ -256,20 +307,23 @@ def contamination_flags(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    words_col: str | None = None,
 ) -> DataFrame:
     """Train/test decontamination: (doc_id, contaminated) — 1 iff the doc
     shares any word n-gram with the benchmark corpus (the standard
     n-gram-overlap decontamination rule for LLM training data).
 
     The benchmark n-gram set is small by construction (eval sets, not
-    crawls) → broadcast; the docs side then needs NO shuffle at all — the
-    semi join and the distinct-by-doc both stay map-side until the final
-    per-doc aggregation. Normalization matches the dedup ops (lowercase,
-    collapsed whitespace)."""
-    doc_sh = shingle_table(df, id_col, text_col, n)
+    crawls) → broadcast, so the docs side avoids any JOIN shuffle: the semi
+    join is map-side. The doc-side cost that remains is ONE shuffle — the
+    distinct on doc_id (partial-aggregated map-side first, so only surviving
+    distinct ids move) — plus the final left join back to df."""
+    doc_sh = shingle_table(df, id_col, text_col, n, words_col)
     bench_sh = (
         benchmark.select(
-            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+            F.explode(
+                shingles_from_words(_words_src(text_col, words_col), n)
+            ).alias("shingle")
         ).distinct()
     )
     hit = (
