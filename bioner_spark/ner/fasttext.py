@@ -46,6 +46,11 @@ FNV_OFFSET = 2166136261
 FNV_PRIME = 16777619
 MASK32 = 0xFFFFFFFF
 
+# fastText's end-of-sentence token (src/dictionary.h EOS): always in-vocab
+# for trained models and never assigned char n-grams (Dictionary::initNgrams
+# skips it; an OOV "</s>" gets no subwords either in getSubwords)
+EOS = "</s>"
+
 # fixture-lattice constants — shared (as literals) with the DuckDB oracle in
 # __spark_entry__.oracle_sql()["fasttext_vectors"]
 LATTICE_A = 2654435761  # Knuth multiplicative-hash constant
@@ -75,6 +80,11 @@ def subwords(word: str, minn: int = 3, maxn: int = 4) -> list[str]:
     out: list[str] = []
     for n in range(minn, maxn + 1):
         for i in range(L - n + 1):
+            # computeSubwords' one exclusion: a 1-gram that is just the BOW
+            # '<' or EOW '>' boundary char is skipped (only reachable with
+            # minn=1; n-grams >= 2 are all kept, full '<word>' included)
+            if n == 1 and (i == 0 or i + n == L):
+                continue
             out.append(w[i : i + n])
     return out
 
@@ -92,29 +102,52 @@ def fixture_matrix_int(bucket: int = 2000, dim: int = 16) -> np.ndarray:
 
 @dataclass
 class FastTextModel:
-    """Inference-only fastText subword model (bucket-only input matrix)."""
+    """Inference-only fastText subword model.
 
-    matrix: np.ndarray  # [bucket, dim] float32
+    Two shapes, one code path:
+
+    * bucket-only (``vocab=None``): matrix [bucket, dim], every word is
+      treated as OOV — rows are ``fnv1a(ngram) % bucket``. The fixture /
+      oracle configuration.
+    * full dictionary (``vocab`` + ``nwords``, as loaded from a real
+      ``.bin`` by fasttext_bin.load_bin): matrix [nwords + bucket, dim];
+      an in-vocab word contributes its OWN dictionary row plus n-gram rows
+      at ``nwords + h % bucket`` (Dictionary::getSubwords), an OOV word
+      n-gram rows only, and EOS never gets n-grams.
+    """
+
+    matrix: np.ndarray  # [nwords + bucket, dim] float32 (nwords = 0 w/o vocab)
     minn: int = 3
     maxn: int = 4
+    vocab: dict | None = None  # word -> dictionary row id (< nwords)
+    nwords: int = 0
 
     @property
     def bucket(self) -> int:
-        return self.matrix.shape[0]
+        return self.matrix.shape[0] - self.nwords
 
     @property
     def dim(self) -> int:
         return self.matrix.shape[1]
 
     def subword_rows(self, word: str) -> np.ndarray:
-        return np.array(
-            [fnv1a(sw) % self.bucket for sw in subwords(word, self.minn, self.maxn)],
-            dtype=np.int64,
+        rows: list[int] = []
+        if self.vocab is not None and word in self.vocab:
+            rows.append(self.vocab[word])
+            if word == EOS:
+                return np.array(rows, dtype=np.int64)
+        elif word == EOS:
+            return np.array([], dtype=np.int64)
+        off, b = self.nwords, self.bucket
+        rows.extend(
+            off + fnv1a(sw) % b for sw in subwords(word, self.minn, self.maxn)
         )
+        return np.array(rows, dtype=np.int64)
 
     def word_vector(self, word: str) -> np.ndarray:
-        """fastText get_word_vector for an OOV word: mean of subword rows;
-        zero vector when the word yields no subwords (len(word)+2 < minn)."""
+        """fastText getWordVector: mean over the word's subword rows (own
+        dictionary row first when in-vocab); zero vector when the word
+        yields no rows (OOV shorter than minn, or OOV EOS)."""
         rows = self.subword_rows(word)
         if len(rows) == 0:
             return np.zeros(self.dim, dtype=np.float32)
@@ -123,14 +156,28 @@ class FastTextModel:
         )
 
     def save(self, path: str) -> None:
-        np.savez_compressed(
-            path, matrix=self.matrix, minn=np.array(self.minn), maxn=np.array(self.maxn)
+        arrays = dict(
+            matrix=self.matrix, minn=np.array(self.minn), maxn=np.array(self.maxn)
         )
+        if self.vocab is not None:
+            # dict rows are 0..nwords-1 by construction; store words ordered
+            # by row id so load rebuilds the same mapping
+            words = sorted(self.vocab, key=self.vocab.get)
+            arrays["words"] = np.array(words, dtype=object)
+            arrays["nwords"] = np.array(self.nwords)
+        np.savez_compressed(path, **arrays)
 
     @classmethod
     def load(cls, path: str) -> "FastTextModel":
-        z = np.load(path)
-        return cls(matrix=z["matrix"], minn=int(z["minn"]), maxn=int(z["maxn"]))
+        z = np.load(path, allow_pickle=True)
+        vocab = nwords = None
+        if "words" in z:
+            vocab = {str(w): i for i, w in enumerate(z["words"])}
+            nwords = int(z["nwords"])
+        return cls(
+            matrix=z["matrix"], minn=int(z["minn"]), maxn=int(z["maxn"]),
+            vocab=vocab, nwords=nwords or 0,
+        )
 
     @classmethod
     def fixture(cls, bucket: int = 2000, dim: int = 16, minn: int = 3, maxn: int = 4):

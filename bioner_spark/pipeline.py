@@ -55,6 +55,7 @@ def build_triples(
     vocab=None,
     use_extractor: bool = True,
     eager_cache: bool = True,
+    ft_model=None,
 ) -> PipelineResult:
     """The logical plan for the whole pipeline (no writes).
 
@@ -131,12 +132,18 @@ def build_triples(
         tagged = dict_tag_tokens(tokens, alias_dict)
         linked = mentions
     elif tagger == "neural":
-        from bioner_spark.ner.infer import annotate_tokens
+        from bioner_spark.ner.infer import annotate_tokens, annotate_tokens_fasttext
 
-        assert model is not None and vocab is not None
-        tagged = annotate_tokens(tokens, vocab, model).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        if ft_model is not None:
+            # BioNER-shape encode: fastText subword embeddings (e.g. a real
+            # .bin loaded by fasttext_bin.load_bin) instead of the trigram
+            # multi-hot vocab — reference fasttext_encoder.py:17-28
+            assert model is not None
+            tagged = annotate_tokens_fasttext(tokens, ft_model, model)
+        else:
+            assert model is not None and vocab is not None
+            tagged = annotate_tokens(tokens, vocab, model)
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
         if eager_cache:
             tagged.count()
         mentions = decode_spans(tagged)
@@ -215,6 +222,7 @@ def run_checkpointed(
     model=None,
     vocab=None,
     use_extractor: bool = True,
+    ft_model=None,
 ) -> PipelineResult:
     """Run the pipeline bucket-partitioned with resume.
 
@@ -268,6 +276,7 @@ def run_checkpointed(
             model=model,
             vocab=vocab,
             use_extractor=use_extractor,
+            ft_model=ft_model,
         )
         _mark("build_triples(+eager cache)")
         # triples carry the page url as doc_id → same bucketing function
@@ -314,7 +323,7 @@ def run_checkpointed(
         # so callers' metrics never silently cover a subset.
         aux = build_triples(pages, alias_dict, tagger=tagger, model=model,
                             vocab=vocab, use_extractor=use_extractor,
-                            eager_cache=False)
+                            eager_cache=False, ft_model=ft_model)
     return PipelineResult(
         triples=triples if triples is not None else aux.triples,
         mentions=aux.mentions,

@@ -66,6 +66,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--model", default="DATEXIS-NER",
                     help="neural tagger config (DATEXIS-NER | "
                          "CustomConfig_Stacked-DATEXIS-NER | BioNER)")
+    ap.add_argument("--embeddings-bin", default=None,
+                    help="fastText .bin embeddings (reference artifact "
+                         "format, loaded torch/fasttext-free by "
+                         "fasttext_bin.load_bin); switches the neural "
+                         "tagger to the BioNER-shape fastText encode")
+    ap.add_argument("--checkpoint-pt", default=None,
+                    help="torch .pt state_dict checkpoint for the neural "
+                         "model (reference release format, loaded "
+                         "torch-free by torch_import.load_state_dict)")
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="override spark.sql.shuffle.partitions (default: 2x cores)")
     args = ap.parse_args(argv)
@@ -93,20 +102,36 @@ def main(argv: list[str] | None = None) -> None:
     shuffle = args.shuffle_partitions or default_shuffle
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
 
-    model = vocab = None
+    model = vocab = ft_model = None
     if args.tagger == "neural":
-        from pyspark.sql import functions as F
-
-        from bioner_spark.extract import with_extracted_text
-        from bioner_spark.functions.ngrams import build_vocabulary
-        from bioner_spark.ner.kernel import load_model_config
-        from bioner_spark.tokenizer import tokenize
-
         from bioner_spark.ner.infer import ship_model
+        from bioner_spark.ner.kernel import load_model_config
 
-        toks = tokenize(with_extracted_text(pages.select("url", "html")))
-        vocab = build_vocabulary(toks, min_word_frequency=10).persist()
-        model_obj = load_model_config(args.model, input_dim=15 + vocab.count())
+        if args.embeddings_bin:
+            # real-artifact path: fastText .bin → input_dim = embedding dim
+            from bioner_spark.ner.fasttext_bin import load_bin
+
+            ft_model, ft_meta = load_bin(args.embeddings_bin)
+            input_dim = ft_meta["dim"]
+        else:
+            from bioner_spark.extract import with_extracted_text
+            from bioner_spark.functions.ngrams import build_vocabulary
+            from bioner_spark.tokenizer import tokenize
+
+            toks = tokenize(with_extracted_text(pages.select("url", "html")))
+            vocab = build_vocabulary(toks, min_word_frequency=10).persist()
+            input_dim = 15 + vocab.count()
+        if args.checkpoint_pt:
+            from bioner_spark.ner.torch_import import load_sequence_model
+
+            model_obj = load_sequence_model(args.checkpoint_pt)
+            if model_obj.input_dim != input_dim:
+                raise SystemExit(
+                    f"checkpoint input_dim {model_obj.input_dim} != "
+                    f"encoder dim {input_dim}"
+                )
+        else:
+            model_obj = load_model_config(args.model, input_dim=input_dim)
         # SparkFiles shipping: executors lazy-load the weight matrices from
         # their local copy once per JVM instead of per-task closure pickling
         # (at BioNER size the closure would be ~300 MB per task)
@@ -124,6 +149,7 @@ def main(argv: list[str] | None = None) -> None:
         tagger=args.tagger,
         model=model,
         vocab=vocab,
+        ft_model=ft_model,
     )
     n_triples = result.triples.count()
     wall = time.time() - t0

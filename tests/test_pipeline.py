@@ -76,3 +76,37 @@ def test_neural_pipeline_runs(spark, corpus):
     tags = {r.tag for r in result.tokens.select("tag").distinct().collect()}
     assert tags <= {"B", "I", "O"}
     result.triples.count()  # must execute without error
+
+
+def test_neural_pipeline_real_artifact_formats(spark, corpus, tmp_path):
+    """The released-artifact loop, torch/fasttext-free: fastText .bin
+    embeddings (committed fixture) + a .pt checkpoint round-tripped through
+    the torch-zip writer drive the BioNER-shape pipeline end to end
+    (reference: fasttext_encoder.py:14-15 + annotate_dataset.py:17-18)."""
+    import os
+
+    from bioner_spark.ner.fasttext_bin import load_bin
+    from bioner_spark.ner.kernel import init_model
+    from bioner_spark.ner.torch_import import (
+        load_sequence_model,
+        model_to_state_dict,
+        write_state_dict_pt,
+    )
+
+    ft_model, meta = load_bin(
+        os.path.join(os.path.dirname(__file__), "fixtures", "fasttext_tiny.bin")
+    )
+    src = init_model(input_dim=meta["dim"], feedforward_size=8, lstm_size=4,
+                     n_bilstm_layers=1, seed=99)
+    pt = str(tmp_path / "ckpt.pt")
+    write_state_dict_pt(pt, model_to_state_dict(src))
+    model = load_sequence_model(pt)
+    assert model.input_dim == ft_model.dim
+
+    pages = corpus_mod.pages_spark_df(spark, corpus).limit(6)
+    alias = corpus_mod.alias_dict_spark_df(spark, corpus)
+    result = build_triples(
+        pages, alias, tagger="neural", model=model, ft_model=ft_model,
+        use_extractor=False,
+    )
+    result.triples.count()  # must execute without error

@@ -1,0 +1,166 @@
+"""Torch-free ``.pt`` checkpoint import: container format, restricted
+unpickling, reference name mapping, and numeric forward parity.
+
+Mirrors the reference's load path ``model.load_state_dict(torch.load(p))``
+(annotate_dataset.py:17-18) without torch: the committed fixture was written
+in the documented torch-zip layout by scripts/gen_pt_fixture.py, and its
+forward logits must match committed goldens exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import zipfile
+from collections import OrderedDict
+
+import numpy as np
+import pytest
+
+from bioner_spark.ner.kernel import init_model
+from bioner_spark.ner.torch_import import (
+    TorchImportError,
+    load_sequence_model,
+    load_state_dict,
+    model_to_state_dict,
+    state_dict_to_model,
+    write_state_dict_pt,
+)
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+PT_PATH = os.path.join(FIX, "datexis_tiny.pt")
+GOLD_PATH = os.path.join(FIX, "datexis_tiny_golden.json")
+
+
+def test_fixture_is_a_torch_zip_container():
+    with zipfile.ZipFile(PT_PATH) as zf:
+        names = zf.namelist()
+        assert "archive/data.pkl" in names
+        assert "archive/version" in names
+        assert any(n.startswith("archive/data/") for n in names)
+        # the pickle must reference only allowlisted globals — decode the
+        # module.name pairs straight from the opcode stream
+        import pickletools
+
+        globs = set()
+        for op, arg, _ in pickletools.genops(zf.read("archive/data.pkl")):
+            if op.name in ("GLOBAL", "STACK_GLOBAL") and arg:
+                globs.add(tuple(arg.split(" ")))
+        assert ("collections", "OrderedDict") in globs or not globs
+
+
+def test_load_state_dict_names_and_shapes():
+    sd = load_state_dict(PT_PATH)
+    assert isinstance(sd, OrderedDict)
+    assert sd["ff1.weight"].shape == (10, 12)
+    assert sd["biLSTM.weight_ih_l0"].shape == (24, 10)
+    assert sd["biLSTM.weight_ih_l0_reverse"].shape == (24, 10)
+    assert sd["additional_biLSTM_layers.0.weight_ih_l0"].shape == (24, 12)
+    assert sd["encoderLSTM.weight_ih_l0"].shape == (24, 12)
+    assert sd["hidden2tag.weight"].shape == (3, 6)
+    assert sd["ffBatchNorm.running_mean"].shape == (10,)
+    assert sd["biLSTMBatchNorms.1.running_var"].shape == (12,)
+    nbt = sd["ffBatchNorm.num_batches_tracked"]
+    assert nbt.shape == () and nbt.item() == 100  # scalar tensor stays 0-d
+    assert all(
+        v.dtype == np.float32 for k, v in sd.items() if "num_batches" not in k
+    )
+
+
+def test_forward_matches_committed_goldens():
+    model = load_sequence_model(PT_PATH)
+    gold = json.load(open(GOLD_PATH))
+    x = np.array(gold["input"], dtype=np.float32)
+    lengths = np.array(gold["lengths"])
+    logits = model.forward(x, lengths)
+    for i, L in enumerate(lengths):
+        np.testing.assert_array_equal(
+            np.round(logits[i, :L].astype(np.float64), 6),
+            np.array(gold["logits"][i]),
+        )
+
+
+def test_roundtrip_model_to_pt_to_model(tmp_path):
+    src = init_model(8, feedforward_size=6, lstm_size=4, n_bilstm_layers=1, seed=42)
+    p = str(tmp_path / "rt.pt")
+    write_state_dict_pt(p, model_to_state_dict(src))
+    back = load_sequence_model(p)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 7, 8)).astype(np.float32)
+    lengths = np.array([7, 4, 1])
+    np.testing.assert_array_equal(src.forward(x, lengths), back.forward(x, lengths))
+
+
+def test_split_biases_are_summed(tmp_path):
+    """torch keeps bias_ih and bias_hh separately; the kernel uses their sum.
+    Write a dict where both halves are nonzero and check the import adds."""
+    src = init_model(5, feedforward_size=4, lstm_size=3, n_bilstm_layers=1, seed=7)
+    sd = model_to_state_dict(src)
+    rng = np.random.default_rng(3)
+    for k in list(sd):
+        if "bias_hh" in k:
+            ih = k.replace("bias_hh", "bias_ih")
+            split = rng.normal(size=sd[ih].shape).astype(np.float32)
+            sd[k] = split
+            sd[ih] = sd[ih] - split  # sum unchanged
+    p = str(tmp_path / "bias.pt")
+    write_state_dict_pt(p, sd)
+    back = load_sequence_model(p)
+    x = rng.normal(size=(2, 4, 5)).astype(np.float32)
+    lengths = np.array([4, 2])
+    np.testing.assert_allclose(
+        src.forward(x, lengths), back.forward(x, lengths), rtol=0, atol=1e-6
+    )
+
+
+def test_no_batchnorm_model_imports_clean(tmp_path):
+    src = init_model(6, feedforward_size=5, lstm_size=3, n_bilstm_layers=2,
+                     seed=11, batch_norm=False)
+    p = str(tmp_path / "nobn.pt")
+    write_state_dict_pt(p, model_to_state_dict(src))
+    back = load_sequence_model(p)
+    assert back.ff_bn is None and back.enc_bn is None and back.bilstm_bns is None
+    assert len(back.bilstms) == 2
+
+
+def test_malicious_global_rejected(tmp_path):
+    """A pickle smuggling os.system must raise, not execute."""
+    evil = pickle.dumps(OrderedDict(), protocol=2)
+    # splice in a benign-looking dict but with an os.system global
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("true",))
+
+    payload = pickle.dumps({"w": Evil()}, protocol=2)
+    p = tmp_path / "evil.pt"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("archive/data.pkl", payload)
+        zf.writestr("archive/version", "3\n")
+    with pytest.raises(TorchImportError, match="disallowed global"):
+        load_state_dict(str(p))
+    assert evil  # silence unused warning
+
+
+def test_not_a_zip_rejected(tmp_path):
+    p = tmp_path / "legacy.pt"
+    p.write_bytes(b"\x80\x02}q\x00.")
+    with pytest.raises(TorchImportError, match="torch-zip"):
+        load_state_dict(str(p))
+
+
+def test_missing_reference_keys_rejected():
+    with pytest.raises(TorchImportError, match="missing reference keys"):
+        state_dict_to_model({"ff1.weight": np.zeros((2, 2), dtype=np.float32)})
+
+
+def test_nonstandard_prefix_accepted(tmp_path):
+    """torch names the archive dir after the file stem in some writers —
+    the loader keys off */data.pkl, not a literal 'archive'."""
+    src = init_model(4, feedforward_size=3, lstm_size=2, n_bilstm_layers=1, seed=5)
+    p = str(tmp_path / "other.pt")
+    write_state_dict_pt(p, model_to_state_dict(src), prefix="best_model_42")
+    back = load_sequence_model(p)
+    assert back.input_dim == 4
