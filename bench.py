@@ -120,6 +120,20 @@ def main() -> None:
     timed("tokenize_encode", run_tok)
 
     total = round(sum(timings.values()), 3)
+
+    # --- corpus_filter: the composed C4-style cleaning chain ------------------
+    # timed AFTER the total is fixed (kept out of headline_total_sec so the
+    # round-over-round total stays comparable with rounds 1-2); added round 3
+    # to track the single-scan rewrite (one persisted word-array base feeding
+    # exact-dup, near-dup and decontamination instead of 3-4 corpus scans)
+    def run_corpus_filter():
+        import __spark_entry__ as entry
+
+        entry.queries()["corpus_filter"](spark, sf_dir).count()
+
+    t0 = time.time()
+    run_corpus_filter()
+    corpus_filter_sec = round(time.time() - t0, 3)
     print(
         json.dumps(
             {
@@ -132,6 +146,7 @@ def main() -> None:
                     "n_synth_docs": n_pages,
                     "kg_docs_per_sec": round(n_pages / timings["kg_pipeline"], 2),
                     "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                    "corpus_filter_sec": corpus_filter_sec,
                 },
             }
         )

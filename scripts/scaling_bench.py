@@ -82,7 +82,9 @@ def make_zip() -> str:
     return zpath
 
 
-def run_level(n_exec: int, pages: str, alias: str, zpath: str, tagger: str = "dict") -> dict:
+def run_level(n_exec: int, pages: str, alias: str, zpath: str, tagger: str = "dict",
+              extra_conf: list[str] | None = None, event_log_dir: str | None = None,
+              shuffle_partitions: int | None = None) -> dict:
     """One spark-submit at `n_exec` single-core executor JVMs.
 
     local-cluster[N,1,mem] spawns N separate executor processes — the honest
@@ -102,6 +104,14 @@ def run_level(n_exec: int, pages: str, alias: str, zpath: str, tagger: str = "di
         "--master", f"local-cluster[{n_exec},1,{EXEC_MEM_MB}]",
         "--driver-memory", "8g",
         "--conf", f"spark.local.dir={shm_dir}",
+    ]
+    if event_log_dir:
+        os.makedirs(event_log_dir, exist_ok=True)
+        cmd += ["--conf", "spark.eventLog.enabled=true",
+                "--conf", f"spark.eventLog.dir=file://{event_log_dir}"]
+    for kv in extra_conf or []:
+        cmd += ["--conf", kv]
+    cmd += [
         "--py-files", zpath,
         os.path.join(REPO, "scripts/kg_job.py"),
         "--input", pages,
@@ -110,6 +120,8 @@ def run_level(n_exec: int, pages: str, alias: str, zpath: str, tagger: str = "di
         "--n-buckets", "32",
         "--tagger", tagger,
     ]
+    if shuffle_partitions:
+        cmd += ["--shuffle-partitions", str(shuffle_partitions)]
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     for line in proc.stdout.splitlines():
         line = line.strip()
@@ -122,13 +134,21 @@ def run_level(n_exec: int, pages: str, alias: str, zpath: str, tagger: str = "di
 
 
 def run_level_best(n_exec: int, pages: str, alias: str, zpath: str,
-                   tagger: str = "dict", trials: int = 1) -> dict:
+                   tagger: str = "dict", trials: int = 1,
+                   extra_conf: list[str] | None = None,
+                   event_log_dir: str | None = None,
+                   shuffle_partitions: int | None = None) -> dict:
     """Best (min-wall) of `trials` runs. This VM's vCPU scheduling is
     jittery — the same 8-executor job measured 187 s and 307 s back to back
     with zero configuration change. The minimum is the machine's honest
     capability at that parallelism (the same policy scripts/membw_probe.py
     uses); jitter hits both levels alike and is not an engine property."""
-    runs = [run_level(n_exec, pages, alias, zpath, tagger) for _ in range(trials)]
+    runs = [
+        run_level(n_exec, pages, alias, zpath, tagger, extra_conf=extra_conf,
+                  event_log_dir=event_log_dir,
+                  shuffle_partitions=shuffle_partitions)
+        for _ in range(trials)
+    ]
     best = min(runs, key=lambda r: r["pipeline_sec"])
     best["trials"] = [r["pipeline_sec"] for r in runs]
     return best
@@ -244,6 +264,13 @@ def main() -> None:
                          " compute kernel); use a smaller --n-docs")
     ap.add_argument("--trials", type=int, default=1,
                     help="runs per level; min wall is reported (vCPU jitter)")
+    ap.add_argument("--conf", action="append", default=[], dest="extra_conf",
+                    metavar="K=V", help="extra spark conf, repeatable")
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="fixed shuffle partitions at BOTH levels (default: "
+                         "kg_job's per-core heuristic)")
+    ap.add_argument("--event-log-dir", default=None,
+                    help="enable Spark event logs (for scripts/stage_forensics.py)")
     ap.add_argument("--no-probe", action="store_true")
     ap.add_argument("--update-md", action="store_true")
     args = ap.parse_args()
@@ -251,7 +278,10 @@ def main() -> None:
     pages, alias = prepare_input(args.n_docs)
     zpath = make_zip()
     levels = [
-        run_level_best(c, pages, alias, zpath, tagger=args.tagger, trials=args.trials)
+        run_level_best(c, pages, alias, zpath, tagger=args.tagger,
+                       trials=args.trials, extra_conf=args.extra_conf,
+                       event_log_dir=args.event_log_dir,
+                       shuffle_partitions=args.shuffle_partitions)
         for c in args.cores
     ]
     lo, hi = levels
