@@ -203,11 +203,97 @@ def embedding_near_dup(
     )
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 16,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 1234,
+    tol: float = 1e-6,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column → k centroid
+    vectors (driver-side list: k × dim floats — broadcast-sized by
+    construction, this is the IVF codebook, not data).
+
+    The real IVF training path (ivf_topk's docstring used to just *name*
+    k-means as the production swap; this is it):
+
+    * init: the k vectors with the smallest xxhash64(id) — a deterministic
+      pseudo-random sample, one small TakeOrdered job, no Python RNG over
+      data (seed only perturbs the hash);
+    * assignment: nearest centroid by squared L2, computed as ONE native
+      projection — the centroids are literal arrays in the plan, so the
+      argmin over k distances runs inside codegen with NO join and NO
+      shuffle;
+    * update: posexplode to (cell, dim_pos, val) → partial-agged
+      groupBy(cell, pos) avg → collect k·dim tiny rows to the driver →
+      next iteration's literals. One shuffle per iteration whose reduce
+      side is k·dim rows.
+    * early stop when max centroid shift < tol.
+
+    At 100 TB: fit on a sample (sample_fraction ~ 1-10 M vectors' worth —
+    k-means quality saturates long before full-corpus scale), then make ONE
+    full-corpus assignment pass with `ivf_assign` / write bucketed by cell.
+    k·dim literals in the plan cap k ~ few thousand; beyond that switch the
+    assignment to a broadcast join + struct-min aggregation.
+    """
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    src = src.persist()
+    cents = [
+        r["v"]
+        for r in src.select("v")
+        .orderBy(F.xxhash64(F.col("id") + F.lit(seed)))
+        .limit(k)
+        .collect()
+    ]
+    dim = len(cents[0])
+    for _ in range(max_iter):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents
+            ]
+        )
+        assigned = src.withColumn(
+            "cell", F.array_position(dists, F.array_min(dists)).cast("int") - 1
+        )
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cells keep their centroid
+        for r in rows:
+            new[r["cell"]][r["pos"]] = r["m"]
+        shift = max(
+            abs(a - b) for cn, co in zip(new, cents) for a, b in zip(cn, co)
+        )
+        cents = new
+        if shift < tol:
+            break
+    src.unpersist()
+    return [[round(float(x), ROUND_DIGITS) for x in c] for c in cents]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     centroid_ids: list[int] | None = None,
+    centroid_vecs: list[list[float]] | None = None,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -216,15 +302,24 @@ def ivf_topk(
     (inverted lists); a query probes its n_probe nearest centroids and runs
     exact top-k only inside those cells.
 
-    Centroids here are a deterministic id-sample of the corpus (production
-    would run k-means — the assignment/probe plan is identical). At scale
-    the corpus is written bucketed by `cell`, so a query's probe is a
-    partition-pruned scan of n_probe cells instead of the full table.
+    Centroids: pass `centroid_vecs` (e.g. from kmeans_fit — the production
+    codebook) or `centroid_ids` (a deterministic id-sample of the corpus —
+    the oracle-checked contract configuration; the assignment/probe plan is
+    identical either way). At scale the corpus is written bucketed by
+    `cell`, so a query's probe is a partition-pruned scan of n_probe cells
+    instead of the full table.
     """
-    centroid_ids = centroid_ids or list(range(16))
-    cents = corpus.filter(F.col(id_col).isin(centroid_ids)).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-    )
+    spark = corpus.sparkSession
+    if centroid_vecs is not None:
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(centroid_vecs)],
+            "cent_id long, cent_vec array<double>",
+        )
+    else:
+        centroid_ids = centroid_ids or list(range(16))
+        cents = corpus.filter(F.col(id_col).isin(centroid_ids)).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
 
     def nearest_cells(df: DataFrame, side_id: str, side_vec: str, n: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).withColumn(

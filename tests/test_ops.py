@@ -223,3 +223,73 @@ def test_multimodal_hist_counts(spark):
     assert len(f1) == 32 and sum(f1) == rows["m1"].n_bytes == 5
     assert f1[0] == 2 and f1[1] == 1 and f1[31] == 2  # bins 0,1,31
     assert sum(rows["m2"].feature) == rows["m2"].n_bytes == 0
+
+
+def test_kmeans_fit_matches_numpy_lloyds(spark):
+    """Distributed Lloyd's == single-node numpy Lloyd's from the same init
+    (deterministic xxhash64 take-ordered sample), per iteration count."""
+    import numpy as np
+
+    from bioner_spark.ops.similarity import kmeans_fit
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[0.0, 0.0, 10.0], [10.0, 0.0, 0.0], [0.0, 10.0, 0.0]])
+    pts = np.concatenate(
+        [c + rng.normal(scale=0.5, size=(20, 3)) for c in centers]
+    ).round(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    got = np.array(kmeans_fit(df, k=3, max_iter=8, seed=77))
+
+    # replicate the init exactly: k smallest xxhash64(id + seed)
+    init_rows = (
+        df.select("embedding")
+        .orderBy(F.xxhash64(F.col("vec_id") + F.lit(77)))
+        .limit(3)
+        .collect()
+    )
+    cents = np.array([r["embedding"] for r in init_rows])
+    for _ in range(8):
+        d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)
+        new = cents.copy()
+        for c in range(3):
+            if (cell == c).any():
+                new[c] = pts[cell == c].mean(axis=0)
+        if np.abs(new - cents).max() < 1e-6:
+            cents = new
+            break
+        cents = new
+    np.testing.assert_allclose(got, cents.round(6), atol=2e-6)
+
+
+def test_ivf_topk_with_kmeans_centroids(spark):
+    """The production IVF path: kmeans_fit codebook → ivf_topk. On
+    well-separated clusters the probed cell contains the true neighbors, so
+    IVF top-1 == brute-force top-1."""
+    import numpy as np
+
+    from bioner_spark.ops.similarity import cosine_topk, ivf_topk, kmeans_fit
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(4, 8)) * 10
+    pts = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(25, 8)) for c in centers]
+    ).round(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cents = kmeans_fit(df, k=4, max_iter=10, seed=3)
+    queries = df.filter(F.col("vec_id").isin([0, 30, 55, 80]))
+    ivf = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(df, queries, k=1, centroid_vecs=cents, n_probe=1).collect()
+    }
+    brute = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(df, queries, k=1).collect()
+    }
+    assert ivf == brute
