@@ -47,6 +47,9 @@ def main() -> None:
         "jaccard_pairs",         # standalone shingle self-join verify
         "near_dup_clusters",     # LSH -> set-intersect verify -> components
         "decontamination",       # broadcast benchmark n-gram semi join
+        "corpus_filter",         # composed chain: ONE corpus scan, cached
+                                 # word-array base (InMemoryTableScan) reused
+                                 # by exact-dup/near-dup/decontamination
     ]
     out = [
         "# PLANS — physical plans of headline queries",
