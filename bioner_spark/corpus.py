@@ -154,10 +154,18 @@ def generate(
     seed: int = SEED,
     giant_doc_sentences: int = 400,
     sent_range: tuple[int, int] = (2, 7),
+    with_gold: bool = True,
 ) -> GoldCorpus:
     """Deterministic corpus; same (n_docs, seed, sent_range) → byte-identical
     output. `sent_range` sizes documents — the (2, 7) default keeps unit
-    tests fast; benchmarks use (20, 60) to model real web pages."""
+    tests fast; benchmarks use (20, 60) to model real web pages.
+
+    with_gold=False skips the gold token/mention/triple side tables (only
+    `pages` + `alias_dict` are built). The RNG draw sequence is identical
+    either way, so pages are byte-identical to a with_gold=True run —
+    scaling benchmarks need only the input tables, and materializing ~600
+    gold token tuples per web-weight doc made large-n generation list-append
+    bound (~240 M tuples / tens of GB at 400 k docs)."""
     rng = np.random.default_rng(seed)
     concept_ids = sorted(CONCEPTS)
     alias_lookup = {a: sorted(cids := [c for x, c, _ in alias_dict_rows() if x == a])[0]
@@ -214,6 +222,9 @@ def generate(
         pages_rows.append(
             (url, t0 + timedelta(minutes=d), html, text, lang)
         )
+
+        if not with_gold:
+            continue
 
         # gold tokens with offsets + BIO tags
         mention_by_pos = {}

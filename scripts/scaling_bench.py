@@ -61,7 +61,8 @@ def prepare_input(n_docs: int) -> tuple[str, str]:
     spark = get_spark(app_name="scaling_prep")
     # sent_range (20, 60): realistic web-page weight — ~40 sentences/doc —
     # so the measured job is extraction/tagging compute, not row plumbing
-    corpus = generate(n_docs=n_docs, giant_doc_sentences=400, sent_range=(20, 60))
+    corpus = generate(n_docs=n_docs, giant_doc_sentences=400, sent_range=(20, 60),
+                      with_gold=False)
     pages_spark_df(spark, corpus).repartition(32).write.mode("overwrite").parquet(pages_path)
     alias_dict_spark_df(spark, corpus).coalesce(1).write.mode("overwrite").parquet(alias_path)
     spark.stop()
