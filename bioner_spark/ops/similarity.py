@@ -138,6 +138,79 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def write_ann_index(
+    emb: DataFrame,
+    path: str,
+    dim: int | None = None,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1234,
+) -> None:
+    """Materialize the LSH index: the corpus with its bucket id, written as
+    Parquet PARTITIONED BY bucket (one directory per sign-pattern bucket).
+
+    This is the production form of lsh_topk's corpus side: the bucket
+    assignment is computed once at ingest instead of per query batch, and a
+    query then reads ONLY its probed buckets — Spark prunes the partition
+    directories at planning time (PartitionFilters in the scan node), so a
+    top-k probe against a 100 TB corpus scans ~1/2^n_planes of it. Same
+    seed/n_planes must be used at query time (lsh_topk_indexed asserts by
+    recomputing query buckets with the identical plane constants)."""
+    dim = _require_dim(dim, "write_ann_index")
+    planes = hyperplanes(dim, n_planes, seed)
+    (
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        # one shuffle to co-locate buckets → one file per bucket dir, not
+        # one tiny file per (task × bucket)
+        .repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 1234,
+) -> DataFrame:
+    """Approximate top-k against a write_ann_index index.
+
+    The query batch is tiny by assumption: its buckets are computed
+    driver-side-free (native expressions) but the PROBE SET (distinct bucket
+    ids) is collected — a ≤2^n_planes-int driver transfer — so the scan
+    filter is a literal IN list and partition pruning happens at plan time,
+    not runtime."""
+    dim = _require_dim(dim, "lsh_topk_indexed")
+    planes = hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    probe = [r["bucket"] for r in q.select("bucket").distinct().collect()]
+    corpus = spark.read.parquet(index_path).filter(F.col("bucket").isin(probe))
+    scored = (
+        corpus.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def banded_buckets(vec_col, planes: list[list[float]], n_bands: int):
     """(band_id, band_key) pairs: the planes are split into n_bands groups;
     a pair of vectors is an LSH candidate iff they share ANY band's full

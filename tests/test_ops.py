@@ -293,3 +293,27 @@ def test_ivf_topk_with_kmeans_centroids(spark):
         for r in cosine_topk(df, queries, k=1).collect()
     }
     assert ivf == brute
+
+
+def test_lsh_indexed_matches_unindexed_and_prunes(spark, embeddings, tmp_path):
+    """write_ann_index + lsh_topk_indexed == lsh_topk, and the probe scan
+    carries PartitionFilters (plan-time pruning of bucket directories)."""
+    from bioner_spark.ops.similarity import lsh_topk, lsh_topk_indexed, write_ann_index
+
+    idx = str(tmp_path / "ann_idx")
+    write_ann_index(embeddings, idx, dim=64, n_planes=4)
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    got = lsh_topk_indexed(spark, idx, queries, k=5, n_planes=4, dim=64)
+    want = lsh_topk(embeddings, queries, k=5, n_planes=4, dim=64)
+    as_set = lambda df: {tuple(r) for r in df.select(
+        "query_id", "neighbor_id", "cosine", "rank").collect()}
+    assert as_set(got) == as_set(want)
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "bucket" in plan
