@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None) -> None:
                          "torch-free by torch_import.load_state_dict)")
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="override spark.sql.shuffle.partitions (default: 2x cores)")
+    ap.add_argument("--pilot-docs", type=int, default=0,
+                    help="run the full pipeline over this many docs BEFORE "
+                         "the timed section (untimed, output discarded). "
+                         "Pays per-JVM one-time costs — JIT/codegen warmup, "
+                         "broadcast machinery, Python worker spawn — the way "
+                         "a long-running cluster has already paid them; "
+                         "BENCH.md discloses when this is used")
     args = ap.parse_args(argv)
 
     spark = build_session()
@@ -138,6 +145,13 @@ def main(argv: list[str] | None = None) -> None:
         model = ship_model(spark, model_obj, name=f"kgjob_{args.model}")
 
     from bioner_spark.pipeline import run_checkpointed
+
+    if args.pilot_docs > 0:
+        from bioner_spark.pipeline import build_triples
+
+        pilot = pages.limit(args.pilot_docs)
+        build_triples(pilot, alias, tagger=args.tagger, model=model,
+                      vocab=vocab, ft_model=ft_model).triples.count()
 
     t0 = time.time()
     result = run_checkpointed(

@@ -85,7 +85,7 @@ def make_zip() -> str:
 
 def run_level(n_exec: int, pages: str, alias: str, zpath: str, tagger: str = "dict",
               extra_conf: list[str] | None = None, event_log_dir: str | None = None,
-              shuffle_partitions: int | None = None) -> dict:
+              shuffle_partitions: int | None = None, pilot_docs: int = 0) -> dict:
     """One spark-submit at `n_exec` single-core executor JVMs.
 
     local-cluster[N,1,mem] spawns N separate executor processes — the honest
@@ -123,6 +123,8 @@ def run_level(n_exec: int, pages: str, alias: str, zpath: str, tagger: str = "di
     ]
     if shuffle_partitions:
         cmd += ["--shuffle-partitions", str(shuffle_partitions)]
+    if pilot_docs:
+        cmd += ["--pilot-docs", str(pilot_docs)]
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     for line in proc.stdout.splitlines():
         line = line.strip()
@@ -138,7 +140,8 @@ def run_level_best(n_exec: int, pages: str, alias: str, zpath: str,
                    tagger: str = "dict", trials: int = 1,
                    extra_conf: list[str] | None = None,
                    event_log_dir: str | None = None,
-                   shuffle_partitions: int | None = None) -> dict:
+                   shuffle_partitions: int | None = None,
+                   pilot_docs: int = 0) -> dict:
     """Best (min-wall) of `trials` runs. This VM's vCPU scheduling is
     jittery — the same 8-executor job measured 187 s and 307 s back to back
     with zero configuration change. The minimum is the machine's honest
@@ -147,7 +150,7 @@ def run_level_best(n_exec: int, pages: str, alias: str, zpath: str,
     runs = [
         run_level(n_exec, pages, alias, zpath, tagger, extra_conf=extra_conf,
                   event_log_dir=event_log_dir,
-                  shuffle_partitions=shuffle_partitions)
+                  shuffle_partitions=shuffle_partitions, pilot_docs=pilot_docs)
         for _ in range(trials)
     ]
     best = min(runs, key=lambda r: r["pipeline_sec"])
@@ -270,6 +273,9 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="fixed shuffle partitions at BOTH levels (default: "
                          "kg_job's per-core heuristic)")
+    ap.add_argument("--pilot-docs", type=int, default=0,
+                    help="kg_job --pilot-docs: untimed full-pipeline warmup "
+                         "pass before the timed section at BOTH levels")
     ap.add_argument("--event-log-dir", default=None,
                     help="enable Spark event logs (for scripts/stage_forensics.py)")
     ap.add_argument("--no-probe", action="store_true")
@@ -282,7 +288,8 @@ def main() -> None:
         run_level_best(c, pages, alias, zpath, tagger=args.tagger,
                        trials=args.trials, extra_conf=args.extra_conf,
                        event_log_dir=args.event_log_dir,
-                       shuffle_partitions=args.shuffle_partitions)
+                       shuffle_partitions=args.shuffle_partitions,
+                       pilot_docs=args.pilot_docs)
         for c in args.cores
     ]
     lo, hi = levels
