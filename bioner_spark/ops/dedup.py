@@ -26,10 +26,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# deterministic universal-hash parameters: h_i(x) = (a_i * x + b_i) mod P
-# P prime > 2^32; a_i small so a*x stays << 2^63 (ANSI-overflow-safe)
+# deterministic universal-hash parameters: h_i(x) = (a_i * x + b_i) mod P.
+# P prime > 2^32. The a_i MUST look like independent random multipliers:
+# an earlier version used tiny a_i (2, 3, 5, ..., 19), which made all k
+# "independent" minhashes collapse onto whichever shingle had the smallest
+# base hash — the signature degenerated to ~1 effective hash and a
+# Jaccard-0.98 pair was observed escaping every band at sf0.1. Fixed odd
+# 30-bit multipliers keep a*x < 2^62 (int64-overflow-safe: x < 2^32,
+# a < 2^30) while giving the pairwise near-independence MinHash needs.
 LSH_PRIME = 4294967311
-MINHASH_COEFFS = [(2, 1), (3, 7), (5, 13), (7, 31), (11, 101), (13, 331), (17, 1009), (19, 4999)]
+MINHASH_COEFFS = [
+    (417371399, 3519957480),
+    (266086569, 2821662308),
+    (43659615, 4071123470),
+    (350330669, 1659708643),
+    (777982135, 1199402678),
+    (349068043, 2415631480),
+    (547769081, 2557419049),
+    (141939557, 2983091597),
+]
 
 
 def _hash32(c):
