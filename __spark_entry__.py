@@ -772,6 +772,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_topk"] = lsh_topk_q
 
+    def lsh_topk_indexed_q(spark, sf_dir):
+        # The production ANN shape: bucket assignment materialized ONCE at
+        # ingest (Parquet partitioned by bucket), probes read only matching
+        # partition dirs (plan-time pruning). Same planes → identical
+        # results to lsh_topk, so it shares that oracle's semantics.
+        import os
+        import tempfile
+
+        from bioner_spark.ops.similarity import lsh_topk_indexed, write_ann_index
+
+        emb = _emb(spark, sf_dir)
+        idx = os.path.join(
+            tempfile.gettempdir(), f"bioner_ann_index_{os.path.basename(sf_dir.rstrip('/'))}"
+        )
+        write_ann_index(emb, idx, dim=64, n_planes=8)
+        out = lsh_topk_indexed(
+            spark, idx, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8, dim=64
+        )
+        return out.select(
+            "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+        )
+
+    q["lsh_topk_indexed"] = lsh_topk_indexed_q
+
     def embedding_near_dup_q(spark, sf_dir):
         from bioner_spark.ops.similarity import embedding_near_dup
 
@@ -1915,6 +1939,11 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
+
+    # identical planes + identical cosine → the materialized-index probe
+    # must reproduce lsh_topk exactly; reusing the SQL makes that a checked
+    # invariant rather than a docstring claim
+    o["lsh_topk_indexed"] = o["lsh_topk"]
 
     o["embedding_near_dup"] = f"""
 WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
