@@ -1086,6 +1086,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_dedup_ledger"] = streaming_dedup_ledger
 
+    def pubtator_iob(spark, sf_dir):
+        """PubTator source roundtrip (SURVEY §2.1 S10): render the corpus +
+        gazetteer mentions into real PubTator files, re-read them with the
+        line-parallel reader, and project the parsed char-span annotations
+        onto re-tokenized text as IOB tags (what the reference delegates to
+        bconv — medmentions_conll_converter.py:27-29). The oracle recomputes
+        the expected token/tag rows straight from `documents` in SQL, so the
+        render→write→read→parse→tokenize→project chain is hash-verified
+        end to end."""
+        import tempfile
+
+        from bioner_spark.io.pubtator import (
+            kept_sentence_offsets,
+            project_iob,
+            read_pubtator,
+            render_pubtator,
+        )
+        from bioner_spark.tokenizer import tokenize
+
+        linked, toks = _kg_linked(spark, sf_dir)
+        docs = _docs(spark, sf_dir)
+        soff = kept_sentence_offsets(docs)
+        gtoks = toks.join(soff, ["doc_id", "sentence_id"]).select(
+            "doc_id", "sentence_id", "token_id",
+            (F.col("start") + F.col("g_off")).alias("g_start"),
+            (F.col("end") + F.col("g_off")).alias("g_end"),
+        )
+        etype = (
+            F.when(F.expr("CAST(right(component, 1) AS INT)") % 2 == 0, F.lit("CHEM"))
+            .otherwise(F.lit("DIS"))
+        )
+        mentions = (
+            linked
+            .join(
+                gtoks.withColumnRenamed("token_id", "start_tok").select(
+                    "doc_id", "sentence_id", "start_tok", "g_start"),
+                ["doc_id", "sentence_id", "start_tok"],
+            )
+            .join(
+                gtoks.withColumnRenamed("token_id", "end_tok").select(
+                    "doc_id", "sentence_id", "end_tok", "g_end"),
+                ["doc_id", "sentence_id", "end_tok"],
+            )
+            .select(
+                "doc_id", "g_start", "g_end", etype.alias("etype"),
+                F.col("canonical_id").alias("concept_id"),
+            )
+        )
+        tmp = tempfile.mkdtemp(prefix="pubtator_q_")
+        render_pubtator(docs, mentions).coalesce(4).write.mode("overwrite").text(tmp)
+        pdocs, anns = read_pubtator(spark, tmp)
+        ptoks = tokenize(pdocs, doc_col="doc_id", text_col="text")
+        psoff = kept_sentence_offsets(pdocs)
+        pg = ptoks.join(psoff, ["doc_id", "sentence_id"]).select(
+            "doc_id",
+            (F.col("start") + F.col("g_off")).cast("int").alias("g_start"),
+            (F.col("end") + F.col("g_off")).cast("int").alias("g_end"),
+            "text",
+        )
+        return project_iob(pg, anns)
+
+    q["pubtator_iob"] = pubtator_iob
+
     return q
 
 
@@ -2290,6 +2353,54 @@ SELECT fingerprint,
        (COUNT(*) - 1)::BIGINT AS max_dup,
        MIN(doc) AS min_doc
 FROM fp GROUP BY fingerprint
+"""
+
+    # pubtator_iob: the oracle never sees the PubTator files — it recomputes
+    # the expected (token, IOB tag) rows directly from `documents`: global
+    # char offsets = sentence-local offsets + kept-sentence cumulative
+    # offsets (1-char separators), mention spans from the gazetteer CTE's
+    # token spans, then the same earliest-start/longest-wins projection the
+    # engine applies to the PARSED annotations. Any drift in render, file
+    # write, read, parse, re-tokenize, or project breaks the hash.
+    o["pubtator_iob"] = f"""
+WITH {_TOKS_CTE},
+{_kg_cte().strip()},
+soff AS (
+  SELECT doc_id, sentence_id,
+         COALESCE(SUM(length(sentence) + 1) OVER (
+             PARTITION BY doc_id ORDER BY sentence_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS g_off
+  FROM raw
+),
+gtoks AS (
+  SELECT t.doc_id, t.sentence_id, t.token_id, t.text,
+         (t.start + o.g_off)::INT AS g_start, (t."end" + o.g_off)::INT AS g_end
+  FROM toks t JOIN soff o USING (doc_id, sentence_id)
+  WHERE length(t.text) > 0
+),
+anns AS (
+  SELECT l.doc_id, gs.g_start AS a_start, ge.g_end AS a_end,
+         CASE WHEN CAST(right(l.component, 1) AS INT) % 2 = 0
+              THEN 'CHEM' ELSE 'DIS' END AS etype
+  FROM linked l
+  JOIN gtoks gs ON gs.doc_id = l.doc_id AND gs.sentence_id = l.sentence_id
+               AND gs.token_id = l.start_tok
+  JOIN gtoks ge ON ge.doc_id = l.doc_id AND ge.sentence_id = l.sentence_id
+               AND ge.token_id = l.end_tok
+),
+proj AS (
+  SELECT t.doc_id, t.g_start, t.g_end, t.text,
+         a.a_start, a.a_end, a.etype,
+         row_number() OVER (PARTITION BY t.doc_id, t.g_start
+                            ORDER BY a.a_start, a.a_end DESC, a.etype) AS rn
+  FROM gtoks t LEFT JOIN anns a
+    ON a.doc_id = t.doc_id AND t.g_start >= a.a_start AND t.g_start < a.a_end
+)
+SELECT doc_id, g_start, g_end, text AS token,
+       CASE WHEN a_start IS NULL THEN 'O'
+            WHEN g_start <= a_start AND a_start < g_end THEN 'B-' || etype
+            ELSE 'I-' || etype END AS tag
+FROM proj WHERE rn = 1
 """
 
     return o

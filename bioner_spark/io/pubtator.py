@@ -1,0 +1,223 @@
+"""PubTator corpus format: render, parse, and char-span → token-IOB projection.
+
+Closes SURVEY §2.1 S10: the reference converts MedMentions from PubTator to
+CoNLL through the external `bconv` library (reference
+bioner/preprocessing/medmentions_conll_converter.py:27-29 — `bconv.load(fmt=
+'pubtator')` then `bconv.dump(fmt='conll', tagset='IOB')`). The format
+itself is public and simple (NCBI PubTator export): per document
+
+    <pmid>|t|<title text>
+    <pmid>|a|<abstract text>
+    <pmid> TAB <start> TAB <end> TAB <mention> TAB <type> TAB <concept_id>
+    (blank line between documents)
+
+with annotation offsets into ``title + <1 separator char> + abstract``.
+
+Engine version is Spark-native and line-parallel: every PubTator line is
+self-describing (title / abstract / annotation decided by its own shape), so
+``spark.read.text`` + regexp parsing needs no document grouping pass — the
+scan is narrow until the one doc-keyed join that reassembles title+abstract.
+The IOB projection (the piece bconv's conll dump performs) is a doc-keyed
+range join: token gets ``B-<type>`` when it contains the annotation's start
+char, ``I-<type>`` while it starts inside the span, ``O`` otherwise;
+overlapping annotations resolve deterministically to (earliest start,
+then longest). At 100 TB: parse is map-side; the projection shuffles tokens
+and annotations once each, co-keyed on doc_id (annotations per doc are tiny,
+so the join relation is skew-free and AQE-coalescible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# title/abstract lines: anchored on the FIRST '|t|' / '|a|' after a numeric
+# id, so body text containing '|' still parses
+_TITLE_RE = r"^(\d+)\|t\|(.*)$"
+_ABSTRACT_RE = r"^(\d+)\|a\|(.*)$"
+
+
+def kept_sentence_offsets(pages: DataFrame, doc_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """→ (doc_id, sentence_id, g_off): global char offset of each non-empty
+    sentence inside the PubTator rendering of the document (non-empty
+    sentences joined by exactly one separator char — '\\n' after the title,
+    ' ' inside the abstract; both are 1 char, so offsets are separator-
+    agnostic). Empty sentences keep their original sentence_id numbering
+    (tokenizer contract) but consume no chars.
+
+    Narrow: the cumulative sum runs inside a higher-order aggregate over the
+    per-row sentence array — no window, no shuffle."""
+    parts = F.split(F.col(text_col), "\n")
+    # running offset advances len+1 per NON-empty part; every part records
+    # the offset it would start at
+    offs = F.aggregate(
+        parts,
+        F.struct(F.lit(0).alias("off"), F.array().cast("array<int>").alias("acc")),
+        lambda acc, x: F.struct(
+            F.when(F.length(x) > 0, acc["off"] + F.length(x) + F.lit(1))
+            .otherwise(acc["off"]).alias("off"),
+            F.concat(acc["acc"], F.array(acc["off"])).alias("acc"),
+        ),
+        lambda acc: acc["acc"],
+    )
+    zipped = F.arrays_zip(parts.alias("sentence"), offs.alias("g_off"))
+    return (
+        pages.select(F.col(doc_col).alias("doc_id"),
+                     F.posexplode(zipped).alias("sentence_id", "z"))
+        .filter(F.length("z.sentence") > 0)
+        .select(
+            "doc_id",
+            F.col("sentence_id").cast("int"),
+            F.col("z.g_off").cast("int").alias("g_off"),
+        )
+    )
+
+
+def render_pubtator(pages: DataFrame, mentions: DataFrame,
+                    doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """pages × mentions → one PubTator line per row (single 'line' column).
+
+    ``mentions`` carries (doc_id, g_start, g_end, etype, concept_id) with
+    GLOBAL char offsets into the rendering; the mention surface is cut from
+    the reconstructed text so the emitted line is format-faithful
+    (mention column == substring(text, start, end), as NCBI emits it).
+
+    Title = first non-empty sentence; abstract = remaining non-empty
+    sentences joined by ' ' (PubTator abstracts are single-line; offsets are
+    unchanged because the engine's sentence separator is also 1 char)."""
+    kept = F.filter(F.split(F.col(text_col), "\n"), lambda x: F.length(x) > 0)
+    docs = pages.select(
+        F.col(doc_col).alias("doc_id"),
+        F.element_at(kept, 1).alias("title"),
+        F.array_join(F.slice(kept, 2, F.greatest(F.size(kept) - 1, F.lit(0))), " ")
+        .alias("abstract"),
+        F.array_join(kept, " ").alias("_recon"),
+    )
+    t_lines = docs.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|t|"), F.col("title"))
+        .alias("line")
+    )
+    a_lines = docs.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|a|"), F.col("abstract"))
+        .alias("line")
+    )
+    ann_lines = (
+        mentions.join(docs.select("doc_id", "_recon"), "doc_id")
+        .select(
+            F.concat_ws(
+                "\t",
+                F.col("doc_id").cast("string"),
+                F.col("g_start").cast("string"),
+                F.col("g_end").cast("string"),
+                F.expr("substring(_recon, g_start + 1, g_end - g_start)"),
+                F.col("etype"),
+                F.col("concept_id").cast("string"),
+            ).alias("line")
+        )
+    )
+    return t_lines.unionByName(a_lines).unionByName(ann_lines)
+
+
+def read_pubtator(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """PubTator text file(s) → (docs, annotations).
+
+    docs: (doc_id long, title, abstract, text) with
+    ``text = title || '\\n' || abstract`` — the 1-char junction keeps
+    annotation offsets valid and lets the engine tokenizer see title and
+    abstract as two sentences (bconv's section model).
+
+    annotations: (doc_id long, start int, end int, mention, etype,
+    concept_id). Blank separator lines and malformed rows are dropped.
+
+    Line-parallel: each line classifies itself; the only shuffle is the
+    title⋈abstract reassembly join on doc_id."""
+    lines = spark.read.text(path).select(F.col("value").alias("line"))
+    titles = (
+        lines.filter(F.col("line").rlike(_TITLE_RE))
+        .select(
+            F.regexp_extract("line", _TITLE_RE, 1).cast("long").alias("doc_id"),
+            F.regexp_extract("line", _TITLE_RE, 2).alias("title"),
+        )
+    )
+    abstracts = (
+        lines.filter(F.col("line").rlike(_ABSTRACT_RE))
+        .select(
+            F.regexp_extract("line", _ABSTRACT_RE, 1).cast("long").alias("doc_id"),
+            F.regexp_extract("line", _ABSTRACT_RE, 2).alias("abstract"),
+        )
+    )
+    docs = (
+        titles.join(abstracts, "doc_id", "left")
+        .select(
+            "doc_id", "title",
+            F.coalesce("abstract", F.lit("")).alias("abstract"),
+            F.concat("title", F.lit("\n"), F.coalesce("abstract", F.lit("")))
+            .alias("text"),
+        )
+    )
+    parts = F.split(F.col("line"), "\t")
+    anns = (
+        lines.filter(F.size(parts) >= 6)
+        .select(
+            F.element_at(parts, 1).cast("long").alias("doc_id"),
+            F.element_at(parts, 2).cast("int").alias("start"),
+            F.element_at(parts, 3).cast("int").alias("end"),
+            F.element_at(parts, 4).alias("mention"),
+            F.element_at(parts, 5).alias("etype"),
+            F.element_at(parts, 6).alias("concept_id"),
+        )
+        .filter(F.col("doc_id").isNotNull() & F.col("start").isNotNull()
+                & F.col("end").isNotNull())
+    )
+    return docs, anns
+
+
+def project_iob(tokens: DataFrame, annotations: DataFrame) -> DataFrame:
+    """Char-span annotations → token-level IOB tags (bconv conll/IOB dump
+    semantics, reference medmentions_conll_converter.py:29).
+
+    ``tokens`` needs (doc_id, g_start, g_end, text) with GLOBAL char
+    offsets; ``annotations`` needs (doc_id, start, end, etype).
+
+    Rules: a token starting inside [start, end) belongs to the annotation;
+    it is ``B-<etype>`` when it CONTAINS the annotation's start char
+    (robust to annotations that begin mid-token), ``I-<etype>`` otherwise.
+    When several annotations claim one token, the earliest-start then
+    longest one wins (deterministic total order). Tokens outside every
+    span are ``O``.
+
+    One doc-keyed join; the winner per token is a min(struct) aggregation —
+    no window, map-side combinable."""
+    t = tokens.select("doc_id", "g_start", "g_end", F.col("text").alias("token"))
+    a = annotations.select(
+        "doc_id", F.col("start").alias("a_start"),
+        F.col("end").alias("a_end"), "etype",
+    )
+    j = t.join(
+        a,
+        [t.doc_id == a.doc_id, t.g_start >= a.a_start, t.g_start < a.a_end],
+        "left",
+    ).select(
+        t.doc_id, "g_start", "g_end", "token",
+        F.when(
+            a.a_start.isNotNull(),
+            F.struct(
+                F.col("a_start"), (-F.col("a_end")).alias("neg_end"), F.col("etype")
+            ),
+        ).alias("cand"),
+    )
+    won = j.groupBy("doc_id", "g_start", "g_end", "token").agg(
+        F.min("cand").alias("w")
+    )
+    return won.select(
+        "doc_id", "g_start", "g_end", "token",
+        F.when(F.col("w").isNull(), F.lit("O"))
+        .when(
+            (F.col("g_start") <= F.col("w.a_start"))
+            & (F.col("w.a_start") < F.col("g_end")),
+            F.concat(F.lit("B-"), F.col("w.etype")),
+        )
+        .otherwise(F.concat(F.lit("I-"), F.col("w.etype")))
+        .alias("tag"),
+    )

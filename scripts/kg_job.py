@@ -103,9 +103,16 @@ def main(argv: list[str] | None = None) -> None:
     cores = spark.sparkContext.defaultParallelism
     # neural: the hot stages are Arrow->numpy python workers (BiLSTM forward)
     # and the per-sentence encode aggregate — finer tasks amortize stragglers
-    # on jittery vCPUs and cost little (Arrow batches bound per-call memory);
-    # dict: JVM-native string churn, 2x cores keeps shuffle files coarse
-    default_shuffle = max(8, (4 if args.tagger == "neural" else 2) * cores)
+    # on jittery vCPUs and cost little (Arrow batches bound per-call memory).
+    # Floor of 96: shuffle partitions must be sized so one task's sort fits
+    # executor memory, NOT to the core count — at 400k docs the token
+    # exchange is ~3.4 GB compressed, and 2x cores (= 4-16 partitions)
+    # made each task sort 200-850 MB compressed => 30-38 GB measured spill
+    # per run; at 96 partitions (~35 MB/task) spill is zero and the same
+    # 2->8-executor pair moved 0.694 -> 0.786 efficiency (BENCH.md). AQE
+    # only COALESCES partitions, never splits, so the floor must come from
+    # here; small inputs lose nothing because AQE folds the tail back down.
+    default_shuffle = max(96, (4 if args.tagger == "neural" else 2) * cores)
     shuffle = args.shuffle_partitions or default_shuffle
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
 
