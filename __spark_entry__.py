@@ -1914,15 +1914,18 @@ feats AS (
     ROUND((n_chars - n_words + 1) / greatest(n_words, 1), 6) AS mean_word_len,
     ROUND(length(regexp_replace(text, '[^\p{{P}}]', '', 'g')) / greatest(n_chars, 1), 6) AS punct_ratio,
     ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(n_chars, 1), 6) AS digit_ratio,
-    ROUND(h_en / greatest(n_words, 1), 6) AS stopword_ratio
+    ROUND(h_en / greatest(n_words, 1), 6) AS stopword_ratio,
+    -- score recomputed in EXACT integer micros (floor //), mirroring the
+    -- engine: no float ROUND anywhere, so no .5-boundary divergence
+    (4 * (least(n_words, 100)::BIGINT * 10000)
+     + 3 * least(5 * (1000000::BIGINT * h_en // greatest(n_words, 1)), 1000000)
+     + 2 * (1000000 - least(4 * (1000000::BIGINT * length(regexp_replace(text, '[^\p{{P}}]', '', 'g')) // greatest(n_chars, 1)), 1000000))
+     + (1000000 - least(4 * (1000000::BIGINT * length(regexp_replace(text, '[^0-9]', '', 'g')) // greatest(n_chars, 1)), 1000000))
+    ) / 10000000.0 AS quality_score
   FROM base
 )
 SELECT doc_id, n_words, n_chars, mean_word_len, punct_ratio, digit_ratio, stopword_ratio,
-  ROUND(
-    least(n_words / 100.0, 1.0) * 0.4
-    + least(stopword_ratio * 5.0, 1.0) * 0.3
-    + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
-    + (1.0 - least(digit_ratio * 4.0, 1.0)) * 0.1, 6) AS quality_score
+  quality_score
 FROM feats
 """
 

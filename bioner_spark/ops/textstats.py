@@ -62,13 +62,34 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = F.round(
         stopword_hits(c, "en") / F.greatest(n_words, F.lit(1)), 6
     )
-    score = F.round(
-        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
-        + (F.lit(1.0) - F.least(digit_ratio * F.lit(4.0), F.lit(1.0))) * 0.1,
-        6,
-    )
+    # Composite score in EXACT integer micros — no float rounding anywhere.
+    # The old float formula (0.4*len_score + 0.3*min(5*stop,1) + ...) over
+    # 6-decimal-rounded ratios lands exactly on 7th-digit .5 boundaries
+    # (1.5 × a 6-decimal ratio), where Spark's BigDecimal HALF_UP round and
+    # an independent engine's float-based ROUND can disagree on the last
+    # digit (observed once at sf0.1: 0.758505 vs 0.758506). Fix: quantize
+    # each ratio to integer micros with floor `div` (pure int64 ops, no
+    # boundary semantics at all), combine with integer weights 4/3/2/1, and
+    # expose score = micros / 1e7 — one IEEE division of exact integers,
+    # bit-identical on any engine. Same [0,1] semantics, quantized at 1e-6
+    # like before.
+    def _idiv(a, b):
+        # exact non-negative int64 floor division: (a - a%b) is divisible by
+        # b and ≤ ~1e11 here, so the IEEE double division is exact
+        return ((a - a % b) / b).cast("long")
+
+    micro = F.lit(1000000).cast("long")
+    w1 = F.greatest(n_words, F.lit(1)).cast("long")
+    c1 = F.greatest(n_chars, F.lit(1)).cast("long")
+    n_stop = stopword_hits(c, "en").cast("long")
+    n_punct = F.length(F.regexp_replace(c, r"[^\p{P}]", "")).cast("long")
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("long")
+    len_t = F.least(n_words.cast("long"), F.lit(100)) * F.lit(10000)
+    stop_t = F.least(F.lit(5) * _idiv(micro * n_stop, w1), micro)
+    punct_t = micro - F.least(F.lit(4) * _idiv(micro * n_punct, c1), micro)
+    digit_t = micro - F.least(F.lit(4) * _idiv(micro * n_digit, c1), micro)
+    score_micro = F.lit(4) * len_t + F.lit(3) * stop_t + F.lit(2) * punct_t + digit_t
+    score = score_micro / F.lit(10000000.0)
     return df.withColumns(
         {
             "n_words": n_words,
