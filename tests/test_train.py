@@ -1,0 +1,307 @@
+"""Training-stack verification (M9/B2/A15):
+
+1. forward_train (cached training forward) must equal the golden-verified
+   inference forward bit-for-bit when dropout is off;
+2. finite-difference gradient checks on EVERY parameter tensor, with padded
+   batches, ignore_index labels, and dropout masks;
+3. Adam vs a hand-stepped scalar reference (torch-default semantics);
+4. the distributed trainer and the single-node authority replay identical
+   batches and must agree on final weights to ~1e-9 (float64);
+5. early stopping + best-checkpoint semantics;
+6. B2 doc-shuffle order: deterministic, doc-contiguous, seed-sensitive;
+7. A15 grid search early-break rule parity (parameter_optimization.py:128-131).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from bioner_spark.ner.kernel import init_model
+from bioner_spark.ner.train import (
+    AdamState,
+    TrainResult,
+    assign_doc_shuffled_order,
+    backward_model,
+    batch_gradient,
+    cross_entropy_sum,
+    dropout_masks_for_sentence,
+    flatten_grads,
+    flatten_params,
+    forward_train,
+    grid_search,
+    model_from_flat,
+    param_spec,
+    train_distributed,
+    train_single_node,
+)
+
+RNG = np.random.default_rng(20260817)
+
+
+def tiny_model(dtype=np.float64, **over):
+    cfg = dict(feedforward_size=7, lstm_size=4, n_bilstm_layers=2, seed=7)
+    cfg.update(over)
+    m = init_model(input_dim=5, **cfg)
+    # float32 init → requested dtype for numerically tight tests
+    flat = flatten_params(m, dtype)
+    return model_from_flat(flat, param_spec(m))
+
+
+def random_batch(B=3, Tmax=6, D=5, dtype=np.float64, seed=1):
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(2, Tmax + 1, size=B)
+    lengths[0] = Tmax  # at least one full-length row
+    x = rng.normal(size=(B, Tmax, D)).astype(dtype)
+    y = rng.integers(0, 3, size=(B, Tmax))
+    for i, L in enumerate(lengths):
+        x[i, L:] = 0.0
+        y[i, L:] = -100
+    return x, y, lengths
+
+
+def test_forward_train_matches_inference_forward():
+    m = tiny_model()
+    x, _, lengths = random_batch()
+    logits, _ = forward_train(m, x, lengths, masks=None)
+    ref = m.forward(x, lengths)
+    np.testing.assert_array_equal(logits, ref)
+
+
+def _loss_for(m, x, y, lengths, masks):
+    logits, _ = forward_train(m, x, lengths, masks)
+    loss, n, _ = cross_entropy_sum(logits, y)
+    return loss
+
+
+@pytest.mark.parametrize("dropout", [None, 0.4])
+def test_gradcheck_every_parameter(dropout):
+    m = tiny_model()
+    spec = param_spec(m)
+    x, y, lengths = random_batch()
+    masks = None
+    if dropout:
+        from bioner_spark.ner.train import _mask_dims
+
+        dims = _mask_dims(m)
+        masks = [np.ones((x.shape[0], x.shape[1], d)) for d in dims]
+        for bi, L in enumerate(lengths):
+            ms = dropout_masks_for_sentence(dropout, int(L), dims, 9, 0, bi, np.float64)
+            for site, mk in enumerate(ms):
+                masks[site][bi, :L] = mk
+
+    logits, cache = forward_train(m, x, lengths, masks)
+    _, _, dlogits = cross_entropy_sum(logits, y)
+    grads = backward_model(m, cache, dlogits)
+    flat = flatten_params(m)
+    flat_grad = flatten_grads(grads, spec)
+
+    eps = 1e-6
+    rng = np.random.default_rng(3)
+    # probe a sample of coordinates in every tensor
+    off = 0
+    for name, shape in spec:
+        size = int(np.prod(shape))
+        for idx in rng.choice(size, size=min(4, size), replace=False):
+            j = off + int(idx)
+            fp = flat.copy()
+            fp[j] += eps
+            lp = _loss_for(model_from_flat(fp, spec), x, y, lengths, masks)
+            fm = flat.copy()
+            fm[j] -= eps
+            lm = _loss_for(model_from_flat(fm, spec), x, y, lengths, masks)
+            num = (lp - lm) / (2 * eps)
+            ana = flat_grad[j]
+            assert abs(num - ana) < 1e-5 * max(1.0, abs(num)), (
+                f"{name}[{idx}]: numeric {num} vs analytic {ana}"
+            )
+        off += size
+
+
+def test_gradient_zero_wrt_pad_inputs():
+    """Packed-sequence parity: the loss must not depend on pad-position
+    inputs at all (kernel docstring invariant, datexis_model.py:55-58)."""
+    m = tiny_model()
+    x, y, lengths = random_batch()
+    base = _loss_for(m, x, y, lengths, None)
+    x2 = x.copy()
+    for i, L in enumerate(lengths):
+        x2[i, L:] = 123.456
+    assert _loss_for(m, x2, y, lengths, None) == pytest.approx(base, abs=1e-12)
+
+
+def test_adam_matches_hand_reference():
+    """Two steps on a 2-vector against the torch-documented update rule."""
+    flat = np.array([1.0, -2.0])
+    st = AdamState.like(flat)
+    g1 = np.array([0.5, -1.5])
+    g2 = np.array([-0.25, 0.75])
+    lr = 0.1
+    m = v = np.zeros(2)
+    ref = flat.copy()
+    for t, g in ((1, g1), (2, g2)):
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        ref = ref - lr * (m / (1 - 0.9**t)) / (np.sqrt(v / (1 - 0.999**t)) + 1e-8)
+    out = st.step(flat, g1, lr)
+    out = st.step(out, g2, lr)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-15)
+
+
+def _toy_rows(n_docs=6, max_sent=3, D=5, seed=11):
+    """Deterministic learnable corpus: label depends on feature sign."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    order = 0
+    for d in range(n_docs):
+        for s in range(int(rng.integers(1, max_sent + 1))):
+            L = int(rng.integers(2, 7))
+            x = rng.normal(size=(L, D))
+            y = (x[:, 0] > 0.3).astype(int)  # mostly O(2)/B-ish mix
+            y = np.where(y == 1, 0, 2)
+            rows.append((order, x.tolist(), y.tolist(), d, s))
+            order += 1
+    return rows
+
+
+def test_distributed_matches_single_node(spark):
+    rows = _toy_rows()
+    train_rows = [(o, x, y) for (o, x, y, d, s) in rows]
+    val_rows = [(x, y) for (o, x, y, d, s) in rows[:5]]
+    m = tiny_model(n_bilstm_layers=1)
+
+    single = train_single_node(
+        train_rows, val_rows, m, batch_size=6, max_epochs=3, lr=0.01,
+        dropout_p=0.3, seed=42, dtype=np.float64,
+    )
+
+    # Spark path must derive the SAME order: build a df whose doc shuffle
+    # with seed=42 reproduces train_rows' order — instead of fighting the
+    # hash permutation, feed the single-node authority the ORDER THE SPARK
+    # SIDE PRODUCES. So: run the order assignment first, read it back, and
+    # hand that ordering to the authority.
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sentence_id", IntegerType()),
+            StructField("x", ArrayType(ArrayType(DoubleType()))),
+            StructField("y", ArrayType(IntegerType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(d, s, x, y) for (o, x, y, d, s) in rows], schema
+    )
+    ordered, n = assign_doc_shuffled_order(df, seed=42)
+    assert n == len(rows)
+    collected = ordered.select("order_idx", "x", "y").collect()
+    auth_rows = [(int(r[0]), r[1], r[2]) for r in collected]
+    single2 = train_single_node(
+        auth_rows, val_rows, m, batch_size=6, max_epochs=3, lr=0.01,
+        dropout_p=0.3, seed=42, dtype=np.float64,
+    )
+
+    val_schema = StructType(
+        [
+            StructField("x", ArrayType(ArrayType(DoubleType()))),
+            StructField("y", ArrayType(IntegerType())),
+        ]
+    )
+    val_df = spark.createDataFrame(val_rows, val_schema)
+    dist = train_distributed(
+        spark, df, val_df, m, batch_size=6, max_epochs=3, lr=0.01,
+        dropout_p=0.3, seed=42, n_shards=3, dtype=np.float64,
+    )
+
+    np.testing.assert_allclose(dist.flat, single2.flat, rtol=0, atol=1e-9)
+    for h1, h2 in zip(dist.history, single2.history):
+        assert h1["train_loss"] == pytest.approx(h2["train_loss"], abs=1e-9)
+        assert h1["val_f1"] == pytest.approx(h2["val_f1"], abs=1e-12)
+    # sanity: the sorted single-node run (order_idx already 0..n-1 in input
+    # order) differs from the shuffled one unless the hash permutation is
+    # the identity — not asserted, just exercised above via `single`.
+    assert single.stopped_epoch == 3
+
+
+def test_training_learns_and_early_stops(spark):
+    rows = _toy_rows(n_docs=10, seed=5)
+    train_rows = [(o, x, y) for (o, x, y, d, s) in rows]
+    val_rows = [(x, y) for (o, x, y, d, s) in rows]
+    m = tiny_model(n_bilstm_layers=1)
+    res = train_single_node(
+        train_rows, val_rows, m, batch_size=8, max_epochs=12, lr=0.02,
+        seed=3, patience=3, dtype=np.float64,
+    )
+    losses = [h["train_loss"] for h in res.history]
+    assert losses[-1] < losses[0] * 0.9  # it learns
+    # best checkpoint = argmax val F1 among run epochs
+    f1s = [h["val_f1"] for h in res.history]
+    assert res.best_val_f1 == pytest.approx(max(f1s))
+    assert res.history[res.best_epoch - 1]["val_f1"] == pytest.approx(res.best_val_f1)
+    # patience: run ends no later than best_epoch + patience
+    assert res.stopped_epoch <= res.best_epoch + 3
+
+
+def test_doc_shuffle_contiguous_and_seeded(spark):
+    rows = _toy_rows(n_docs=8, seed=2)
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sentence_id", IntegerType()),
+            StructField("x", ArrayType(ArrayType(DoubleType()))),
+            StructField("y", ArrayType(IntegerType())),
+        ]
+    )
+    df = spark.createDataFrame([(d, s, x, y) for (o, x, y, d, s) in rows], schema)
+    o1, n1 = assign_doc_shuffled_order(df, seed=1)
+    o1b, _ = assign_doc_shuffled_order(df, seed=1)
+    o2, _ = assign_doc_shuffled_order(df, seed=2)
+    a = [(r["order_idx"], r["doc_id"], r["sentence_id"]) for r in o1.collect()]
+    b = [(r["order_idx"], r["doc_id"], r["sentence_id"]) for r in o1b.collect()]
+    c = [(r["order_idx"], r["doc_id"], r["sentence_id"]) for r in o2.collect()]
+    assert sorted(a) == sorted(b)  # deterministic
+    assert sorted(x[0] for x in a) == list(range(n1))  # a permutation
+    assert sorted(a) != sorted(c)  # seed-sensitive
+    # doc-contiguity: per doc, order idxs form one consecutive run ordered
+    # by sentence_id (conll_dataloader.py:10-12 flatten semantics)
+    by_doc: dict = {}
+    for oi, d, s in a:
+        by_doc.setdefault(d, []).append((s, oi))
+    for d, lst in by_doc.items():
+        lst.sort()
+        ois = [oi for _, oi in lst]
+        assert ois == list(range(min(ois), min(ois) + len(ois)))
+
+
+def test_grid_search_early_break_rule():
+    """Scripted F1 sequence: within one (lr, lstm) the ff loop must stop
+    right after the first drop below the carried max-so-far."""
+    f1 = {
+        (0.01, 8, 4): 0.3, (0.01, 8, 8): 0.5, (0.01, 8, 16): 0.4,  # break after 16
+        (0.01, 9, 4): 0.6, (0.01, 9, 8): 0.2,                       # break after 8
+    }
+    calls = []
+
+    def fake_train(lr, lstm, ff):
+        calls.append((lr, lstm, ff))
+        r = TrainResult(flat=np.zeros(1), spec=[])
+        r.best_val_f1 = f1[(lr, lstm, ff)]
+        return r
+
+    results, best = grid_search(
+        fake_train, learning_rates=(0.01,), lstm_sizes=(8, 9), ff_sizes=(4, 8, 16)
+    )
+    assert calls == [
+        (0.01, 8, 4), (0.01, 8, 8), (0.01, 8, 16),  # 0.4 < 0.5 → break (16 ran)
+        (0.01, 9, 4), (0.01, 9, 8),                  # 0.2 < 0.6 → break (16 skipped)
+    ]
+    assert best["val_f1"] == 0.6 and best["lstm_size"] == 9 and best["ff_size"] == 4
