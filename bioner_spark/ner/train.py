@@ -447,16 +447,20 @@ def _early_stop_loop(epoch_fn, eval_fn, flat0, spec, max_epochs, patience, save_
     stopping (counter resets only on strict improvement, annotator via
     ignite EarlyStopping patience=10) and best-checkpoint (n_saved=1,
     annotator.py:140-150)."""
+    import time
+
     flat = flat0
     best_f1, best_flat, best_epoch, stall = -1.0, flat0, 0, 0
     history = []
     stopped = 0
     for epoch in range(1, max_epochs + 1):
+        t0 = time.perf_counter()
         flat, mean_loss = epoch_fn(flat, epoch)
+        epoch_sec = time.perf_counter() - t0
         p, r, f1 = eval_fn(flat)
         history.append(
             {"epoch": epoch, "train_loss": mean_loss, "val_precision": p,
-             "val_recall": r, "val_f1": f1}
+             "val_recall": r, "val_f1": f1, "epoch_sec": epoch_sec}
         )
         if f1 > best_f1:
             best_f1, best_flat, best_epoch, stall = f1, flat.copy(), epoch, 0

@@ -1,0 +1,88 @@
+"""Two-parallelism scaling evidence for the TRAINING loop (M9) — the same
+N vs 4N single-core-executor-JVM method as scripts/scaling_bench.py, over
+scripts/train_job.py. Per-epoch walls (min over epochs: epoch 1 pays
+broadcast/codepath warmup) give sentences/sec at each level and
+efficiency = (thr_4N / thr_N) / 4.
+
+Usage: python scripts/train_scaling.py [--cores 2 8] [--n-sentences 8192]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scaling_bench import EXEC_MEM_MB, REPO, WORK, make_zip  # noqa: E402
+
+
+def run_level(n_exec: int, zpath: str, args) -> dict:
+    shm_dir = "/dev/shm/spark-local"
+    os.makedirs(shm_dir, exist_ok=True)
+    cmd = [
+        "spark-submit",
+        "--master", f"local-cluster[{n_exec},1,{EXEC_MEM_MB}]",
+        "--driver-memory", "8g",
+        "--conf", f"spark.local.dir={shm_dir}",
+        # Pin BLAS threads to the executor's core count (1): numpy's
+        # OpenBLAS defaults to ALL machine threads, so an unpinned
+        # 2-executor level secretly uses up to 2×32 threads and the
+        # measured "scaling" compares different effective core counts
+        # (first run measured 0.416 for exactly this reason). On a real
+        # cluster this pinning is the standard 1-core-executor config.
+        "--conf", "spark.executorEnv.OMP_NUM_THREADS=1",
+        "--conf", "spark.executorEnv.OPENBLAS_NUM_THREADS=1",
+        "--conf", "spark.executorEnv.MKL_NUM_THREADS=1",
+        "--conf", "spark.executorEnv.VECLIB_MAXIMUM_THREADS=1",
+        "--conf", "spark.executorEnv.NUMEXPR_NUM_THREADS=1",
+        "--py-files", zpath,
+        os.path.join(REPO, "scripts/train_job.py"),
+        "--n-sentences", str(args.n_sentences),
+        "--batch", str(args.batch),
+        "--epochs", str(args.epochs),
+        "--n-shards", str(n_exec),
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"train_sentences_per_sec"' in line:
+            return json.loads(line)
+    raise RuntimeError(
+        f"no metrics line at {n_exec} executors:\nstdout:\n{proc.stdout[-2000:]}"
+        f"\nstderr:\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, nargs=2, default=[2, 8])
+    ap.add_argument("--n-sentences", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--epochs", type=int, default=3)
+    args = ap.parse_args()
+
+    zpath = make_zip()
+    lo, hi = args.cores
+    r_lo = run_level(lo, zpath, args)
+    r_hi = run_level(hi, zpath, args)
+    factor = hi / lo
+    eff = (r_hi["train_sentences_per_sec"] / r_lo["train_sentences_per_sec"]) / factor
+    print(
+        json.dumps(
+            {
+                "levels": [r_lo, r_hi],
+                "scaling_efficiency": round(eff, 3),
+                "factor": factor,
+                "target": 0.8,
+                "pass": eff >= 0.8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
