@@ -105,6 +105,18 @@ def run_level(n_exec: int, pages: str, alias: str, zpath: str, tagger: str = "di
         "--master", f"local-cluster[{n_exec},1,{EXEC_MEM_MB}]",
         "--driver-memory", "8g",
         "--conf", f"spark.local.dir={shm_dir}",
+        # Pin numpy/BLAS threads to the executor's core count (1): OpenBLAS
+        # defaults to ALL machine threads inside every Python worker, so an
+        # unpinned low-executor level silently uses more cores than it is
+        # credited with and the N→4N comparison is between different
+        # effective core counts (found via train_scaling.py: 0.416 → honest
+        # after pinning, BOTH levels faster). Standard real-cluster config
+        # for 1-core executors.
+        "--conf", "spark.executorEnv.OMP_NUM_THREADS=1",
+        "--conf", "spark.executorEnv.OPENBLAS_NUM_THREADS=1",
+        "--conf", "spark.executorEnv.MKL_NUM_THREADS=1",
+        "--conf", "spark.executorEnv.VECLIB_MAXIMUM_THREADS=1",
+        "--conf", "spark.executorEnv.NUMEXPR_NUM_THREADS=1",
     ]
     if event_log_dir:
         os.makedirs(event_log_dir, exist_ok=True)
