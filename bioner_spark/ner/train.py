@@ -688,6 +688,45 @@ def train_distributed(
 
 
 # --------------------------------------------------------------------------
+# encoded training frame from tagged tokens (the reference's
+# Annotator.load_dataset = CoNLLDataset + FasttextEncoder.encode,
+# annotator.py:190-196 — BioNER trains on fastText vectors ONLY,
+# fasttext_encoder.py:17-28)
+# --------------------------------------------------------------------------
+def training_frame_fasttext(tokens, ft_model, tag_col: str = "tag"):
+    """tokens (doc_id, sentence_id, token_id, text, tag) → one row per
+    sentence: (doc_id, sentence_id, x: array<array<float>>, y: array<int>)
+    ready for train_distributed. Labels: B=0, I=1, O=2 (bio2tag.py:12-18,
+    matching kernel.predict_tags). One shuffle (the sentence groupBy);
+    the fastText lookup is the vectorized distinct-word path of
+    fasttext_token_vectors."""
+    from pyspark.sql import functions as F
+
+    from .fasttext import fasttext_token_vectors
+
+    enc = fasttext_token_vectors(tokens, ft_model, out_col="_ft_vec")
+    tag_idx = (
+        F.when(F.col(tag_col) == "B", 0)
+        .when(F.col(tag_col) == "I", 1)
+        .otherwise(2)
+        .cast("int")
+    )
+    return (
+        enc.select(
+            "doc_id", "sentence_id", "token_id",
+            F.col("_ft_vec").alias("_x"), tag_idx.alias("_y"),
+        )
+        .groupBy("doc_id", "sentence_id")
+        .agg(F.array_sort(F.collect_list(F.struct("token_id", "_x", "_y"))).alias("_t"))
+        .select(
+            "doc_id", "sentence_id",
+            F.transform("_t", lambda s: s["_x"]).alias("x"),
+            F.transform("_t", lambda s: s["_y"]).alias("y"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # A15: architecture grid search (parameter_optimization.py:12-14, 94-131)
 # --------------------------------------------------------------------------
 def grid_search(

@@ -305,3 +305,65 @@ def test_grid_search_early_break_rule():
         (0.01, 9, 4), (0.01, 9, 8),                  # 0.2 < 0.6 → break (16 skipped)
     ]
     assert best["val_f1"] == 0.6 and best["lstm_size"] == 9 and best["ff_size"] == 4
+
+
+def test_training_frame_fasttext_end_to_end(spark):
+    """Reference Annotator.train shape on the engine's own encoders:
+    tagged tokens → fastText training frame → distributed training →
+    save/load the checkpoint → F1 on the training sentences improves over
+    the untrained init (tiny corpus; learnable because the tag depends on
+    the word identity and fixture fastText vectors are word-determined)."""
+    import numpy as np
+
+    from bioner_spark.ner.fasttext import FastTextModel
+    from bioner_spark.ner.kernel import SequenceModel
+    from bioner_spark.ner.train import training_frame_fasttext
+
+    ft = FastTextModel.fixture(bucket=300, dim=8)
+    ent = ["xenon", "xylem", "xeric"]
+    filler = ["the", "cat", "sat", "on", "mats", "dog", "runs", "fast"]
+    rng = np.random.default_rng(17)
+    rows = []
+    for d in range(12):
+        for s in range(2):
+            words, tags = [], []
+            for t in range(6):
+                if rng.random() < 0.3:
+                    words.append(ent[int(rng.integers(len(ent)))])
+                    tags.append("B")
+                else:
+                    words.append(filler[int(rng.integers(len(filler)))])
+                    tags.append("O")
+            rows += [
+                (d, s, t, w, tg) for t, (w, tg) in enumerate(zip(words, tags))
+            ]
+    tokens = spark.createDataFrame(
+        rows, "doc_id long, sentence_id int, token_id int, text string, tag string"
+    )
+    frame = training_frame_fasttext(tokens, ft).cache()
+    got = frame.collect()
+    assert len(got) == 24
+    assert all(len(r["x"]) == len(r["y"]) == 6 for r in got)
+    assert all(len(v) == 8 for r in got for v in r["x"])
+
+    m0 = init_model(input_dim=8, feedforward_size=12, lstm_size=6,
+                    n_bilstm_layers=1, seed=3)
+    val_df = frame.select("x", "y")
+    res = train_distributed(
+        spark, frame, val_df, m0, batch_size=12, max_epochs=8, lr=0.03,
+        seed=5, n_shards=2, dtype=np.float64,
+    )
+    base_rows = [(r["x"], r["y"]) for r in got]
+    from bioner_spark.ner.train import _eval_rows, _prf1
+
+    f1_init = _prf1(*_eval_rows(m0, base_rows, np.float64))[2]
+    assert res.best_val_f1 > f1_init + 0.2  # actually learned the pattern
+
+    # checkpoint roundtrip feeds the inference path
+    import tempfile, os
+
+    path = os.path.join(tempfile.mkdtemp(), "trained.npz")
+    res.model().save(path)
+    loaded = SequenceModel.load(path)
+    f1_loaded = _prf1(*_eval_rows(loaded, base_rows, np.float64))[2]
+    assert f1_loaded == pytest.approx(res.best_val_f1, abs=1e-6)
