@@ -2397,13 +2397,21 @@ proj AS (
          row_number() OVER (PARTITION BY t.doc_id, t.g_start
                             ORDER BY a.a_start, a.a_end DESC, a.etype) AS rn
   FROM gtoks t LEFT JOIN anns a
-    ON a.doc_id = t.doc_id AND t.g_start >= a.a_start AND t.g_start < a.a_end
+    ON a.doc_id = t.doc_id AND t.g_start < a.a_end AND t.g_end > a.a_start
+),
+win AS (SELECT * FROM proj WHERE rn = 1),
+firsts AS (
+  SELECT doc_id, a_start, a_end, etype, MIN(g_start) AS b_start
+  FROM win WHERE a_start IS NOT NULL
+  GROUP BY doc_id, a_start, a_end, etype
 )
-SELECT doc_id, g_start, g_end, text AS token,
-       CASE WHEN a_start IS NULL THEN 'O'
-            WHEN g_start <= a_start AND a_start < g_end THEN 'B-' || etype
-            ELSE 'I-' || etype END AS tag
-FROM proj WHERE rn = 1
+SELECT w.doc_id, w.g_start, w.g_end, w.text AS token,
+       CASE WHEN w.a_start IS NULL THEN 'O'
+            WHEN w.g_start = f.b_start THEN 'B-' || w.etype
+            ELSE 'I-' || w.etype END AS tag
+FROM win w LEFT JOIN firsts f
+  ON f.doc_id = w.doc_id AND f.a_start = w.a_start
+ AND f.a_end = w.a_end AND f.etype = w.etype
 """
 
     return o

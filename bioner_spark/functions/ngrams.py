@@ -118,6 +118,16 @@ def build_vocabulary(
     return out
 
 
+def vocab_size(vocab: DataFrame) -> int:
+    """Vocabulary row count WITHOUT a job when possible: the size stashed by
+    build_vocabulary's two-phase rank (survives persist()/cache(), which
+    return self), falling back to count() for an arbitrary external vocab
+    DataFrame (select/filter/checkpoint drop the attribute). The single
+    place consumers should get the multi-hot scatter width from."""
+    n = getattr(vocab, "_bioner_vocab_size", None)
+    return n if n is not None else vocab.count()
+
+
 def encode_multihot_indices(
     tokens: DataFrame,
     vocab: DataFrame,

@@ -212,10 +212,21 @@ def canonical_map(alias_dict: DataFrame, driver_threshold: int = 2_000_000) -> D
     NOTE: this function is EAGER — it runs 1-2 small Spark jobs at call
     time (a count-only gate, then the collect when under threshold). The
     gate itself moves only a count, never full rows, so an over-threshold
-    dictionary costs one cheap count before taking the distributed path."""
-    n = alias_dict.limit(driver_threshold + 1).count()
-    if n <= driver_threshold:
-        rows = alias_dict.select("alias", "canonical_id").collect()
+    dictionary costs one cheap count before taking the distributed path.
+    The collect is ALSO limit-bounded: a source that grows between the two
+    jobs (refreshed parquet dir, non-deterministic upstream) can never move
+    more than driver_threshold+1 rows to the driver — growth past the gate
+    is detected and falls through to the distributed path."""
+    rows = None
+    if alias_dict.limit(driver_threshold + 1).count() <= driver_threshold:
+        rows = (
+            alias_dict.select("alias", "canonical_id")
+            .limit(driver_threshold + 1)
+            .collect()
+        )
+        if len(rows) > driver_threshold:
+            rows = None  # grew past the gate between jobs: go distributed
+    if rows is not None:
         by_alias: dict = {}
         ids: set = set()
         for r in rows:

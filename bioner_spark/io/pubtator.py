@@ -180,15 +180,21 @@ def project_iob(tokens: DataFrame, annotations: DataFrame) -> DataFrame:
     ``tokens`` needs (doc_id, g_start, g_end, text) with GLOBAL char
     offsets; ``annotations`` needs (doc_id, start, end, etype).
 
-    Rules: a token starting inside [start, end) belongs to the annotation;
-    it is ``B-<etype>`` when it CONTAINS the annotation's start char
-    (robust to annotations that begin mid-token), ``I-<etype>`` otherwise.
-    When several annotations claim one token, the earliest-start then
-    longest one wins (deterministic total order). Tokens outside every
-    span are ``O``.
+    Rules: a token belongs to an annotation when their char spans OVERLAP
+    (``g_start < end AND g_end > start`` — robust to annotations that begin
+    or end mid-token, e.g. a MedMentions span inside a punctuation-glued
+    token). When several annotations claim one token, the earliest-start
+    then longest one wins (deterministic total order). Per winning
+    annotation, its FIRST claimed token is ``B-<etype>`` and the rest are
+    ``I-<etype>`` — exact even when the annotation starts between tokens,
+    so an orphan ``I-`` without its ``B-`` can never be emitted. Tokens
+    outside every span are ``O``.
 
-    One doc-keyed join; the winner per token is a min(struct) aggregation —
-    no window, map-side combinable."""
+    Plan: one doc-keyed overlap join; the winner per token is a min(struct)
+    aggregation (map-side combinable, no window); the B/I split is a second
+    small aggregation over the ANNOTATED tokens only (first g_start per
+    winning annotation — at web scale annotated tokens are a few % of all
+    tokens) joined back on the winner key."""
     t = tokens.select("doc_id", "g_start", "g_end", F.col("text").alias("token"))
     a = annotations.select(
         "doc_id", F.col("start").alias("a_start"),
@@ -196,7 +202,7 @@ def project_iob(tokens: DataFrame, annotations: DataFrame) -> DataFrame:
     )
     j = t.join(
         a,
-        [t.doc_id == a.doc_id, t.g_start >= a.a_start, t.g_start < a.a_end],
+        [t.doc_id == a.doc_id, t.g_start < a.a_end, t.g_end > a.a_start],
         "left",
     ).select(
         t.doc_id, "g_start", "g_end", "token",
@@ -210,14 +216,21 @@ def project_iob(tokens: DataFrame, annotations: DataFrame) -> DataFrame:
     won = j.groupBy("doc_id", "g_start", "g_end", "token").agg(
         F.min("cand").alias("w")
     )
-    return won.select(
-        "doc_id", "g_start", "g_end", "token",
-        F.when(F.col("w").isNull(), F.lit("O"))
-        .when(
-            (F.col("g_start") <= F.col("w.a_start"))
-            & (F.col("w.a_start") < F.col("g_end")),
-            F.concat(F.lit("B-"), F.col("w.etype")),
+    firsts = (
+        won.filter(F.col("w").isNotNull())
+        .groupBy("doc_id", "w")
+        .agg(F.min("g_start").alias("_b_start"))
+    )
+    return (
+        won.join(firsts, ["doc_id", "w"], "left")
+        .select(
+            "doc_id", "g_start", "g_end", "token",
+            F.when(F.col("w").isNull(), F.lit("O"))
+            .when(
+                F.col("g_start") == F.col("_b_start"),
+                F.concat(F.lit("B-"), F.col("w.etype")),
+            )
+            .otherwise(F.concat(F.lit("I-"), F.col("w.etype")))
+            .alias("tag"),
         )
-        .otherwise(F.concat(F.lit("I-"), F.col("w.etype")))
-        .alias("tag"),
     )

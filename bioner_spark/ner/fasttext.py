@@ -207,9 +207,46 @@ class _VectorCache:
         return [d[w] for w in words]
 
 
+# executor-local cache: SparkFiles name → loaded FastTextModel (same
+# pattern as ner/infer._MODEL_CACHE — N tasks on one executor load once)
+_FT_CACHE: dict = {}
+
+
+def ship_fasttext(spark, model: FastTextModel, name: str = "ft_model") -> str:
+    """Save `model` as .npz and register it with SparkContext.addFile;
+    returns the SparkFiles name to pass wherever a FastTextModel is
+    accepted. THE scale path for real embeddings (nwords + 2M buckets x
+    300 dims float32 is multiple GB — closure-pickling that into every
+    task's serialized function is a scale-killer; as a file it ships to
+    each executor once and loads once per Python worker)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bioner_ft_")
+    fname = f"{name}.npz"
+    path = os.path.join(d, fname)
+    model.save(path)
+    spark.sparkContext.addFile(path)
+    return fname
+
+
+def _resolve_ft(model) -> FastTextModel:
+    """Closure-shipped FastTextModel → itself; SparkFiles name → lazy
+    per-executor singleton."""
+    if isinstance(model, FastTextModel):
+        return model
+    m = _FT_CACHE.get(model)
+    if m is None:
+        from pyspark import SparkFiles
+
+        m = FastTextModel.load(SparkFiles.get(model))
+        _FT_CACHE[model] = m
+    return m
+
+
 def fasttext_token_vectors(
     tokens: DataFrame,
-    model: FastTextModel,
+    model,
     token_col: str = "text",
     out_col: str = "embedding",
 ) -> DataFrame:
@@ -217,15 +254,17 @@ def fasttext_token_vectors(
 
     The engine analogue of FasttextEncoder.encode (reference
     fasttext_encoder.py:17-28), distributed: a narrow mapInPandas, no
-    shuffle; matrix travels in the closure once per executor (use
-    ner/infer's SparkFiles shipping for the 300-dim/2M-bucket real thing).
+    shuffle. `model` is a FastTextModel (fixture-sized: travels in the
+    closure) or a `ship_fasttext` SparkFiles name (the 300-dim/2M-bucket
+    real thing: the closure carries ~40 bytes and each executor loads the
+    matrix from its local file copy once).
     """
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in tokens.schema.fields
     ) + f", {out_col} array<float>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache = _VectorCache(model)
+        cache = _VectorCache(_resolve_ft(model))
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -185,7 +185,10 @@ def write_bin(
         )
         f.write(struct.pack("<d", t))
         f.write(struct.pack("<3i", nwords, nwords, 0))
-        f.write(struct.pack("<2q", int(sum(counts)), 0))
+        # pruneidx_size = -1 means "dictionary never pruned" in fastText's
+        # Dictionary::save; 0 would mean "pruned down to nothing" and makes
+        # Dictionary::pushHash drop every subword bucket row on load.
+        f.write(struct.pack("<2q", int(sum(counts)), -1))
         for w, c in zip(words, counts):
             f.write(w.encode("utf-8") + b"\x00")
             f.write(struct.pack("<qb", c, 0))

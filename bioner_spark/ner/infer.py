@@ -243,9 +243,9 @@ def annotate_tokens(
     the caller's one-time, documented cost — not a per-call surprise).
     """
     if sparse_dim is None:
-        sparse_dim = getattr(vocab, "_bioner_vocab_size", None)
-    if sparse_dim is None:
-        sparse_dim = vocab.count()
+        from bioner_spark.functions.ngrams import vocab_size
+
+        sparse_dim = vocab_size(vocab)
     sents = encoded_sentences(tokens, vocab)
     tags = ner_tag_sentences(sents, model, sparse_dim)
     return tokens.drop("tag").join(tags, ["doc_id", "sentence_id", "token_id"], "left")

@@ -666,8 +666,21 @@ def train_distributed(
         bw = sc.broadcast(flat)
 
         def shard_eval(it):
+            # chunk the partition: one dense pad batch per batch_size rows
+            # (a whole-partition batch is O(n_rows x max_len x input_dim)
+            # memory — one 256-token outlier in a 100k-sentence shard would
+            # allocate tens of GB; chunking bounds it like the train path)
             m = model_from_flat(bw.value, spec)
-            yield _eval_rows(m, list(it), dtype)
+            tp = fp = fn = 0
+            chunk: list = []
+            for r in it:
+                chunk.append(r)
+                if len(chunk) >= batch_size:
+                    a, b, c = _eval_rows(m, chunk, dtype)
+                    tp, fp, fn = tp + a, fp + b, fn + c
+                    chunk = []
+            a, b, c = _eval_rows(m, chunk, dtype)
+            yield tp + a, fp + b, fn + c
 
         tp, fp, fn = val_rdd.mapPartitions(shard_eval).treeAggregate(
             (0, 0, 0),

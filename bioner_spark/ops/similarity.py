@@ -316,13 +316,18 @@ def kmeans_fit(
     if sample_fraction:
         src = src.sample(fraction=sample_fraction, seed=seed)
     src = src.persist()
+    # seed folded INTO the hash (works for any id type; `id + seed` would be
+    # arithmetic, string ids break / NULL out under non-ANSI)
     cents = [
         r["v"]
         for r in src.select("v")
-        .orderBy(F.xxhash64(F.col("id") + F.lit(seed)))
+        .orderBy(F.xxhash64(F.lit(seed), F.col("id")))
         .limit(k)
         .collect()
     ]
+    if not cents:
+        src.unpersist()
+        raise ValueError("kmeans_fit: no input vectors (empty source or sample)")
     dim = len(cents[0])
     for _ in range(max_iter):
         dists = F.array(

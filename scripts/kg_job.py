@@ -122,11 +122,17 @@ def main(argv: list[str] | None = None) -> None:
         from bioner_spark.ner.kernel import load_model_config
 
         if args.embeddings_bin:
-            # real-artifact path: fastText .bin → input_dim = embedding dim
+            # real-artifact path: fastText .bin → input_dim = embedding dim.
+            # Shipped via SparkFiles like the NER weights below — a real
+            # PubMed .bin is multiple GB of matrix; in the mapInPandas
+            # closure it would be pickled into EVERY serialized task.
+            from bioner_spark.ner.fasttext import ship_fasttext
             from bioner_spark.ner.fasttext_bin import load_bin
 
-            ft_model, ft_meta = load_bin(args.embeddings_bin)
+            ft_obj, ft_meta = load_bin(args.embeddings_bin)
             input_dim = ft_meta["dim"]
+            ft_model = ship_fasttext(spark, ft_obj, name="kgjob_ft")
+            del ft_obj
         else:
             from bioner_spark.extract import with_extracted_text
             from bioner_spark.functions.ngrams import build_vocabulary
@@ -134,7 +140,11 @@ def main(argv: list[str] | None = None) -> None:
 
             toks = tokenize(with_extracted_text(pages.select("url", "html")))
             vocab = build_vocabulary(toks, min_word_frequency=10).persist()
-            input_dim = 15 + vocab.count()
+            # vocab_size reads the size build_vocabulary already computed —
+            # no second count() job over the vocab here
+            from bioner_spark.functions.ngrams import vocab_size
+
+            input_dim = 15 + vocab_size(vocab)
         if args.checkpoint_pt:
             from bioner_spark.ner.torch_import import load_sequence_model
 

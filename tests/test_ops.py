@@ -243,10 +243,11 @@ def test_kmeans_fit_matches_numpy_lloyds(spark):
     )
     got = np.array(kmeans_fit(df, k=3, max_iter=8, seed=77))
 
-    # replicate the init exactly: k smallest xxhash64(id + seed)
+    # replicate the init exactly: k smallest xxhash64(seed, id) — seed as a
+    # hash input, not arithmetic (string id columns must work too)
     init_rows = (
         df.select("embedding")
-        .orderBy(F.xxhash64(F.col("vec_id") + F.lit(77)))
+        .orderBy(F.xxhash64(F.lit(77), F.col("vec_id")))
         .limit(3)
         .collect()
     )

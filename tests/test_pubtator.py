@@ -138,6 +138,40 @@ def test_project_iob_overlap_precedence(spark):
     tags = {r.g_start: r.tag for r in project_iob(toks, anns).collect()}
     assert tags[0] == "B-DIS"
     assert tags[6] == "I-DIS"
-    # gamma starts at 11, outside [0,11) but inside [6,16) → I-CHEM (its
-    # winning annotation started mid-stream and its start char is in "beta")
-    assert tags[11] == "I-CHEM"
+    # gamma is the FIRST token the CHEM span actually claims ("beta" lost
+    # to the earlier-starting DIS span) → B-CHEM: the projection never
+    # emits an orphan I- without its B-
+    assert tags[11] == "B-CHEM"
+
+
+def test_project_iob_midtoken_and_gap_starts(spark):
+    """Annotations that start mid-token or between tokens still project to
+    a valid B/I run (the overlap join + first-claimed-token rule)."""
+    toks = spark.createDataFrame(
+        [
+            (1, 0, 5, "alpha"), (1, 5, 10, "beta5"), (1, 11, 20, "(aspirin)"),
+            (2, 0, 4, "left"), (2, 6, 10, "core"), (2, 10, 14, "tail"),
+        ],
+        "doc_id long, g_start int, g_end int, text string",
+    )
+    anns = spark.createDataFrame(
+        [
+            # starts mid-token "alpha", ends mid-token "beta5"
+            (1, 3, 9, "phab", "DIS", "D"),
+            # entirely inside the punctuation-glued token "(aspirin)"
+            (1, 12, 19, "aspirin", "CHEM", "C"),
+            # starts at char 5 — BETWEEN doc-2 tokens (inter-token gap)
+            (2, 5, 12, "coreta", "DIS", "D"),
+        ],
+        "doc_id long, start int, end int, mention string, etype string,"
+        " concept_id string",
+    )
+    tags = {(r.doc_id, r.g_start): r.tag for r in project_iob(toks, anns).collect()}
+    assert tags[(1, 0)] == "B-DIS"     # overlaps [3,9) and is its first token
+    assert tags[(1, 5)] == "I-DIS"
+    assert tags[(1, 11)] == "B-CHEM"   # span starts inside the token
+    assert tags[(2, 0)] == "O"         # ends at 4, span starts at 5: no overlap
+    assert tags[(2, 6)] == "B-DIS"     # first token after the gap start
+    assert tags[(2, 10)] == "I-DIS"
+    # never an I- whose immediately preceding same-type tag is missing
+    assert all(t in {"O", "B-DIS", "I-DIS", "B-CHEM"} for t in tags.values())
