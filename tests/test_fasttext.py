@@ -181,3 +181,27 @@ def test_fasttext_ner_path_spark_matches_single_node(spark):
         tags = model.predict_tags(x, np.array([len(ws)]))[0]
         for ti, tag in enumerate(tags):
             assert got[(si, ti)] == tag, (si, ti)
+
+
+def test_ship_fasttext_sparkfiles_path(spark):
+    """ship_fasttext name → fasttext_token_vectors resolves the model from
+    the executor-local SparkFiles copy; vectors identical to the
+    closure-shipped model (the scale path for multi-GB real .bin models)."""
+    from bioner_spark.ner.fasttext import fasttext_token_vectors, ship_fasttext
+
+    ft = FastTextModel.fixture(bucket=500, dim=8)
+    name = ship_fasttext(spark, ft, name="test_ship_ft")
+    tokens = spark.createDataFrame(
+        [("d0", 0, i, w) for i, w in enumerate(["aspirin", "therapy", "xx"])],
+        "doc_id string, sentence_id int, token_id int, text string",
+    )
+    via_file = {
+        r["token_id"]: r["embedding"]
+        for r in fasttext_token_vectors(tokens, name).collect()
+    }
+    via_closure = {
+        r["token_id"]: r["embedding"]
+        for r in fasttext_token_vectors(tokens, ft).collect()
+    }
+    assert via_file == via_closure
+    assert len(via_file) == 3 and len(via_file[0]) == 8
