@@ -109,4 +109,23 @@ def test_neural_pipeline_real_artifact_formats(spark, corpus, tmp_path):
         pages, alias, tagger="neural", model=model, ft_model=ft_model,
         use_extractor=False,
     )
-    result.triples.count()  # must execute without error
+    closure_triples = sorted(
+        tuple(r) for r in result.triples.select("subj", "pred", "obj").collect()
+    )
+
+    # same pipeline with BOTH artifacts shipped via SparkFiles (the scale
+    # path kg_job uses: multi-GB real models must never ride the closure) —
+    # identical triples
+    from bioner_spark.ner.fasttext import ship_fasttext
+    from bioner_spark.ner.infer import ship_model
+
+    shipped = build_triples(
+        pages, alias, tagger="neural",
+        model=ship_model(spark, model, name="pt_artifact_test"),
+        ft_model=ship_fasttext(spark, ft_model, name="bin_artifact_test"),
+        use_extractor=False,
+    )
+    shipped_triples = sorted(
+        tuple(r) for r in shipped.triples.select("subj", "pred", "obj").collect()
+    )
+    assert shipped_triples == closure_triples
