@@ -106,17 +106,25 @@ def strip_truncation_marker(text: str) -> str:
     return text
 
 
+def _rstrip(col: Column) -> Column:
+    """Python-str.rstrip()-equivalent trim. F.rtrim strips ONLY the space
+    char — XML element text routinely ends with '\\n', which rtrim keeps,
+    so the marker endswith() test would silently miss. (?U) makes Java's
+    \\s Unicode-aware, matching Python's whitespace set."""
+    return F.regexp_replace(col, r"(?U)\s+$", "")
+
+
 def strip_truncation_markers(col: Column) -> Column:
-    """Native-SQL analogue of `strip_truncation_marker`: rtrim, strip AT
+    """Native-SQL analogue of `strip_truncation_marker`: rstrip, strip AT
     MOST ONE trailing marker (same fixed elif order as the reference),
-    rtrim again. Whole-stage-codegen-friendly — no UDF."""
-    c = F.rtrim(col)
+    rstrip again. Whole-stage-codegen-friendly — no UDF."""
+    c = _rstrip(col)
     chain = None
     for m in _TRUNCATION_MARKERS:
         cond = c.endswith(F.lit(m))
         val = c.substr(F.lit(1), F.length(c) - F.lit(len(m)))
         chain = F.when(cond, val) if chain is None else chain.when(cond, val)
-    return F.rtrim(chain.otherwise(c))
+    return _rstrip(chain.otherwise(c))
 
 
 def extract_text(html: bytes | str | None) -> str:

@@ -45,6 +45,14 @@ class PipelineResult:
     tokens: DataFrame
     n_buckets_processed: int = 0
     n_buckets_skipped: int = 0
+    # DataFrames build_triples persisted for stage reuse; callers that are
+    # done with the result should unpersist() so a driver looping over many
+    # inputs doesn't accumulate dead cache entries for the session lifetime
+    persisted: tuple = ()
+
+    def unpersist(self) -> None:
+        for df in self.persisted:
+            df.unpersist()
 
 
 def build_triples(
@@ -176,6 +184,7 @@ def build_triples(
         ),
         mentions=_rekey(linked),
         tokens=tagged,
+        persisted=(tokens, tagged) if tagger == "neural" else (tokens,),
     )
 
 
@@ -187,19 +196,44 @@ def _bucket_col(n_buckets: int, col: str = "url"):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
-def bucket_fingerprints(pages: DataFrame, n_buckets: int) -> DataFrame:
-    """Per-bucket input fingerprint: count + sum of url hashes (order-free)."""
+def bucket_fingerprints(
+    pages: DataFrame, n_buckets: int, fingerprint_cols: tuple | None = None
+) -> DataFrame:
+    """Per-bucket input fingerprint — order-free AND multiset-sensitive.
+
+    Three folded components: row count, xor of row hashes, and a bounded
+    modular sum of row hashes. Xor alone cancels even-multiplicity rows
+    (h^h = 0: buckets {A,A,B} and {C,C,B} would collide); the modular sum
+    restores multiplicity sensitivity while staying overflow-safe (each
+    term < 2^30, so int64 holds ~8×10^9 docs per bucket — far beyond any
+    sane bucket sizing; this stays a cheap column-pruned scan, no ANSI
+    overflow risk).
+
+    fingerprint_cols defaults to (url, warc_ts) when the input carries a
+    crawl timestamp — a RECRAWL of the same url then changes the
+    fingerprint and the bucket is recomputed; url-only fingerprinting is
+    blind to content changes at a stable url. Pass an explicit tuple to
+    override (e.g. include a content hash column if the source provides
+    one)."""
+    if fingerprint_cols is None:
+        fingerprint_cols = (
+            ("url", "warc_ts") if "warc_ts" in pages.columns else ("url",)
+        )
+    h = F.xxhash64(*[F.col(c) for c in fingerprint_cols])
     return (
         pages.withColumn("bucket", _bucket_col(n_buckets))
+        .withColumn("_h", h)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            # xor-fold of url hashes: order-free, overflow-free (ANSI-safe)
-            F.expr("bit_xor(xxhash64(url))").alias("hash_sum"),
+            F.expr("bit_xor(_h)").alias("hash_xor"),
+            F.sum(F.pmod(F.col("_h"), F.lit(1073741789))).alias("hash_sum"),
         )
         .select(
             "bucket",
-            F.concat_ws(":", F.col("n_docs"), F.col("hash_sum")).alias("input_fingerprint"),
+            F.concat_ws(
+                ":", F.col("n_docs"), F.col("hash_xor"), F.col("hash_sum")
+            ).alias("input_fingerprint"),
             "n_docs",
         )
     )
@@ -210,6 +244,49 @@ def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame | None:
         return spark.read.parquet(manifest_path)
     except Exception:
         return None
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for `path` — works for any Hadoop-supported FS
+    (local, HDFS, s3a, ...), so partition maintenance below is not
+    local-FS-only."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _list_bucket_partitions(spark: SparkSession, triples_path: str) -> list[int]:
+    """Bucket ids of the `bucket=N` partition dirs currently on disk."""
+    fs, jpath = _hadoop_fs(spark, triples_path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("bucket="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return out
+
+
+def _delete_bucket_partitions(
+    spark: SparkSession, triples_path: str, buckets: list[int]
+) -> None:
+    fs, _ = _hadoop_fs(spark, triples_path)
+    jvm = spark._jvm
+    for b in buckets:
+        p = jvm.org.apache.hadoop.fs.Path(f"{triples_path}/bucket={b}")
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
+def _read_triples(spark: SparkSession, triples_path: str, schema) -> DataFrame:
+    """Schema-pinned read of the partitioned triples table: a directory
+    that exists but holds zero data files (first run emitted no triples,
+    or every partition was just removed) reads as an EMPTY DataFrame
+    instead of crashing schema inference."""
+    return spark.read.schema(schema).parquet(triples_path)
 
 
 def run_checkpointed(
@@ -249,13 +326,48 @@ def run_checkpointed(
     manifest = read_manifest(spark, manifest_path)
     done_fp: dict[int, str] = {}
     if manifest is not None:
-        for r in (
-            manifest.filter(F.col("status") == "done")
-            .select("bucket", "input_fingerprint")
-            .distinct()
-            .collect()
-        ):
-            done_fp[r["bucket"]] = r["input_fingerprint"]
+        # latest row per bucket wins (the manifest is append-only, so a
+        # bucket recomputed under a new fingerprint has several rows; an
+        # arbitrary pick could match a STALE fingerprint and skip a bucket
+        # whose partition holds different data)
+        latest: dict[int, tuple] = {}
+        for r in manifest.select(
+            "bucket", "input_fingerprint", "status", "completed_at"
+        ).collect():
+            cur = latest.get(r["bucket"])
+            if cur is None or r["completed_at"] > cur[0]:
+                latest[r["bucket"]] = (
+                    r["completed_at"], r["status"], r["input_fingerprint"]
+                )
+        done_fp = {
+            b: fp for b, (_, status, fp) in latest.items() if status == "done"
+        }
+
+    # buckets on disk that the CURRENT input no longer produces (docs
+    # deleted, or n_buckets changed): drop their partitions — the output
+    # must converge to the current input's table, never serve orphans —
+    # and record the removal so a later reappearance is not skipped
+    # against a stale 'done' row
+    current_buckets = {r["bucket"] for r in fp_rows}
+    orphans = [
+        b for b in _list_bucket_partitions(spark, triples_path)
+        if b not in current_buckets
+    ]
+    if orphans:
+        _delete_bucket_partitions(spark, triples_path, orphans)
+        (
+            spark.createDataFrame([(b,) for b in orphans], "bucket int")
+            .select(
+                "bucket",
+                F.lit(None).cast("string").alias("input_fingerprint"),
+                F.lit(0).cast("long").alias("n_rows"),
+                F.lit(None).cast("long").alias("n_docs"),
+                F.current_timestamp().alias("completed_at"),
+                F.lit("removed").alias("status"),
+            )
+            .write.mode("append")
+            .parquet(manifest_path)
+        )
     todo_rows = [r for r in fp_rows if done_fp.get(r["bucket"]) != r["input_fingerprint"]]
     todo = spark.createDataFrame(
         [(r["bucket"], r["input_fingerprint"], r["n_docs"]) for r in todo_rows]
@@ -285,6 +397,14 @@ def run_checkpointed(
         # every write task opens a file per bucket it sees (tasks × buckets
         # small files; at 1000 executors that's a metadata storm)
         out = out.repartition(n_buckets, "bucket")
+        # clear every todo partition BEFORE the write: dynamic overwrite
+        # only replaces partitions PRESENT in the written data, so a todo
+        # bucket whose recompute yields ZERO triples would otherwise keep
+        # its stale files (and the read-back below would count them into
+        # the manifest). A crash in the window between delete and manifest
+        # write just means the bucket is recomputed next run — same
+        # idempotence contract as before.
+        _delete_bucket_partitions(spark, triples_path, todo_buckets)
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -293,8 +413,10 @@ def run_checkpointed(
         )
         _mark("triples write")
         # manifest rows AFTER a successful write (crash before this line →
-        # bucket is simply recomputed next run; writes are idempotent)
-        written = spark.read.parquet(triples_path).filter(
+        # bucket is simply recomputed next run; writes are idempotent).
+        # Schema-pinned read: a run whose todo buckets all produced zero
+        # triples leaves no data files to infer from.
+        written = _read_triples(spark, triples_path, out.schema).filter(
             F.col("bucket").isin(todo_buckets)
         )
         rows = (
@@ -313,21 +435,39 @@ def run_checkpointed(
         rows.write.mode("append").parquet(manifest_path)
         _mark("manifest write")
 
-    triples = spark.read.parquet(triples_path) if (todo_buckets or manifest is not None) else None
     if todo_buckets and n_skipped == 0:
         aux = result  # full run: the write plan already covers every page
     else:
         # Partial resume (or all-skipped): the write plan covered only the
         # recomputed buckets, but mentions/tokens are a logical view of the
         # WHOLE input — rebuild them (lazily) over the full pages DataFrame
-        # so callers' metrics never silently cover a subset.
+        # so callers' metrics never silently cover a subset. The write
+        # plan's persisted hub is dead weight from here on: unpersist it so
+        # drivers looping run_checkpointed over many inputs don't
+        # accumulate orphaned cache entries.
+        if todo_buckets:
+            result.unpersist()
         aux = build_triples(pages, alias_dict, tagger=tagger, model=model,
                             vocab=vocab, use_extractor=use_extractor,
                             eager_cache=False, ft_model=ft_model)
+    if todo_buckets or manifest is not None:
+        from pyspark.sql import types as T
+
+        schema = (
+            out.schema if todo_buckets
+            else T.StructType(
+                aux.triples.schema.fields
+                + [T.StructField("bucket", T.IntegerType(), True)]
+            )
+        )
+        triples = _read_triples(spark, triples_path, schema)
+    else:
+        triples = None
     return PipelineResult(
         triples=triples if triples is not None else aux.triples,
         mentions=aux.mentions,
         tokens=aux.tokens,
         n_buckets_processed=len(todo_buckets),
         n_buckets_skipped=int(n_skipped),
+        persisted=aux.persisted,
     )

@@ -7,14 +7,14 @@ that to a real incremental path:
 
   * `run_ingest_once` — new page files landing in a directory are picked up
     by `readStream` and each micro-batch is run through the SAME batch
-    lineage (extract → tokenize → gazetteer-tag → span-decode → link) via
-    `foreachBatch`. The span decode uses ordinary window functions, which
-    Structured Streaming forbids in-stream — `foreachBatch` is the
-    idiomatic escape hatch: inside it the micro-batch is a plain batch
-    DataFrame, so batch and streaming share one implementation. Source
-    offsets live in the checkpoint → restarts re-process at most the last
-    in-flight micro-batch; the write dedupes on (doc_id, batch file) by
-    overwriting per-micro-batch output dirs idempotently.
+    lineage the pipeline uses (extract → tokenize → gazetteer fast-path
+    mentions, linking.dict_mentions) via `foreachBatch`. The window-based
+    span re-decode Structured Streaming forbids in-stream is also the path
+    the batch pipeline deliberately skips, so batch and streaming share one
+    implementation AND one plan shape. Source offsets live in the
+    checkpoint → restarts re-process at most the last in-flight
+    micro-batch; the write dedupes on (doc_id, batch file) by overwriting
+    per-micro-batch output dirs idempotently.
 
   * `streaming_mention_counts` — fully in-stream watermarked event-time
     aggregation (no window functions: single-token gazetteer matches via a
@@ -33,9 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bioner_spark.extract import with_extracted_text
-from bioner_spark.linking import dict_tag_tokens, link_mentions
+from bioner_spark.linking import dict_mentions
 from bioner_spark.schemas import PAGES_SCHEMA
-from bioner_spark.spans import decode_spans
 from bioner_spark.tokenizer import tokenize
 
 
@@ -53,12 +52,18 @@ def read_page_stream(
 
 def batch_mentions(pages: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """pages (batch DF) → linked mentions. The shared batch/streaming body —
-    called directly in batch jobs and from foreachBatch in streaming."""
+    called directly in batch jobs and from foreachBatch in streaming.
+
+    Uses the gazetteer FAST path (`dict_mentions`: resolved candidates ARE
+    the spans, already linked by the same min-canonical-id rule) — the BIO
+    round-trip (`dict_tag_tokens` → `decode_spans` → `link_mentions`) the
+    batch pipeline also skips is a full-token-table tag join-back plus a
+    window re-decode per micro-batch, pure parity machinery
+    (linking.py:156-161). with_offsets=False: mentions are token-span
+    addressed; the char-offset aggregate costs ~8× the tokenization."""
     extracted = with_extracted_text(pages.select("url", "html"))
-    tokens = tokenize(extracted)
-    tagged = dict_tag_tokens(tokens, alias_dict)
-    mentions = decode_spans(tagged)
-    return link_mentions(mentions, alias_dict)
+    tokens = tokenize(extracted, with_offsets=False)
+    return dict_mentions(tokens, alias_dict)
 
 
 def run_ingest_once(
@@ -102,7 +107,9 @@ def streaming_mention_counts(
     every operator is streaming-supported, output mode `append` emits each
     window once when the watermark passes it."""
     extracted = with_extracted_text(pages.select("url", "warc_ts", "html"))
-    tokens = tokenize(extracted, carry_cols=("warc_ts",))
+    # with_offsets=False: only text/warc_ts are read downstream; the
+    # offset aggregate costs ~8x the split (tokenizer.py)
+    tokens = tokenize(extracted, carry_cols=("warc_ts",), with_offsets=False)
     single = alias_dict.filter(~F.col("alias").contains(" ")).groupBy("alias").agg(
         F.min("canonical_id").alias("canonical_id")
     )

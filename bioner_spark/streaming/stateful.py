@@ -73,12 +73,13 @@ def _make_dedup_fn(ttl_minutes: int | None):
         out = []
         for pdf in pdfs:
             for url in pdf["url"]:
-                n_seen += 1
-                if first_url is None:
+                # n_seen (not first_url-is-None) decides first-ness: a NULL
+                # url must not make the NEXT copy claim is_first again
+                is_first = 1 if n_seen == 0 else 0
+                if is_first:
                     first_url = url
-                    out.append((fingerprint, url, 1, 0))
-                else:
-                    out.append((fingerprint, url, 0, n_seen - 1))
+                out.append((fingerprint, url, is_first, n_seen))
+                n_seen += 1
         state.update((first_url, n_seen))
         if ttl_minutes:
             state.setTimeoutDuration(ttl_minutes * 60 * 1000)

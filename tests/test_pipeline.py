@@ -129,3 +129,64 @@ def test_neural_pipeline_real_artifact_formats(spark, corpus, tmp_path):
         tuple(r) for r in shipped.triples.select("subj", "pred", "obj").collect()
     )
     assert shipped_triples == closure_triples
+
+
+def test_checkpointed_resume_converges_to_current_input(spark, corpus, tmp_path):
+    """The resume contract's hard cases: the on-disk table must converge to
+    exactly the CURRENT input's triples — documents REMOVED from the input
+    (whole buckets emptied or thinned to zero matches) must not leave stale
+    partitions behind, and reverting an input must not be skipped against a
+    stale manifest row (latest-wins)."""
+    pages = corpus_mod.pages_spark_df(spark, corpus)
+    alias = corpus_mod.alias_dict_spark_df(spark, corpus)
+    out = str(tmp_path / "kg2")
+
+    run_checkpointed(spark, pages, alias, out, n_buckets=4)
+
+    # half the docs disappear: both emptied buckets (orphans) and thinned
+    # ones must recompute / be dropped
+    half = pages.filter(F.xxhash64("url") % 2 == 0)
+    r2 = run_checkpointed(spark, half, alias, out, n_buckets=4)
+    expected = sorted(
+        map(tuple, build_triples(half, alias).triples
+            .select("subj", "pred", "obj", "doc_id").collect())
+    )
+    got = sorted(
+        map(tuple, r2.triples.select("subj", "pred", "obj", "doc_id").collect())
+    )
+    assert got == expected  # no stale rows from removed docs
+
+    # revert to the full input (same fingerprints as run 1): latest-wins
+    # must see the buckets were since overwritten/removed and recompute —
+    # never skip against the stale run-1 'done' rows
+    r3 = run_checkpointed(spark, pages, alias, out, n_buckets=4)
+    expected3 = sorted(
+        map(tuple, build_triples(pages, alias).triples
+            .select("subj", "pred", "obj", "doc_id").collect())
+    )
+    got3 = sorted(
+        map(tuple, r3.triples.select("subj", "pred", "obj", "doc_id").collect())
+    )
+    assert got3 == expected3
+
+
+def test_checkpointed_zero_triples_and_recrawl(spark, corpus, tmp_path):
+    """A run that emits NO triples at all must still write a readable empty
+    table + manifest (not crash schema inference); a recrawl (same url, new
+    warc_ts) must change the fingerprint and recompute the bucket."""
+    pages = corpus_mod.pages_spark_df(spark, corpus)
+    out = str(tmp_path / "kg3")
+    empty_alias = pages.sparkSession.createDataFrame(
+        [], "alias string, canonical_id string"
+    )
+    r1 = run_checkpointed(spark, pages, empty_alias, out, n_buckets=4)
+    assert r1.triples.count() == 0
+    r2 = run_checkpointed(spark, pages, empty_alias, out, n_buckets=4)
+    assert r2.n_buckets_processed == 0  # manifest recorded the empty result
+
+    # recrawl: identical urls, shifted warc_ts → every bucket recomputes
+    recrawled = pages.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    r3 = run_checkpointed(spark, recrawled, empty_alias, out, n_buckets=4)
+    assert r3.n_buckets_processed == 4
