@@ -1949,7 +1949,7 @@ c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
 scored AS (
   SELECT query_id, neighbor_id,
     ROUND(list_dot_product(qv, cv) /
-          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+          NULLIF(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0), 6) AS cosine
   FROM c JOIN q ON query_id <> neighbor_id
 ),
 ranked AS (
@@ -1978,9 +1978,12 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
         return f"({bits})::INT"
 
     def _cos_sql(a: str, b: str) -> str:
+        # NULLIF mirrors the engine's zero-norm → NULL rule (similarity.
+        # cosine_expr): a zero vector must not error or NaN-poison the top-k
         return (
             f"ROUND(list_dot_product({a}, {b}) / "
-            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+            f"NULLIF(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b})), 0), 6)"
         )
 
     o["lsh_topk"] = f"""

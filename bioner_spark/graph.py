@@ -142,9 +142,20 @@ def connected_components_star(
     roots = cur.select(F.col("v").alias("node")).distinct().join(
         cur.select(F.col("u").alias("node")).distinct(), "node", "left_anti"
     )
-    return cur.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+    result = cur.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
         roots.select("node", F.col("node").alias("component"))
     )
+    # nodes whose ONLY edges were self-loops vanished at the u != v filter;
+    # the driver union-find keeps them, so the two paths must agree —
+    # re-attach them as their own singleton components (slim node-id
+    # left-anti, one small exchange)
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    isolated = all_nodes.join(result.select("node").distinct(), "node", "left_anti")
+    return result.union(isolated.select("node", F.col("node").alias("component")))
 
 
 def connected_components_propagation(

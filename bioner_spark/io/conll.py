@@ -62,7 +62,13 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     toks = toks.withColumn("token_id", (F.row_number().over(w_sent) - 1).cast("int"))
     cols = F.split(F.col("line"), "\t")
     return toks.select(
-        F.concat_ws("#", F.col("file"), F.col("doc_ord")).alias("doc_id"),
+        # doc_ord zero-padded so LEXICOGRAPHIC doc_id order == document
+        # order within a file: without it the writers' orderBy("doc_id")
+        # emits doc 10 before doc 2 for files with ≥10 documents, breaking
+        # the byte-identical roundtrip
+        F.concat_ws(
+            "#", F.col("file"), F.lpad(F.col("doc_ord").cast("string"), 9, "0")
+        ).alias("doc_id"),
         "sentence_id",
         "token_id",
         cols.getItem(0).alias("text"),
@@ -152,8 +158,15 @@ def write_conll_distributed(
         .repartitionByRange(num_files, "doc_id")
         .sortWithinPartitions("doc_id")
         # doc_text ends with '\n'; the text datasource appends one '\n' per
-        # row, so strip exactly one to keep bytes identical
-        .select(F.regexp_replace("doc_text", "\n$", "").alias("value"))
+        # row, so strip EXACTLY one to keep bytes identical. NOT regexp
+        # '\n$': Java's $ also matches before a final line terminator, so
+        # it strips BOTH trailing newlines of '...block\n\n' and eats the
+        # blank line that terminates the document.
+        .select(
+            F.expr(
+                "substring(doc_text, 1, length(doc_text) - 1)"
+            ).alias("value")
+        )
     )
     docs.write.mode("overwrite").text(dir_path)
 

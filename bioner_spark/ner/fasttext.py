@@ -212,16 +212,24 @@ class _VectorCache:
 _FT_CACHE: dict = {}
 
 
-def ship_fasttext(spark, model: FastTextModel, name: str = "ft_model") -> str:
+def ship_fasttext(spark, model: FastTextModel, name: str | None = None) -> str:
     """Save `model` as .npz and register it with SparkContext.addFile;
     returns the SparkFiles name to pass wherever a FastTextModel is
     accepted. THE scale path for real embeddings (nwords + 2M buckets x
     300 dims float32 is multiple GB — closure-pickling that into every
     task's serialized function is a scale-killer; as a file it ships to
-    each executor once and loads once per Python worker)."""
+    each executor once and loads once per Python worker).
+
+    Default name is unique per call — addFile ignores filename
+    re-registration and workers cache by name, so a reused name would
+    silently serve the previously shipped matrix (see infer.ship_model)."""
     import os
     import tempfile
 
+    if name is None:
+        import uuid
+
+        name = f"ft_model_{uuid.uuid4().hex[:12]}"
     d = tempfile.mkdtemp(prefix="bioner_ft_")
     fname = f"{name}.npz"
     path = os.path.join(d, fname)

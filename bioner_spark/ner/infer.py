@@ -54,13 +54,25 @@ _MODEL_CACHE: dict = {}
 ModelRef = Union[SequenceModel, str]
 
 
-def ship_model(spark: SparkSession, model: SequenceModel, name: str = "ner_model") -> str:
+def ship_model(
+    spark: SparkSession, model: SequenceModel, name: str | None = None
+) -> str:
     """Save `model` as .npz and register it with SparkContext.addFile.
 
     Returns the SparkFiles name to pass to ner_tag_sentences /
     annotate_tokens in place of the model object — the scale path for
     BioNER-sized weights (the closure then carries ~40 bytes, not ~240 MB;
-    the executors fetch the file once and cache the loaded matrices)."""
+    the executors fetch the file once and cache the loaded matrices).
+
+    The default name is UNIQUE per call: SparkContext.addFile silently
+    ignores a re-registration under an existing filename AND warm Python
+    workers cache the loaded weights by name, so shipping a retrained
+    model under a reused name would silently keep running the old weights.
+    Pass an explicit name only if you ship that name once per application."""
+    if name is None:
+        import uuid
+
+        name = f"ner_model_{uuid.uuid4().hex[:12]}"
     d = tempfile.mkdtemp(prefix="bioner_model_")
     fname = f"{name}.npz"
     path = os.path.join(d, fname)

@@ -50,11 +50,12 @@ from __future__ import annotations
 
 import math
 import os
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
 
-from .kernel import SequenceModel, init_model
+from .kernel import SequenceModel, _reverse_by_length, _sigmoid, init_model
 
 IGNORE_INDEX = -100  # reference annotator.py:23-24
 TAGS = np.array(["B", "I", "O"])
@@ -72,12 +73,17 @@ def param_names(model: SequenceModel) -> list[str]:
     return names
 
 
+_LAYER_PARAM_RE = re.compile(r"^l(\d+)(f|b)_(w_ih|w_hh|b)$")
+
+
 def get_param(model: SequenceModel, name: str) -> np.ndarray:
-    if name.startswith("l") and name[1].isdigit():
-        i = int(name[1])
-        fwd, bwd = model.bilstms[i]
-        trip = fwd if name[2] == "f" else bwd
-        return {"w_ih": trip[0], "w_hh": trip[1], "b": trip[2]}[name[4:]]
+    # full regex parse, not name[1]/name[4:] slicing: a >=10-layer grid
+    # emits 'l10f_w_ih', where single-char indexing misparses every field
+    m = _LAYER_PARAM_RE.match(name)
+    if m:
+        fwd, bwd = model.bilstms[int(m.group(1))]
+        trip = fwd if m.group(2) == "f" else bwd
+        return {"w_ih": trip[0], "w_hh": trip[1], "b": trip[2]}[m.group(3)]
     return getattr(model, name)
 
 
@@ -122,10 +128,6 @@ def model_from_flat(
 # --------------------------------------------------------------------------
 # LSTM forward with cache + BPTT backward
 # --------------------------------------------------------------------------
-def _sigmoid(x):
-    return 1.0 / (1.0 + np.exp(-np.clip(x, -60.0, 60.0)))
-
-
 def lstm_forward_cache(x, w_ih, w_hh, b):
     """Same recurrence as kernel.lstm_forward, caching gates/cells for BPTT."""
     B, T, _ = x.shape
@@ -187,13 +189,6 @@ def lstm_backward(cache, dout):
         dx[:, t] = da @ w_ih
         dh_next = da @ w_hh
     return dx, dw_ih, dw_hh, db
-
-
-def _reverse_by_length(x, lengths):
-    out = x.copy()
-    for i, L in enumerate(lengths):
-        out[i, :L] = x[i, L - 1 :: -1]
-    return out
 
 
 def bilstm_forward_cache(x, lengths, fwd, bwd):
@@ -580,6 +575,12 @@ def assign_doc_shuffled_order(df, seed: int, order_partitions: int | None = None
         "_doc_off",
         offset_expr + F.sum("_n_sent").over(w) - F.col("_n_sent"),
     ).select("doc_id", "_doc_off")
+    # cut the lineage to `ranged` (one small one-row-per-doc
+    # materialization) and release its cache NOW — otherwise the persisted
+    # counts table stays pinned in executor memory for the whole training
+    # run (one leaked cache entry per grid_search trial)
+    doc_offsets = doc_offsets.localCheckpoint(eager=True)
+    ranged.unpersist()
     sent_w = Window.partitionBy("doc_id").orderBy("sentence_id")
     out = (
         # the offsets table is one row per doc — broadcast while it is

@@ -16,6 +16,8 @@ bit-stable across engines (the DuckDB oracle reproduces them exactly).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -36,9 +38,16 @@ def _norm(a):
 
 
 def cosine_expr(a, b):
+    """NULL (not an error, not NaN) for a zero-norm operand: under Spark 4's
+    default ANSI mode a plain division would abort the whole job on the
+    first zero vector (a legitimate value — e.g. fastText OOV words with no
+    subwords embed to zeros), and with ANSI off 0/0 = NaN, which Spark
+    sorts ABOVE every real double in a desc top-k. NULL ranks last and
+    drops out of top-k naturally."""
     a = a.cast("array<double>")
     b = b.cast("array<double>")
-    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), ROUND_DIGITS)
+    denom = _norm(a) * _norm(b)
+    return F.round(F.when(denom != 0.0, _dot(a, b) / denom), ROUND_DIGITS)
 
 
 def cosine_topk(
@@ -215,6 +224,15 @@ def banded_buckets(vec_col, planes: list[list[float]], n_bands: int):
     """(band_id, band_key) pairs: the planes are split into n_bands groups;
     a pair of vectors is an LSH candidate iff they share ANY band's full
     sign pattern (same banding trick as MinHash-LSH, on hyperplane bits)."""
+    if n_bands <= 0 or n_bands > len(planes) or len(planes) % n_bands:
+        # a silent remainder would COMPUTE n_planes hyperplanes but use
+        # only n_bands*(n_planes//n_bands) of them (quietly lower precision
+        # than the requested config); n_bands > n_planes would build an
+        # empty band. Fail loudly instead.
+        raise ValueError(
+            f"n_planes ({len(planes)}) must be a positive multiple of "
+            f"n_bands ({n_bands})"
+        )
     per = len(planes) // n_bands
     return F.array(
         *[
@@ -285,6 +303,7 @@ def kmeans_fit(
     sample_fraction: float | None = None,
     seed: int = 1234,
     tol: float = 1e-6,
+    normalize: bool = False,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means over an embedding column → k centroid
     vectors (driver-side list: k × dim floats — broadcast-sized by
@@ -311,10 +330,24 @@ def kmeans_fit(
     full-corpus assignment pass with `ivf_assign` / write bucketed by cell.
     k·dim literals in the plan cap k ~ few thousand; beyond that switch the
     assignment to a broadcast join + struct-min aggregation.
+
+    METRIC CONSISTENCY: this objective is L2, but `ivf_topk` assigns cells
+    by COSINE. For unit-norm embeddings the two agree; for raw unnormalized
+    vectors (e.g. fastText subword means) pass normalize=True — spherical
+    k-means: inputs unit-normalized once (zero vectors dropped), centroids
+    re-normalized each round, so L2-argmin == cosine-argmax and the
+    codebook optimizes exactly the geometry ivf_topk probes.
     """
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction:
         src = src.sample(fraction=sample_fraction, seed=seed)
+    if normalize:
+        src = (
+            src.withColumn("_nrm", _norm(F.col("v")))
+            .filter(F.col("_nrm") > 0)
+            .withColumn("v", F.transform("v", lambda x: x / F.col("_nrm")))
+            .drop("_nrm")
+        )
     src = src.persist()
     # seed folded INTO the hash (works for any id type; `id + seed` would be
     # arithmetic, string ids break / NULL out under non-ANSI)
@@ -356,6 +389,13 @@ def kmeans_fit(
         new = [list(c) for c in cents]  # empty cells keep their centroid
         for r in rows:
             new[r["cell"]][r["pos"]] = r["m"]
+        if normalize:
+            # spherical k-means: project centroids back onto the unit
+            # sphere so the next round's L2-argmin stays a cosine-argmax
+            for ci, c in enumerate(new):
+                nrm = math.sqrt(sum(x * x for x in c))
+                if nrm > 0:
+                    new[ci] = [x / nrm for x in c]
         shift = max(
             abs(a - b) for cn, co in zip(new, cents) for a, b in zip(cn, co)
         )

@@ -91,3 +91,25 @@ def test_eval_export_format(spark, tmp_path):
     assert "\nLorem B B\nipsum I I\ndolor O O\n" in text
     # blank line BEFORE each sentence (dataset_to_conll_file.py:12-16)
     assert text.startswith("\n")
+
+
+def test_write_distributed_concat_parity(spark, tmp_path):
+    """Concatenating the distributed writer's part files in name order must
+    reproduce the single-file bytes exactly. 12 docs: covers the
+    strip-exactly-one-newline rule (regexp '\\n$' strips two — Java $ also
+    matches before a final terminator) AND numeric doc ordering
+    (unpadded lexicographic doc_ids would emit doc 10 before doc 2)."""
+    import glob
+
+    from bioner_spark.io.conll import write_conll_distributed
+
+    content = "".join(
+        f"-DOCSTART-\t0\t0\tO\n\nw{i}\t0\t2\tB\nx{i}\t3\t5\tO\n\n"
+        for i in range(12)
+    )
+    df = _parse(spark, tmp_path, content, "in12.txt")
+    out_dir = tmp_path / "dist"
+    write_conll_distributed(df, str(out_dir), num_files=4)
+    parts = sorted(glob.glob(str(out_dir / "part-*")))
+    cat = "".join(open(p, encoding="utf8").read() for p in parts)
+    assert cat == content

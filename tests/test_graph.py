@@ -44,9 +44,12 @@ def _expected(pairs):
 
 
 def test_star_simple_components(spark):
+    # 'p' has ONLY a self-loop: it must still get a singleton component —
+    # the driver union-find and propagation variants both keep it, so the
+    # star variant dropping it would be a scale-dependent silent difference
     pairs = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p")]
     got = _as_map(connected_components_star(_edges_df(spark, pairs)))
-    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "p": "p"}
 
 
 def test_star_long_chain_converges_fast(spark):

@@ -283,7 +283,7 @@ def test_ivf_topk_with_kmeans_centroids(spark):
         [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
         "vec_id long, embedding array<double>",
     ).cache()
-    cents = kmeans_fit(df, k=4, max_iter=10, seed=3)
+    cents = kmeans_fit(df, k=4, max_iter=10, seed=3, normalize=True)
     queries = df.filter(F.col("vec_id").isin([0, 30, 55, 80]))
     ivf = {
         r["query_id"]: r["neighbor_id"]
