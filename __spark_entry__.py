@@ -377,13 +377,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def entity_prf1(spark, sf_dir):
         gold = _spans(spark, sf_dir, GOLD_B, GOLD_I).select(
             "doc_id", "sentence_id", "start_tok", "end_tok"
-        )
+        ).persist()
         pred = _spans(spark, sf_dir, PRED_B, PRED_I).select(
             "doc_id", "sentence_id", "start_tok", "end_tok"
-        )
+        ).persist()
         key = ["doc_id", "sentence_id", "start_tok", "end_tok"]
         tp = pred.join(gold, key, "inner").count()
         n_p, n_g = pred.count(), gold.count()
+        # the result below is a literal DF — safe to release the span caches
+        # now (3 counts shared one tokenize+decode materialization each)
+        gold.unpersist()
+        pred.unpersist()
         precision = tp / n_p if n_p else 0.0
         recall = tp / n_g if n_g else 0.0
         f1 = 2 * precision * recall / (precision + recall + 1e-20)
@@ -510,28 +514,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Pairwise FP/FN/TP overlap between two models' error analyses
         (SURVEY §2.6 A8+A11 — reference analysis.py:140-170)."""
         key = ["doc_id", "sentence_id", "start_tok", "end_tok"]
-        gold = _spans(spark, sf_dir, GOLD_B, GOLD_I).select(*key)
+        # persist the three span sets: the 9 counts below each launch a job,
+        # and unpersisted they'd re-run the tokenize+decode lineage ~18×
+        gold = _spans(spark, sf_dir, GOLD_B, GOLD_I).select(*key).persist()
+        p1 = _spans(spark, sf_dir, PRED_B, PRED_I).select(*key).persist()
+        p2 = _spans(spark, sf_dir, PRED2_B, PRED2_I).select(*key).persist()
 
-        def sets(b, i):
-            pred = _spans(spark, sf_dir, b, i).select(*key)
+        def sets(pred):
             return (
                 pred.join(gold, key, "inner"),      # TP
                 pred.join(gold, key, "left_anti"),  # FP
                 gold.join(pred, key, "left_anti"),  # FN
             )
 
-        tp1, fp1, fn1 = sets(PRED_B, PRED_I)
-        tp2, fp2, fn2 = sets(PRED2_B, PRED2_I)
+        tp1, fp1, fn1 = sets(p1)
+        tp2, fp2, fn2 = sets(p2)
+        counts = (
+            tp1.join(tp2, key, "inner").count(),
+            fp1.join(fp2, key, "inner").count(),
+            fn1.join(fn2, key, "inner").count(),
+            tp1.count(), fp1.count(), fn1.count(),
+            tp2.count(), fp2.count(), fn2.count(),
+        )
+        for df in (gold, p1, p2):
+            df.unpersist()
         return spark.createDataFrame(
-            [
-                (
-                    tp1.join(tp2, key, "inner").count(),
-                    fp1.join(fp2, key, "inner").count(),
-                    fn1.join(fn2, key, "inner").count(),
-                    tp1.count(), fp1.count(), fn1.count(),
-                    tp2.count(), fp2.count(), fn2.count(),
-                )
-            ],
+            [counts],
             "tp_overlap bigint, fp_overlap bigint, fn_overlap bigint, "
             "tp_1 bigint, fp_1 bigint, fn_1 bigint, "
             "tp_2 bigint, fp_2 bigint, fn_2 bigint",
@@ -631,7 +639,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def corpus_split_semijoin(spark, sf_dir):
         docs = _docs(spark, sf_dir).select("doc_id")
-        ids = spark.range(0, 100000).select(F.col("id").alias("doc_id"))
+        # the split id-lists derive from the corpus's own ids (stand-in for
+        # the reference's external id-list files) — NOT a fixed range(1e5),
+        # which would silently drop every doc_id above the constant on a
+        # larger corpus while the oracle assigns all docs
+        ids = docs.distinct()
         train = ids.filter(F.col("doc_id") % 10 <= 6)
         val = ids.filter(F.col("doc_id") % 10 == 7)
         test = ids.filter(F.col("doc_id") % 10 >= 8)
@@ -977,6 +989,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         base = docs.withColumn("_words", F.split(normalized(F.col("text")), " ")).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        # the returned DF's lineage references `base`, so it can't be
+        # unpersisted here — instead release the PREVIOUS call's cache,
+        # bounding the leak to one copy per session however many times the
+        # harness re-invokes this query
+        prev = getattr(corpus_filter, "_last_base", None)
+        if prev is not None:
+            prev.unpersist()
+        corpus_filter._last_base = base
         base.count()
         d = with_token_counts(with_lang_guess(base))
         reps = exact_duplicate_groups(base, words_col="_words").select(
@@ -1396,9 +1416,19 @@ vocab AS (
 )
 """
 
-_STOP_EN = "'the','and','of','to','in','is','that','with','for','was'"
-_STOP_DE = "'der','die','das','und','ist','nicht','mit','ein','von','zu'"
-_STOP_FR = "'le','la','les','et','est','dans','pour','que','une','des'"
+# derived from the engine constants (NOT re-typed literals): editing
+# textstats.STOPWORDS must change the oracle in lockstep, same policy as
+# MINHASH_COEFFS / hyperplanes below
+def _sql_str_in(words) -> str:
+    return ",".join(f"'{w}'" for w in words)
+
+
+from bioner_spark.ops.textstats import STOPWORDS as _STOPWORDS  # noqa: E402
+from bioner_spark.triples import DEFAULT_PREDICATES as _VERBS  # noqa: E402
+
+_STOP_EN = _sql_str_in(_STOPWORDS["en"])
+_STOP_DE = _sql_str_in(_STOPWORDS["de"])
+_STOP_FR = _sql_str_in(_STOPWORDS["fr"])
 
 _HITS = (
     "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
@@ -1563,9 +1593,12 @@ counts AS (
     (SELECT COUNT(*) FROM g_spans) AS n_g
 )
 SELECT tp::BIGINT AS true_positives, n_p::BIGINT AS predicted, n_g::BIGINT AS gold,
-  ROUND(tp / n_p, 6) AS precision,
-  ROUND(tp / n_g, 6) AS recall,
-  ROUND(2.0 * (tp / n_p) * (tp / n_g) / ((tp / n_p) + (tp / n_g) + 1e-20), 6) AS f1
+  -- COALESCE mirrors the engine's zero-denominator guard (tp/n_p if n_p
+  -- else 0.0): DuckDB x/0 is NULL, the engine says 0.0
+  COALESCE(ROUND(tp / NULLIF(n_p, 0), 6), 0.0) AS precision,
+  COALESCE(ROUND(tp / NULLIF(n_g, 0), 6), 0.0) AS recall,
+  ROUND(2.0 * COALESCE(tp / NULLIF(n_p, 0), 0.0) * COALESCE(tp / NULLIF(n_g, 0), 0.0)
+        / (COALESCE(tp / NULLIF(n_p, 0), 0.0) + COALESCE(tp / NULLIF(n_g, 0), 0.0) + 1e-20), 6) AS f1
 FROM counts
 """
 
@@ -2286,7 +2319,7 @@ linked AS (
 verbs AS (
   SELECT doc_id, sentence_id, token_id AS verb_tok, lower(text) AS verb
   FROM gt
-  WHERE lower(text) IN ('treats', 'causes', 'inhibits', 'prevents', 'reduces')
+  WHERE lower(text) IN ({_sql_str_in(_VERBS)})
 ),
 pairs AS (
   SELECT m1.doc_id, m1.sentence_id,

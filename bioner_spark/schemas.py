@@ -30,8 +30,10 @@ TOKENS_SCHEMA = T.StructType(
         T.StructField("sentence_id", T.IntegerType(), False),
         T.StructField("token_id", T.IntegerType(), False),
         T.StructField("text", T.StringType(), False),
-        T.StructField("start", T.IntegerType(), False),
-        T.StructField("end", T.IntegerType(), False),
+        # nullable: tokenize(with_offsets=False) — the KG pipeline's hot
+        # path — legitimately emits NULL offsets (tokenizer.py)
+        T.StructField("start", T.IntegerType(), True),
+        T.StructField("end", T.IntegerType(), True),
         T.StructField("tag", T.StringType(), True),  # B/I/O, null pre-NER
     ]
 )

@@ -85,8 +85,14 @@ def _warm_icu(spark: SparkSession) -> None:
         _ICU_WARMED.add(app_id)
         # one tiny task per core slot (×4 waves) so every executor JVM in
         # local-cluster / real-cluster mode class-loads ICU, not just the one
-        # that happens to win the first task
-        n = spark.sparkContext.defaultParallelism * 4
+        # that happens to win the first task. Floor of 128: on cluster
+        # masters executors register ASYNCHRONOUSLY and defaultParallelism
+        # reads low until they do (kg_job reads it after the first job for
+        # this reason) — a warmup sized off the early reading would leave
+        # late-registering JVMs to pay the 10-18 s stall inside the timed
+        # job. 128 trivial tasks queue and drain onto executors as they
+        # appear (<1 s total).
+        n = max(128, spark.sparkContext.defaultParallelism * 4)
         spark.range(0, n, 1, n).selectExpr(
             "max(length(lower(concat('Äß', id)))) as w",
             "max(length(initcap(concat('ßä ', id)))) as t",

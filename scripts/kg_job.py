@@ -117,6 +117,12 @@ def main(argv: list[str] | None = None) -> None:
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
 
     model = vocab = ft_model = None
+    if args.tagger != "neural" and (args.checkpoint_pt or args.embeddings_bin):
+        raise SystemExit(
+            "--checkpoint-pt / --embeddings-bin require --tagger neural "
+            "(silently running the dict tagger would attribute its output "
+            "to the checkpoint)"
+        )
     if args.tagger == "neural":
         from bioner_spark.ner.infer import ship_model
         from bioner_spark.ner.kernel import load_model_config

@@ -9,6 +9,7 @@ Usage: python scripts/verify_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -16,7 +17,8 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, ".")
+# repo root (this file's parent dir) — works from any cwd, unlike '.'
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -72,6 +74,11 @@ def main() -> None:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not produce a zero-check 'ALL OK'
+        sys.exit(f"unknown query name(s): {sorted(unknown)}; "
+                 f"known: {sorted(qs)}")
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
