@@ -2434,6 +2434,7 @@ proj AS (
                             ORDER BY a.a_start, a.a_end DESC, a.etype) AS rn
   FROM gtoks t LEFT JOIN anns a
     ON a.doc_id = t.doc_id AND t.g_start < a.a_end AND t.g_end > a.a_start
+   AND a.a_start < a.a_end
 ),
 win AS (SELECT * FROM proj WHERE rn = 1),
 firsts AS (

@@ -110,8 +110,9 @@ def _rstrip(col: Column) -> Column:
     """Python-str.rstrip()-equivalent trim. F.rtrim strips ONLY the space
     char — XML element text routinely ends with '\\n', which rtrim keeps,
     so the marker endswith() test would silently miss. (?U) makes Java's
-    \\s Unicode-aware, matching Python's whitespace set."""
-    return F.regexp_replace(col, r"(?U)\s+$", "")
+    \\s the Unicode White_Space set; \\x1c-\\x1f (FS/GS/RS/US) are Python
+    whitespace but NOT Unicode White_Space, so they're added explicitly."""
+    return F.regexp_replace(col, r"(?U)[\s\x1c-\x1f]+$", "")
 
 
 def strip_truncation_markers(col: Column) -> Column:

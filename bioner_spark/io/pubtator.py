@@ -199,6 +199,11 @@ def project_iob(tokens: DataFrame, annotations: DataFrame) -> DataFrame:
     a = annotations.select(
         "doc_id", F.col("start").alias("a_start"),
         F.col("end").alias("a_end"), "etype",
+    ).filter(
+        # a zero-width (or inverted) span claims nothing — without this a
+        # malformed start==end annotation would satisfy the overlap
+        # predicate for its containing token
+        F.col("a_start") < F.col("a_end")
     )
     j = t.join(
         a,

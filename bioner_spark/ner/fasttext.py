@@ -208,7 +208,9 @@ class _VectorCache:
 
 
 # executor-local cache: SparkFiles name → loaded FastTextModel (same
-# pattern as ner/infer._MODEL_CACHE — N tasks on one executor load once)
+# pattern — and same BOUND — as ner/infer._MODEL_CACHE: ship names are
+# unique per call, so an unbounded dict would pin every matrix a retrain
+# loop ever shipped in every Python worker)
 _FT_CACHE: dict = {}
 
 
@@ -235,6 +237,12 @@ def ship_fasttext(spark, model: FastTextModel, name: str | None = None) -> str:
     path = os.path.join(d, fname)
     model.save(path)
     spark.sparkContext.addFile(path)
+    # source must outlive the app (executors re-validate against it per
+    # task in local mode) — clean up at interpreter exit, not immediately
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     return fname
 
 
@@ -247,8 +255,9 @@ def _resolve_ft(model) -> FastTextModel:
     if m is None:
         from pyspark import SparkFiles
 
-        m = FastTextModel.load(SparkFiles.get(model))
-        _FT_CACHE[model] = m
+        from bioner_spark.ner.infer import _cache_put
+
+        m = _cache_put(_FT_CACHE, model, FastTextModel.load(SparkFiles.get(model)))
     return m
 
 

@@ -49,7 +49,17 @@ from bioner_spark.ner.kernel import SequenceModel
 
 # executor-local model cache: file name → loaded SequenceModel. Lives for
 # the lifetime of the Python worker, so N tasks on one executor load once.
+# BOUNDED (see _cache_put): ship names are unique per call, so an unbounded
+# dict would pin every model a retrain loop ever shipped in every worker.
 _MODEL_CACHE: dict = {}
+_CACHE_MAX = 2  # current model + one predecessor (e.g. an A/B pass)
+
+
+def _cache_put(cache: dict, key, value):
+    if len(cache) >= _CACHE_MAX and key not in cache:
+        cache.clear()
+    cache[key] = value
+    return value
 
 ModelRef = Union[SequenceModel, str]
 
@@ -78,6 +88,14 @@ def ship_model(
     path = os.path.join(d, fname)
     model.save(path)
     spark.sparkContext.addFile(path)
+    # the source file must OUTLIVE the app: local-mode executors re-validate
+    # fetched files against the original path per task (deleting it fails
+    # jobs with 'does not match contents of file:...'), so clean up at
+    # interpreter exit instead of immediately
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     return fname
 
 
@@ -90,8 +108,7 @@ def _resolve_model(model: ModelRef) -> SequenceModel:
     if m is None:
         from pyspark import SparkFiles
 
-        m = SequenceModel.load(SparkFiles.get(model))
-        _MODEL_CACHE[model] = m
+        m = _cache_put(_MODEL_CACHE, model, SequenceModel.load(SparkFiles.get(model)))
     return m
 
 def _tags_schema(sentences: DataFrame) -> str:

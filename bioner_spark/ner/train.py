@@ -578,7 +578,14 @@ def assign_doc_shuffled_order(df, seed: int, order_partitions: int | None = None
     # cut the lineage to `ranged` (one small one-row-per-doc
     # materialization) and release its cache NOW — otherwise the persisted
     # counts table stays pinned in executor memory for the whole training
-    # run (one leaked cache entry per grid_search trial)
+    # run (one leaked cache entry per grid_search trial).
+    # localCheckpoint DELIBERATELY, not persist: repartitionByRange picks
+    # boundaries by sampling, so a lineage recompute (cache eviction /
+    # executor loss) could re-sample different _pid assignments while the
+    # collected `offsets` map still encodes the old ones — silently wrong
+    # order_idx. A checkpoint block lost to executor death fails LOUDLY
+    # instead; fault-tolerant clusters should use a reliable checkpoint
+    # dir (sc.setCheckpointDir + .checkpoint()) for multi-hour runs.
     doc_offsets = doc_offsets.localCheckpoint(eager=True)
     ranged.unpersist()
     sent_w = Window.partitionBy("doc_id").orderBy("sentence_id")

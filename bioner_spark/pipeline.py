@@ -329,18 +329,22 @@ def run_checkpointed(
         # latest row per bucket wins (the manifest is append-only, so a
         # bucket recomputed under a new fingerprint has several rows; an
         # arbitrary pick could match a STALE fingerprint and skip a bucket
-        # whose partition holds different data)
-        latest: dict[int, tuple] = {}
-        for r in manifest.select(
-            "bucket", "input_fingerprint", "status", "completed_at"
-        ).collect():
-            cur = latest.get(r["bucket"])
-            if cur is None or r["completed_at"] > cur[0]:
-                latest[r["bucket"]] = (
-                    r["completed_at"], r["status"], r["input_fingerprint"]
-                )
+        # whose partition holds different data). max_by runs Spark-side so
+        # the driver transfer stays O(n_buckets) however many runs the
+        # append-only history accumulates.
+        latest_rows = (
+            manifest.groupBy("bucket")
+            .agg(
+                F.max_by(
+                    F.struct("status", "input_fingerprint"), F.col("completed_at")
+                ).alias("w")
+            )
+            .collect()
+        )
         done_fp = {
-            b: fp for b, (_, status, fp) in latest.items() if status == "done"
+            r["bucket"]: r["w"]["input_fingerprint"]
+            for r in latest_rows
+            if r["w"]["status"] == "done"
         }
 
     # buckets on disk that the CURRENT input no longer produces (docs
@@ -404,6 +408,13 @@ def run_checkpointed(
         # the manifest). A crash in the window between delete and manifest
         # write just means the bucket is recomputed next run — same
         # idempotence contract as before.
+        # Visibility tradeoff, accepted: a concurrent reader of the triples
+        # dir sees todo buckets ABSENT while the recompute runs (before,
+        # it saw their stale previous contents — and a mixed old/new table
+        # during the overwrite commit, which is no better). This table is
+        # job-owned during a run; serving readers across rewrites is a
+        # snapshot-table-format concern (write new snapshot dir, flip a
+        # pointer — what Iceberg does), not a bucket-overwrite one.
         _delete_bucket_partitions(spark, triples_path, todo_buckets)
         (
             out.write.mode("overwrite")
