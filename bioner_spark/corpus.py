@@ -54,7 +54,9 @@ CANONICAL_NAMES: dict[str, str] = {cid: aliases[0] for cid, aliases in CONCEPTS.
 
 # Predicate lexicon: a triple's predicate is the first lexicon verb strictly
 # between two mentions in a sentence, else 'co_occurs_with'.
-PREDICATES = ["treats", "causes", "inhibits", "prevents", "reduces"]
+# single source of truth: the engine's predicate lexicon (triples.py) — a
+# re-typed copy here would drift from what extract_triples actually matches
+from bioner_spark.triples import DEFAULT_PREDICATES as PREDICATES  # noqa: E402
 
 # Sentence templates; {0}/{1} are entity slots, <pred> a predicate verb.
 _TEMPLATES = [
@@ -254,7 +256,14 @@ def generate(
             for i in range(len(ms)):
                 for j in range(i + 1, len(ms)):
                     between = words[ms[i][2] + 1 : ms[j][1]]
-                    pred = next((w for w in between if w in PREDICATES), "co_occurs_with")
+                    # lower() mirrors the engine's case-insensitive verb match
+                    # (triples.extract_triples: F.lower(text).isin) — the
+                    # synthetic corpus is lowercase today, but a capitalized
+                    # predicate must not silently split gold vs engine
+                    pred = next(
+                        (w.lower() for w in between if w.lower() in PREDICATES),
+                        "co_occurs_with",
+                    )
                     triple_rows.append(
                         (components[ms[i][4]], pred, components[ms[j][4]], url, s)
                     )

@@ -68,24 +68,31 @@ def extract_triples(
         F.col("token_id").alias("verb_tok"),
         F.lower(F.col("text")).alias("verb"),
     )
+    # the BETWEEN range is part of the JOIN CONDITION, not a post-join
+    # filter: joining on the sentence key alone materializes pairs×verbs
+    # rows per sentence before anything prunes them (a giant-doc sentence
+    # with 20 mentions and 10 predicate tokens would emit 1,900 rows into
+    # the aggregation); in the condition, non-between verbs never leave
+    # the join. LEFT join semantics unchanged — a pair with no between-verb
+    # survives with NULL verb and falls through to CO_OCCURS.
     with_verb = (
-        pairs.join(
-            verbs,
-            ["doc_id", "sentence_id"],
+        pairs.alias("p").join(
+            verbs.alias("v"),
+            (F.col("p.doc_id") == F.col("v.doc_id"))
+            & (F.col("p.sentence_id") == F.col("v.sentence_id"))
+            & (F.col("v.verb_tok") > F.col("p.subj_end"))
+            & (F.col("v.verb_tok") < F.col("p.obj_start")),
             "left",
         )
-        .withColumn(
-            "verb_between",
-            F.when(
-                (F.col("verb_tok") > F.col("subj_end"))
-                & (F.col("verb_tok") < F.col("obj_start")),
-                F.col("verb_tok"),
-            ),
+        .select(
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.sentence_id").alias("sentence_id"),
+            "subj", "obj", "subj_end", "obj_start", "verb_tok", "verb",
         )
         .groupBy("doc_id", "sentence_id", "subj", "obj", "subj_end", "obj_start")
         .agg(
             F.min(
-                F.when(F.col("verb_between").isNotNull(), F.struct("verb_tok", "verb"))
+                F.when(F.col("verb_tok").isNotNull(), F.struct("verb_tok", "verb"))
             ).alias("first_verb")
         )
         .select(

@@ -61,7 +61,20 @@ def _level_once(kind: str, procs: int, mb: int, reps: int) -> float:
     for p in ps:
         p.start()
     for p in ps:
-        p.join()
+        # bounded join: a worker OOM-killed BEFORE barrier.wait() leaves the
+        # others blocked in the barrier forever — don't hang the probe
+        p.join(timeout=600)
+    if any(p.is_alive() for p in ps):
+        for p in ps:
+            p.terminate()
+        raise RuntimeError(f"membw probe: worker hang at procs={procs}")
+    if len(out) != procs:
+        # a worker died after the barrier: max(survivors) would report a
+        # silently optimistic wall — fail loudly instead
+        raise RuntimeError(
+            f"membw probe: {procs - len(out)}/{procs} workers died "
+            f"(likely OOM at mb={mb}); rerun with a smaller --mb"
+        )
     return max(out.values())  # slowest worker = level wall (fixed work each)
 
 

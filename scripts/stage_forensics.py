@@ -53,9 +53,8 @@ def parse_log(path: str) -> dict:
                                             sr_mb=0.0, sw_mb=0.0,
                                             spill_mb=0.0, n=0))
     app_name, n_exec = "?", 0
-    if True:
-        f = _iter_lines(path)
-        for line in f:
+    if True:  # kept block-shaped to minimize diff churn
+        for line in _iter_lines(path):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
@@ -144,6 +143,12 @@ def main() -> None:
         print(f"{'TOTAL':<42} {tot_w:>7} {tot_t:>8}")
         return
     # side-by-side: first two logs, keyed by stage name
+    if len(parsed) > 2:
+        print(f"WARNING: {len(parsed)} event logs found; comparing only the "
+              f"first two by app-id order ({parsed[0]['app']} vs "
+              f"{parsed[1]['app']}) — multi-trial dirs hold several logs "
+              "PER LEVEL, so pass two explicit log paths to compare levels",
+              file=sys.stderr)
     a, b = parsed[0], parsed[1]
     ga, gb = group_by_name(a["stages"]), group_by_name(b["stages"])
     print(f"# A = {a['executors']} executors ({os.path.basename(a['path'])})")

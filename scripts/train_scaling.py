@@ -17,28 +17,13 @@ import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from scaling_bench import EXEC_MEM_MB, REPO, WORK, make_zip  # noqa: E402
+from scaling_bench import REPO, WORK, base_submit_cmd, make_zip  # noqa: E402
 
 
 def run_level(n_exec: int, zpath: str, args) -> dict:
-    shm_dir = "/dev/shm/spark-local"
-    os.makedirs(shm_dir, exist_ok=True)
-    cmd = [
-        "spark-submit",
-        "--master", f"local-cluster[{n_exec},1,{EXEC_MEM_MB}]",
-        "--driver-memory", "8g",
-        "--conf", f"spark.local.dir={shm_dir}",
-        # Pin BLAS threads to the executor's core count (1): numpy's
-        # OpenBLAS defaults to ALL machine threads, so an unpinned
-        # 2-executor level secretly uses up to 2×32 threads and the
-        # measured "scaling" compares different effective core counts
-        # (first run measured 0.416 for exactly this reason). On a real
-        # cluster this pinning is the standard 1-core-executor config.
-        "--conf", "spark.executorEnv.OMP_NUM_THREADS=1",
-        "--conf", "spark.executorEnv.OPENBLAS_NUM_THREADS=1",
-        "--conf", "spark.executorEnv.MKL_NUM_THREADS=1",
-        "--conf", "spark.executorEnv.VECLIB_MAXIMUM_THREADS=1",
-        "--conf", "spark.executorEnv.NUMEXPR_NUM_THREADS=1",
+    # shared scaffolding (incl. the load-bearing BLAS pinning) lives in
+    # scaling_bench.base_submit_cmd — one copy for both harnesses
+    cmd = base_submit_cmd(n_exec) + [
         "--py-files", zpath,
         os.path.join(REPO, "scripts/train_job.py"),
         "--n-sentences", str(args.n_sentences),
