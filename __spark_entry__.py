@@ -49,6 +49,9 @@ PRED2_I = ("table", "row")
 # deterministic IVF / LSH similarity params (shared with the oracle SQL)
 IVF_CENTROID_IDS = list(range(16))
 NEAR_DUP_THRESHOLD = 0.3
+# survives across queries() invocations: holds corpus_filter's persisted
+# word-array base so each call can release the previous call's cache
+_CORPUS_FILTER_BASE: dict = {}
 
 
 def _components() -> dict[str, str]:
@@ -992,11 +995,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the returned DF's lineage references `base`, so it can't be
         # unpersisted here — instead release the PREVIOUS call's cache,
         # bounding the leak to one copy per session however many times the
-        # harness re-invokes this query
-        prev = getattr(corpus_filter, "_last_base", None)
+        # harness re-invokes this query. Module-level holder, NOT a
+        # closure attribute: harnesses that call queries() per invocation
+        # get a fresh closure each time, and an attribute on it would leak
+        # one persisted base per call.
+        prev = _CORPUS_FILTER_BASE.pop("base", None)
         if prev is not None:
             prev.unpersist()
-        corpus_filter._last_base = base
+        _CORPUS_FILTER_BASE["base"] = base
         base.count()
         d = with_token_counts(with_lang_guess(base))
         reps = exact_duplicate_groups(base, words_col="_words").select(

@@ -15,8 +15,10 @@ iteration. Three paths:
 
 All paths are deterministic (component id = min node id), so output is
 run- and retry-invariant (SURVEY.md §4 engineering point 5). Lineage is
-truncated each round with localCheckpoint — without it the plan doubles per
-iteration and the job dies on plan-compile time.
+truncated each round — without it the plan doubles per iteration and the
+job dies on plan-compile time. Default is localCheckpoint (executor-local
+blocks: fast, but lost with an executor); pass ``checkpoint_dir`` for a
+reliable-store checkpoint per round on multi-hour cluster runs.
 """
 
 from __future__ import annotations
@@ -26,12 +28,28 @@ from pyspark.sql import functions as F
 
 
 # Below this many edges the graph is collected and solved with union-find on
-# the driver (one job, no iteration). Kept modest: the gate itself costs a
-# limit(threshold+1).collect(), i.e. up to threshold rows of driver memory
-# even when the graph ends up on the distributed path. Callers that KNOW
-# their graph is driver-sized (the alias dictionary is a broadcast-sized
-# dimension table by contract) pass a larger explicit threshold.
+# the driver (one job, no iteration). The gate is count-only: an
+# over-threshold graph costs one cheap limit(n+1).count() before taking the
+# distributed path — no full edge rows ever move to the driver for it.
+# Callers that KNOW their graph is driver-sized (the alias dictionary is a
+# broadcast-sized dimension table by contract) pass a larger explicit
+# threshold.
 DRIVER_CC_MAX_EDGES = 100_000
+
+
+def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Cut lineage between CC rounds. Default localCheckpoint stores the
+    blocks on executors — fast, but an executor loss mid-run loses them and
+    the job fails (same trade-off documented for the trainer,
+    ner/train.py). For multi-hour cluster runs pass checkpoint_dir: the
+    caller's setCheckpointDir'd reliable store (HDFS/S3) makes each round
+    durable at the cost of a write per round."""
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def _driver_union_find(rows: list, spark, node_type: str) -> DataFrame:
@@ -62,6 +80,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 25,
     driver_threshold: int = DRIVER_CC_MAX_EDGES,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges(src, dst) → (node, component) where component = min node id
     reachable. Nodes appearing only as src or only as dst are included.
@@ -71,15 +90,27 @@ def connected_components(
     union-find on the driver (one job). Pass 0/None to force the
     distributed path (large-star/small-star), or a larger value when the
     caller knows the graph is driver-sized (saves the iteration
-    entirely)."""
+    entirely). The gate is count-only — an over-threshold graph never
+    moves full edge rows to the driver, and the subsequent collect is
+    limit-bounded so a source that grows between the two jobs falls
+    through to the distributed path instead of overfilling the driver.
+
+    checkpoint_dir: optional reliable checkpoint dir for the distributed
+    path's per-round lineage truncation (see _truncate)."""
     node_type = edges.schema[src].dataType.simpleString()
     if driver_threshold:
-        sample = edges.select(src, dst).limit(driver_threshold + 1).collect()
-        if len(sample) <= driver_threshold:
-            return _driver_union_find(
-                [(r[src], r[dst]) for r in sample], edges.sparkSession, node_type
-            )
-    return connected_components_star(edges, src, dst, max_iterations)
+        slim = edges.select(src, dst)
+        if slim.limit(driver_threshold + 1).count() <= driver_threshold:
+            sample = slim.limit(driver_threshold + 1).collect()
+            if len(sample) <= driver_threshold:
+                return _driver_union_find(
+                    [(r[src], r[dst]) for r in sample],
+                    edges.sparkSession,
+                    node_type,
+                )
+    return connected_components_star(
+        edges, src, dst, max_iterations, checkpoint_dir=checkpoint_dir
+    )
 
 
 def _edge_checksum(e: DataFrame) -> tuple[int, int]:
@@ -95,6 +126,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al., SoCC'14)
     — the web-scale path: O(log d) rounds on diameter-d graphs vs O(d) for
@@ -106,11 +138,11 @@ def connected_components_star(
 
     Alternating rounds converge to a forest of stars whose roots are the
     component minima. Deterministic by construction (min over ids)."""
-    cur = (
+    cur = _truncate(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
     prev_sig = None
     for _ in range(max_iterations):
@@ -128,10 +160,9 @@ def connected_components_star(
             if not large:
                 # small-star also re-attaches u itself to its min
                 kept = kept.union(mins.select(F.col("u"), F.col("m").alias("v")))
-            cur = (
-                kept.filter(F.col("u") != F.col("v"))
-                .distinct()
-                .localCheckpoint(eager=True)
+            cur = _truncate(
+                kept.filter(F.col("u") != F.col("v")).distinct(),
+                checkpoint_dir,
             )
         sig = _edge_checksum(cur)
         if sig == prev_sig:
@@ -163,6 +194,7 @@ def connected_components_propagation(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Min-label propagation to fixpoint — O(diameter) rounds. Kept as the
     simple differential authority for the star variant; fine for near-star
@@ -175,8 +207,8 @@ def connected_components_propagation(
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
-    labels = labels.localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
+    labels = _truncate(labels, checkpoint_dir)
+    sym = _truncate(sym, checkpoint_dir)
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -194,7 +226,7 @@ def connected_components_propagation(
                 ).alias("component"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _truncate(new_labels, checkpoint_dir)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -87,10 +87,40 @@ class _StorageType:
 
 def _rebuild_tensor(storage: np.ndarray, offset: int, size, stride, *rest):
     """torch._utils._rebuild_tensor_v2 semantics over a 1-D numpy storage:
-    strides are in ELEMENTS; copy so the result owns its memory."""
-    size = tuple(size)
+    strides are in ELEMENTS; copy so the result owns its memory.
+
+    shape/stride/offset come straight from the (untrusted) pickle, so they
+    are bounds-checked BEFORE as_strided — a crafted checkpoint must not be
+    able to read out-of-bounds process memory through a stride that walks
+    past the storage buffer."""
+    size = tuple(int(s) for s in size)
+    stride = tuple(int(s) for s in stride)
+    offset = int(offset)
+    if offset < 0 or offset > storage.size:
+        raise TorchImportError(
+            f"tensor storage_offset {offset} outside storage of {storage.size}"
+        )
     if not size:
+        if offset >= storage.size:
+            raise TorchImportError("scalar tensor offset at/past end of storage")
         return storage[offset : offset + 1].copy().reshape(())
+    if len(stride) != len(size):
+        raise TorchImportError(
+            f"tensor stride rank {len(stride)} != shape rank {len(size)}"
+        )
+    if any(d < 0 for d in size) or any(s < 0 for s in stride):
+        raise TorchImportError(
+            f"negative tensor shape/stride in checkpoint: size={size} stride={stride}"
+        )
+    if any(d == 0 for d in size):
+        return np.empty(size, dtype=storage.dtype)
+    # furthest element this view can touch, in elements from storage[0]
+    last = offset + sum((d - 1) * s for d, s in zip(size, stride))
+    if last >= storage.size:
+        raise TorchImportError(
+            f"tensor view (offset={offset}, size={size}, stride={stride}) "
+            f"reads element {last} past storage of {storage.size}"
+        )
     itemsize = storage.dtype.itemsize
     view = np.lib.stride_tricks.as_strided(
         storage[offset:],

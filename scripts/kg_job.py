@@ -173,8 +173,13 @@ def main(argv: list[str] | None = None) -> None:
         from bioner_spark.pipeline import build_triples
 
         pilot = pages.limit(args.pilot_docs)
-        build_triples(pilot, alias, tagger=args.tagger, model=model,
-                      vocab=vocab, ft_model=ft_model).triples.count()
+        pilot_result = build_triples(pilot, alias, tagger=args.tagger,
+                                     model=model, vocab=vocab,
+                                     ft_model=ft_model)
+        pilot_result.triples.count()
+        # release the pilot's MEMORY_AND_DISK caches before the timed run —
+        # the warmup must not pressure the executors it is stabilizing
+        pilot_result.unpersist()
 
     t0 = time.time()
     result = run_checkpointed(

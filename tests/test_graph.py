@@ -101,3 +101,53 @@ def test_union_find_determinism(spark):
     pairs = [("z", "a"), ("a", "m"), ("m", "z")]
     got = _driver_union_find(pairs, spark, "string")
     assert {r["component"] for r in got.collect()} == {"a"}
+
+
+def test_over_threshold_gate_never_collects_rows(spark, monkeypatch):
+    """An over-threshold graph must take the distributed path via a
+    count-only gate: no driver union-find, and no collect() that moves more
+    than the gate's bound in rows (the star path's checksum/limit collects
+    are 1-row)."""
+    from pyspark.sql import DataFrame
+
+    import bioner_spark.graph as G
+
+    pairs = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(10)]
+    df = _edges_df(spark, pairs)
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver union-find ran on an over-threshold graph")
+
+    monkeypatch.setattr(G, "_driver_union_find", boom)
+    orig_collect = DataFrame.collect
+
+    def guarded(self):
+        rows = orig_collect(self)
+        assert len(rows) <= 3, (
+            f"gate moved {len(rows)} full rows to the driver"
+        )
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", guarded)
+    result = G.connected_components(df, driver_threshold=3)
+    monkeypatch.setattr(DataFrame, "collect", orig_collect)
+    got = _as_map(result)
+    assert set(got.values()) == {"c00"}
+    assert len(got) == 11
+
+
+def test_star_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches per-round lineage truncation to durable
+    .checkpoint() files under the given dir."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    pairs = [("a", "b"), ("b", "c"), ("x", "y")]
+    got = _as_map(
+        connected_components_star(_edges_df(spark, pairs), checkpoint_dir=ckpt)
+    )
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "reliable checkpoint dir is empty — localCheckpoint used?"

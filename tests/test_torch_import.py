@@ -164,3 +164,56 @@ def test_nonstandard_prefix_accepted(tmp_path):
     write_state_dict_pt(p, model_to_state_dict(src), prefix="best_model_42")
     back = load_sequence_model(p)
     assert back.input_dim == 4
+
+
+def test_rebuild_tensor_bounds_checked():
+    """shape/stride/offset come from the untrusted pickle: a stride that
+    walks past the storage must raise, never read out-of-bounds memory."""
+    from bioner_spark.ner.torch_import import _rebuild_tensor
+
+    storage = np.arange(4, dtype=np.float32)
+    # legitimate contiguous view still works
+    ok = _rebuild_tensor(storage, 0, (2, 2), (2, 1))
+    assert ok.tolist() == [[0.0, 1.0], [2.0, 3.0]]
+    # scalar
+    assert _rebuild_tensor(storage, 3, (), ()).item() == 3.0
+    # zero-size dim → empty, no storage touch
+    assert _rebuild_tensor(storage, 0, (0, 5), (1, 1)).size == 0
+    with pytest.raises(TorchImportError, match="past storage"):
+        _rebuild_tensor(storage, 0, (4,), (100000,))
+    with pytest.raises(TorchImportError, match="negative"):
+        _rebuild_tensor(storage, 3, (4,), (-1,))
+    with pytest.raises(TorchImportError, match="outside storage"):
+        _rebuild_tensor(storage, 10, (1,), (1,))
+    with pytest.raises(TorchImportError, match="past storage"):
+        _rebuild_tensor(storage, 2, (4,), (1,))  # offset + extent overflows
+    with pytest.raises(TorchImportError, match="rank"):
+        _rebuild_tensor(storage, 0, (2, 2), (1,))
+
+
+def test_tampered_checkpoint_stride_rejected(tmp_path):
+    """End-to-end: a .pt whose pickle declares a stride larger than its
+    storage is rejected at load (the as_strided OOB-read exploit)."""
+    import zipfile
+
+    src = init_model(4, feedforward_size=3, lstm_size=2, n_bilstm_layers=1, seed=7)
+    p = str(tmp_path / "evil.pt")
+    write_state_dict_pt(p, model_to_state_dict(src))
+    with zipfile.ZipFile(p) as zf:
+        names = zf.namelist()
+        pkl_name = [n for n in names if n.endswith("/data.pkl")][0]
+        data = {n: zf.read(n) for n in names}
+    # every stored stride tuple in the pickle is contiguous row-major ints;
+    # corrupt by swapping a BININT1 stride value 1 -> 251 wherever a stride
+    # tuple is emitted is brittle, so instead rewrite one storage entry to
+    # be shorter than its tensor claims (equivalent OOB condition: the
+    # persistent-id numel shrinks but shape/stride stay).
+    storage_keys = [n for n in names if "/data/" in n]
+    victim = storage_keys[0]
+    data[victim] = data[victim][:4]  # truncate storage to 1 float32
+    evil = str(tmp_path / "evil2.pt")
+    with zipfile.ZipFile(evil, "w", zipfile.ZIP_STORED) as zf:
+        for n in names:
+            zf.writestr(n, data[n])
+    with pytest.raises((TorchImportError, ValueError)):
+        load_state_dict(evil)
