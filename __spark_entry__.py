@@ -965,6 +965,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_hist"] = multimodal_hist
 
+    def multimodal_decode(spark, sf_dir):
+        # REAL codec path: synthesize actual WAV-PCM / PPM containers from
+        # (doc_id, n_chars) formulas, parse them back with the native
+        # decoders (ops/multimodal.decode_wav / decode_netpbm), histogram
+        # the DECODED samples/pixels in exact ints; the oracle recomputes
+        # the histograms from the generating formulas alone — the
+        # writer↔parser roundtrip and the decode plumbing are both verified
+        # against a derivation that never touches either.
+        from bioner_spark.ops.multimodal import (
+            extract_decoded_histograms,
+            synthesize_codec_media,
+        )
+
+        media = synthesize_codec_media(_docs(spark, sf_dir))
+        feats = extract_decoded_histograms(media)
+        return feats.select(
+            "media_id", "modality", "n_values",
+            F.posexplode("feature").alias("bin", "n"),
+        )
+
+    q["multimodal_decode"] = multimodal_decode
+
     def corpus_filter(spark, sf_dir):
         # the C4-style cleaning chain, composed from the engine's own ops:
         # benchmark holdout -> language -> length -> exact-dup rep ->
@@ -2285,6 +2307,45 @@ SELECT m.media_id, m.modality, m.n_bytes, bins.bin,
        COALESCE(c.n, 0)::INT AS n
 FROM media m CROSS JOIN bins
 LEFT JOIN counts c ON c.media_id = m.media_id AND c.bin = bins.bin
+"""
+
+    # multimodal_decode: DuckDB recomputes the DECODED-value histograms from
+    # the synthesis formulas (odd docs: int16 PCM samples ((d*7919 +
+    # i*104729) mod 65536) − 32768 binned by >>12; even docs: P6 bytes
+    # ((d*31 + j*17) mod 256) binned by >>4) — never parsing the containers,
+    # so a writer or parser defect on the Spark side cannot cancel out
+    o["multimodal_decode"] = """
+WITH aud AS (
+  SELECT doc_id, ((n_chars % 200) + 50)::INT AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+aud_vals AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, 'audio' AS modality,
+         n AS n_values,
+         (((doc_id*7919 + unnest(range(0, n))*104729) % 65536) // 4096)::INT AS bin
+  FROM aud
+),
+img AS (
+  SELECT doc_id, ((n_chars % 16) + 4) * 8 * 3 AS n
+  FROM documents WHERE doc_id % 2 = 0
+),
+img_vals AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS modality,
+         n::INT AS n_values,
+         (((doc_id*31 + unnest(range(0, n))*17) % 256) // 16)::INT AS bin
+  FROM img
+),
+vals AS (SELECT * FROM aud_vals UNION ALL SELECT * FROM img_vals),
+counts AS (
+  SELECT media_id, modality, n_values, bin, COUNT(*)::INT AS n
+  FROM vals GROUP BY 1, 2, 3, 4
+),
+base AS (SELECT DISTINCT media_id, modality, n_values FROM vals),
+bins AS (SELECT unnest(range(0, 16))::INT AS bin)
+SELECT base.media_id, base.modality, base.n_values, bins.bin,
+       COALESCE(c.n, 0)::INT AS n
+FROM base CROSS JOIN bins
+LEFT JOIN counts c ON c.media_id = base.media_id AND c.bin = bins.bin
 """
 
     # kg_pipeline_synthetic: the oracle RECOMPUTES the expected triples in

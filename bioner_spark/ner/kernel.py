@@ -261,12 +261,17 @@ def init_model(
     seed: int = 1632737901,  # reference training seed (main.py:89-92)
     name: str = "DATEXIS-NER",
     batch_norm: bool = False,
+    bn_identity: bool = False,
 ) -> SequenceModel:
     """Seeded init mirroring the reference scheme: FF He-normal
     std=sqrt(2/fan_in) (datexis_model.py:48-50), LSTM/Linear xavier-normal,
     biases 0 (datexis_model.py:34-46). batch_norm=True builds the
     StackedBiLSTMModel BN set (datexis_model.py:105-109): FF-BN [F],
-    one BN per BiLSTM [2H], encoder BN [H]."""
+    one BN per BiLSTM [2H], encoder BN [H]. bn_identity=True uses torch's
+    fresh-BatchNorm1d init (gamma=1, beta=0, running mean 0 / var 1) — the
+    state a reference TRAINING run starts from; the default seeded
+    non-trivial stats are for inference fixtures, where identity stats
+    would hide placement bugs."""
     rng = np.random.default_rng(seed)
     ff_w = rng.normal(0.0, np.sqrt(2.0 / input_dim), size=(feedforward_size, input_dim)).astype(
         np.float32
@@ -282,9 +287,15 @@ def init_model(
     out_b = np.zeros(out_features, dtype=np.float32)
     ff_bn = bilstm_bns = enc_bn = None
     if batch_norm:
-        ff_bn = _bn_params(rng, feedforward_size)
-        bilstm_bns = [_bn_params(rng, 2 * lstm_size) for _ in range(n_bilstm_layers)]
-        enc_bn = _bn_params(rng, lstm_size)
+        def _identity_bn(c, eps=1e-5):
+            return (np.ones(c, dtype=np.float32), np.zeros(c, dtype=np.float32),
+                    np.zeros(c, dtype=np.float32), np.ones(c, dtype=np.float32),
+                    eps)
+
+        mk = _identity_bn if bn_identity else (lambda c: _bn_params(rng, c))
+        ff_bn = mk(feedforward_size)
+        bilstm_bns = [mk(2 * lstm_size) for _ in range(n_bilstm_layers)]
+        enc_bn = mk(lstm_size)
     return SequenceModel(
         ff_w=ff_w, ff_b=ff_b, bilstms=bilstms,
         enc_w_ih=enc[0], enc_w_hh=enc[1], enc_b=enc[2],

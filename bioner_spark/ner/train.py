@@ -35,15 +35,40 @@ additive over sentences, the aggregated update is mathematically identical
 to the single-node step over the same batch — large-batch data parallelism,
 the standard cluster rendering of a sequential SGD loop.
 
-Scale notes: per step this scans each cached partition to select the batch
-slice (O(n/P) per executor); at web scale you amortize it by raising the
-global batch (fewer, fatter steps) — the math stays exact — or pre-split
-steps into prunable partitions. Model weights ship per-step via broadcast
-(torrent), grads return via treeAggregate(depth=2): for BioNER-sized
-(~300 MB) models that is the same traffic pattern as a ring-allreduce round.
-BatchNorm training mode is not implemented: none of the reference's own
-training entry points enable it (parameter_optimization.py:100-105 passes
-no batch_normalization flag), so only inference BN exists (kernel.py).
+Scale notes: each cached partition holds ONE sorted, order_idx-indexed
+block, so a step's task binary-searches its batch slice instead of scanning
+the shard — per-epoch row visits are O(n) total, not O(n²/P). Model weights
+ship per-step via broadcast (torrent), grads return via
+treeAggregate(depth=2): for BioNER-sized (~300 MB) models that is the same
+traffic pattern as a ring-allreduce round.
+
+BatchNorm TRAINING mode (reference main.py:84 --enableBatchNormalization →
+ModelLoader → StackedBiLSTMModel, whose training forward normalizes with
+live batch statistics): implemented with exact reference semantics —
+
+  * torch BatchNorm1d over the PADDED [B, C, T] tensor
+    (apply_batch_norm_pack_padded_sequence pad-unpacks first,
+    datexis_model.py:182-188), so pad positions PARTICIPATE in the batch
+    statistics: at the ff site pads equal the ff1 bias (BN runs before the
+    first pack, x pads are zero), at the LSTM sites pads are the zeros
+    pad_packed_sequence fills in;
+  * pack's backward discards pad-position gradients, so BN-backward dx is
+    pad-zeroed at LSTM sites before entering the BiLSTM BPTT — but NOT at
+    the ff site, where ff1 is position-wise over the padded tensor and the
+    pad gradients flow into the ff bias grad exactly like torch;
+  * distributed: statistics are computed over the GLOBAL batch (sync-BN),
+    never per shard. Each BN site needs the global stats of its input —
+    which depend on the normalized outputs of the sites below it — so a
+    BN step runs (k sites) sequential stat-reduction jobs forward, k more
+    for the backward's global Σdy / Σ(dy·x̂) corrections, then the grad
+    job: 2k+1 small treeAggregates per Adam step, each recomputing the
+    forward prefix (executors are stateless between BSP rounds — the
+    standard sync-BN allreduce-per-layer rendered in Spark). The engine
+    therefore matches train_single_node to ~1e-9 with BN on, the same
+    differential gate as the plain path;
+  * running stats update per step with torch semantics (momentum 0.1,
+    unbiased var N/(N-1)) and ride along as non-Adam buffers; the best
+    checkpoint keeps the buffers of its epoch.
 """
 
 from __future__ import annotations
@@ -55,7 +80,14 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .kernel import SequenceModel, _reverse_by_length, _sigmoid, init_model
+from .kernel import (
+    SequenceModel,
+    _reverse_by_length,
+    _sigmoid,
+    bilstm_forward,
+    init_model,
+    lstm_forward,
+)
 
 IGNORE_INDEX = -100  # reference annotator.py:23-24
 TAGS = np.array(["B", "I", "O"])
@@ -64,16 +96,42 @@ TAGS = np.array(["B", "I", "O"])
 # --------------------------------------------------------------------------
 # parameter <-> flat vector
 # --------------------------------------------------------------------------
+def bn_sites(model: SequenceModel) -> list[str]:
+    """BN site names in forward order: 'ff', 'l0'..'lK', 'enc' — one per
+    BatchNorm1d the reference model carries (datexis_model.py:105-109)."""
+    sites = []
+    if model.ff_bn is not None:
+        sites.append("ff")
+    for i in range(len(model.bilstms)):
+        if model.bilstm_bns and model.bilstm_bns[i] is not None:
+            sites.append(f"l{i}")
+    if model.enc_bn is not None:
+        sites.append("enc")
+    return sites
+
+
 def param_names(model: SequenceModel) -> list[str]:
     names = ["ff_w", "ff_b"]
     for i in range(len(model.bilstms)):
         for d in ("f", "b"):
             names += [f"l{i}{d}_w_ih", f"l{i}{d}_w_hh", f"l{i}{d}_b"]
     names += ["enc_w_ih", "enc_w_hh", "enc_b", "out_w", "out_b"]
+    # BN gamma/beta are trainable parameters (torch BatchNorm1d affine=True);
+    # running mean/var are buffers and ride OUTSIDE the Adam vector
+    for s in bn_sites(model):
+        names += [f"{s}_bn_g", f"{s}_bn_b"]
     return names
 
 
 _LAYER_PARAM_RE = re.compile(r"^l(\d+)(f|b)_(w_ih|w_hh|b)$")
+
+
+def _bn_tuple(model: SequenceModel, site: str) -> tuple:
+    if site == "ff":
+        return model.ff_bn
+    if site == "enc":
+        return model.enc_bn
+    return model.bilstm_bns[int(site[1:])]
 
 
 def get_param(model: SequenceModel, name: str) -> np.ndarray:
@@ -84,6 +142,9 @@ def get_param(model: SequenceModel, name: str) -> np.ndarray:
         fwd, bwd = model.bilstms[int(m.group(1))]
         trip = fwd if m.group(2) == "f" else bwd
         return {"w_ih": trip[0], "w_hh": trip[1], "b": trip[2]}[m.group(3)]
+    if name.endswith("_bn_g") or name.endswith("_bn_b"):
+        bn = _bn_tuple(model, name[:-5])
+        return bn[0] if name.endswith("_g") else bn[1]
     return getattr(model, name)
 
 
@@ -102,14 +163,23 @@ def flatten_grads(grads: dict, spec: list[tuple[str, tuple]]) -> np.ndarray:
 
 
 def model_from_flat(
-    flat: np.ndarray, spec: list[tuple[str, tuple]], name: str = "DATEXIS-NER"
+    flat: np.ndarray,
+    spec: list[tuple[str, tuple]],
+    name: str = "DATEXIS-NER",
+    bn_buffers: dict | None = None,
 ) -> SequenceModel:
+    """Inverse of flatten_params. When the spec carries BN gamma/beta
+    entries, `bn_buffers` must supply {site: (running_mean, running_var,
+    eps)} — buffers are state, not Adam parameters, so they travel beside
+    the flat vector, exactly like torch's named_buffers vs parameters."""
     arrays, off = {}, 0
     for n, shape in spec:
         size = int(np.prod(shape))
         arrays[n] = flat[off : off + size].reshape(shape)
         off += size
-    n_bilstms = sum(1 for n, _ in spec if n.endswith("f_w_ih"))
+    n_bilstms = sum(
+        1 for n, _ in spec if n.endswith("f_w_ih") and _LAYER_PARAM_RE.match(n)
+    )
     bilstms = [
         (
             (arrays[f"l{i}f_w_ih"], arrays[f"l{i}f_w_hh"], arrays[f"l{i}f_b"]),
@@ -117,12 +187,44 @@ def model_from_flat(
         )
         for i in range(n_bilstms)
     ]
+    sites = [n[:-5] for n, _ in spec if n.endswith("_bn_g")]
+    ff_bn = enc_bn = None
+    bilstm_bns = None
+    if sites:
+        if bn_buffers is None:
+            raise ValueError(
+                "spec has BatchNorm parameters: pass bn_buffers "
+                "{site: (mean, var, eps)}"
+            )
+
+        def mk(site):
+            mean, var, eps = bn_buffers[site]
+            return (arrays[f"{site}_bn_g"], arrays[f"{site}_bn_b"], mean, var, eps)
+
+        if "ff" in sites:
+            ff_bn = mk("ff")
+        layer_sites = {s for s in sites if s not in ("ff", "enc")}
+        if layer_sites:
+            bilstm_bns = [
+                mk(f"l{i}") if f"l{i}" in layer_sites else None
+                for i in range(n_bilstms)
+            ]
+        if "enc" in sites:
+            enc_bn = mk("enc")
     return SequenceModel(
         ff_w=arrays["ff_w"], ff_b=arrays["ff_b"], bilstms=bilstms,
         enc_w_ih=arrays["enc_w_ih"], enc_w_hh=arrays["enc_w_hh"],
         enc_b=arrays["enc_b"], out_w=arrays["out_w"], out_b=arrays["out_b"],
-        name=name,
+        name=name, ff_bn=ff_bn, bilstm_bns=bilstm_bns, enc_bn=enc_bn,
     )
+
+
+def bn_buffers_of(model: SequenceModel) -> dict:
+    """{site: (running_mean, running_var, eps)} from a model's BN tuples."""
+    return {
+        s: (_bn_tuple(model, s)[2], _bn_tuple(model, s)[3], _bn_tuple(model, s)[4])
+        for s in bn_sites(model)
+    }
 
 
 # --------------------------------------------------------------------------
@@ -219,47 +321,142 @@ def bilstm_backward(caches, lengths, dout, grads, prefix):
 
 
 # --------------------------------------------------------------------------
-# full model: training forward (cached) + backward
+# full model: training forward (cached) + backward, optional BatchNorm
 # --------------------------------------------------------------------------
-def forward_train(model: SequenceModel, x, lengths, masks=None):
+BN_MOMENTUM = 0.1  # torch BatchNorm1d default
+
+
+def _zero_pads(h, lengths):
+    """Zero positions past each sequence's true length — the values
+    pad_packed_sequence fills in before the reference applies BN
+    (datexis_model.py:182-188)."""
+    out = h.copy()
+    for i, L in enumerate(lengths):
+        out[i, L:] = 0.0
+    return out
+
+
+def _bn_stats(h, N):
+    """Per-channel (mu, biased var) of h over its first two axes with stats
+    count N (= B * T_global: torch normalizes over batch AND time, pads
+    included). h must already hold the reference's pad values."""
+    s = h.sum(axis=(0, 1))
+    s2 = (h * h).sum(axis=(0, 1))
+    mu = s / N
+    return mu, s2 / N - mu * mu
+
+
+def _bn_apply(h, bn, mu, var):
+    gamma, beta, _m, _v, eps = bn
+    inv = 1.0 / np.sqrt(var + eps)
+    xhat = (h - mu) * inv
+    return gamma * xhat + beta, (xhat, inv, gamma)
+
+
+def forward_train(model: SequenceModel, x, lengths, masks=None, bn_stats=None):
     """Training-mode forward (dropout via explicit masks, inverted scaling
     already baked into the masks). masks = None (eval) or
     [mask_ff [B,T,F], mask_bilstm_0 [B,T,2H], ...] — dropout after FF-ReLU
     and after every BiLSTM, never after the encoder LSTM, mirroring
-    StackedBiLSTMModel.forward (datexis_model.py:132-156)."""
-    if model.ff_bn is not None or model.enc_bn is not None or model.bilstm_bns:
-        raise NotImplementedError(
-            "BatchNorm training mode is out of scope: no reference training "
-            "entry point enables it (parameter_optimization.py:100-105); "
-            "inference-mode BN lives in kernel.batchnorm_infer"
-        )
-    h0 = x @ model.ff_w.T + model.ff_b
-    relu_mask = (h0 > 0).astype(x.dtype)
-    h = h0 * relu_mask
+    StackedBiLSTMModel.forward (datexis_model.py:132-156).
+
+    BatchNorm sites (if the model has them) normalize with BATCH statistics
+    in reference order: ff BN pre-ReLU over the raw padded ff output (pads
+    = ff bias), each LSTM BN over the pad-zeroed layer output
+    (datexis_model.py:132-161 + apply_batch_norm_pack_padded_sequence).
+    bn_stats = None computes the stats from this batch (single-node /
+    full-batch path) and records them in cache['bn_stats']; a dict
+    {site: (mu, var)} injects GLOBAL stats (the distributed sync-BN path,
+    where this tensor is only a shard of the batch)."""
+    sites = set(bn_sites(model))
+    stats: dict = {} if bn_stats is None else dict(bn_stats)
+    bn_caches: dict = {}
+    N = x.shape[0] * x.shape[1]
+
+    def _site_stats(site, h):
+        if site not in stats:
+            stats[site] = _bn_stats(h, N)
+        return stats[site]
+
+    h0 = x @ model.ff_w.T + model.ff_b  # pad rows = ff_b exactly (x pads 0)
+    if "ff" in sites:
+        mu, var = _site_stats("ff", h0)
+        h1, bn_caches["ff"] = _bn_apply(h0, model.ff_bn, mu, var)
+    else:
+        h1 = h0
+    relu_mask = (h1 > 0).astype(x.dtype)
+    h = h1 * relu_mask
     if masks is not None:
         h = h * masks[0]
     layer_caches = []
     for li, (fwd, bwd) in enumerate(model.bilstms):
         out, caches = bilstm_forward_cache(h, lengths, fwd, bwd)
+        site = f"l{li}"
+        if site in sites:
+            out_z = _zero_pads(out, lengths)
+            mu, var = _site_stats(site, out_z)
+            out, bn_caches[site] = _bn_apply(
+                out_z, model.bilstm_bns[li], mu, var
+            )
         m = masks[1 + li] if masks is not None else None
         layer_caches.append((caches, m))
         h = out * m if m is not None else out
     enc_out, enc_cache = lstm_forward_cache(h, model.enc_w_ih, model.enc_w_hh, model.enc_b)
+    if "enc" in sites:
+        enc_z = _zero_pads(enc_out, lengths)
+        mu, var = _site_stats("enc", enc_z)
+        enc_out, bn_caches["enc"] = _bn_apply(enc_z, model.enc_bn, mu, var)
     logits = enc_out @ model.out_w.T + model.out_b
     cache = {
         "x": x, "relu_mask": relu_mask,
         "mask0": masks[0] if masks is not None else None,
         "layers": layer_caches, "enc": enc_cache, "enc_out": enc_out,
-        "lengths": lengths,
+        "lengths": lengths, "bn": bn_caches, "bn_stats": stats, "N": N,
     }
     return logits, cache
 
 
-def backward_model(model: SequenceModel, cache, dlogits) -> dict:
+def backward_model(model: SequenceModel, cache, dlogits, bn_back=None, stop_at=None):
+    """Backward through the cached training forward.
+
+    bn_back: None (single/full-batch: the BN backward's mean-corrections use
+    this batch's own sums) or {site: (S_dy, S_dyx, N)} GLOBAL sums — the
+    sync-BN backward, where Σdy and Σ(dy·x̂) must span the whole batch.
+
+    stop_at: a BN site name → return ('dy', dy, x̂) the moment the backward
+    reaches that site's BN OUTPUT, before applying its BN backward. The
+    distributed trainer uses this to reduce the site's global Σdy/Σ(dy·x̂)
+    across shards, one site per BSP round, top-down."""
     grads: dict[str, np.ndarray] = {}
+    bn_caches = cache["bn"]
+    lengths = cache["lengths"]
+    N_local = cache["N"]
+
+    def _bn_backward(site, dy, zero_pad_dx):
+        xhat, inv, gamma = bn_caches[site]
+        s_dy_local = dy.sum(axis=(0, 1))
+        s_dyx_local = (dy * xhat).sum(axis=(0, 1))
+        # parameter grads are LOCAL sums — cross-shard aggregation adds them
+        # into the exact global dgamma/dbeta
+        grads[f"{site}_bn_g"] = s_dyx_local
+        grads[f"{site}_bn_b"] = s_dy_local
+        if bn_back is not None and site in bn_back:
+            s_dy, s_dyx, n = bn_back[site]
+        else:
+            s_dy, s_dyx, n = s_dy_local, s_dyx_local, N_local
+        dx = gamma * inv * (dy - s_dy / n - xhat * (s_dyx / n))
+        # pack_padded_sequence's backward drops pad-position grads at the
+        # LSTM sites; the ff site is position-wise over the padded tensor,
+        # so its pad grads flow on into the ff bias grad (torch parity)
+        return _zero_pads(dx, lengths) if zero_pad_dx else dx
+
     grads["out_w"] = np.einsum("btc,bth->ch", dlogits, cache["enc_out"])
     grads["out_b"] = dlogits.sum(axis=(0, 1))
     dh = dlogits @ model.out_w
+    if "enc" in bn_caches:
+        if stop_at == "enc":
+            return ("dy", dh, bn_caches["enc"][0])
+        dh = _bn_backward("enc", dh, zero_pad_dx=True)
     dh, grads["enc_w_ih"], grads["enc_w_hh"], grads["enc_b"] = lstm_backward(
         cache["enc"], dh
     )
@@ -267,10 +464,27 @@ def backward_model(model: SequenceModel, cache, dlogits) -> dict:
         caches, m = cache["layers"][li]
         if m is not None:
             dh = dh * m
+        site = f"l{li}"
+        if site in bn_caches:
+            if stop_at == site:
+                return ("dy", dh, bn_caches[site][0])
+            dh = _bn_backward(site, dh, zero_pad_dx=True)
         dh = bilstm_backward(caches, cache["lengths"], dh, grads, prefix=f"l{li}")
     if cache["mask0"] is not None:
         dh = dh * cache["mask0"]
     dh = dh * cache["relu_mask"]
+    if "ff" in bn_caches:
+        if stop_at == "ff":
+            return ("dy", dh, bn_caches["ff"][0])
+        # single/full-batch: ff pad grads (the BN mean-corrections at the
+        # bias-valued pad rows) flow into ff_b below, like torch. In the
+        # distributed path this shard's tensor has FEWER pad positions than
+        # the global batch (local padding), so pads are excluded here and
+        # the driver adds the exact global pad term: n_pad_global ×
+        # gamma·inv·(−Σdy − x̂_pad·Σ(dy·x̂))/N (train_distributed).
+        dh = _bn_backward(
+            "ff", dh, zero_pad_dx=(bn_back is not None and "ff" in bn_back)
+        )
     grads["ff_w"] = np.einsum("btf,btd->fd", dh, cache["x"])
     grads["ff_b"] = dh.sum(axis=(0, 1))
     return grads
@@ -370,19 +584,44 @@ def _mask_dims(model: SequenceModel) -> list[int]:
     return [ff] + [2 * f[1].shape[1] for f, _ in model.bilstms]
 
 
-def batch_gradient(model, spec, rows, *, dropout_p, seed, step, dtype):
+def batch_gradient(
+    model, spec, rows, *, dropout_p, seed, step, dtype,
+    bn_stats=None, bn_back=None, stats_out=None,
+):
     """Sum-CE gradient over `rows` (any subset of a global batch).
-    Additive across subsets: sum over shards == the full-batch gradient."""
+    Additive across subsets: sum over shards == the full-batch gradient.
+    For BN models: bn_stats/bn_back inject the global batch statistics and
+    backward sums (sync-BN); stats_out (a dict) receives the batch stats
+    plus '_N' when the stats were computed here (single/full-batch path)."""
     if not rows:
         size = sum(int(np.prod(s)) for _, s in spec)
         return np.zeros(size, dtype=dtype), 0.0, 0
     x, y, lengths, masks = _pad_batch(
         rows, model.input_dim, dtype, dropout_p, _mask_dims(model), seed, step
     )
-    logits, cache = forward_train(model, x, lengths, masks)
+    logits, cache = forward_train(model, x, lengths, masks, bn_stats=bn_stats)
+    if stats_out is not None:
+        stats_out.update(cache["bn_stats"])
+        stats_out["_N"] = cache["N"]
     loss, n_valid, dlogits = cross_entropy_sum(logits, y)
-    grads = backward_model(model, cache, dlogits)
+    grads = backward_model(model, cache, dlogits, bn_back=bn_back)
     return flatten_grads(grads, spec), loss, n_valid
+
+
+def _update_running_stats(buffers: dict, stats: dict, N: int) -> None:
+    """torch BatchNorm1d running-stat update at each training forward:
+    running = (1-m)*running + m*batch, momentum 0.1, var unbiased N/(N-1)."""
+    for site, st in stats.items():
+        if site == "_N":
+            continue
+        mu, var = st
+        mean, rvar, eps = buffers[site]
+        unbiased = var * (N / (N - 1.0)) if N > 1 else var
+        buffers[site] = (
+            (1.0 - BN_MOMENTUM) * mean + BN_MOMENTUM * mu,
+            (1.0 - BN_MOMENTUM) * rvar + BN_MOMENTUM * unbiased,
+            eps,
+        )
 
 
 # --------------------------------------------------------------------------
@@ -432,20 +671,35 @@ class TrainResult:
     best_val_f1: float = 0.0
     best_epoch: int = 0
     stopped_epoch: int = 0
+    bn_buffers: dict | None = None  # BN running stats at the best epoch
 
     def model(self, name: str = "DATEXIS-NER") -> SequenceModel:
-        return model_from_flat(self.flat, self.spec, name=name)
+        return model_from_flat(
+            self.flat, self.spec, name=name, bn_buffers=self.bn_buffers
+        )
 
 
-def _early_stop_loop(epoch_fn, eval_fn, flat0, spec, max_epochs, patience, save_path):
+def _early_stop_loop(
+    epoch_fn, eval_fn, flat0, spec, max_epochs, patience, save_path, buffers=None
+):
     """Shared driver loop: per-epoch train + val F1, ignite-style early
     stopping (counter resets only on strict improvement, annotator via
     ignite EarlyStopping patience=10) and best-checkpoint (n_saved=1,
-    annotator.py:140-150)."""
+    annotator.py:140-150). `buffers` (BN running stats, mutated by
+    epoch_fn) are snapshotted with the best weights — torch checkpoints
+    carry named_buffers alongside parameters."""
     import time
+
+    def _snap(b):
+        return (
+            {s: (m.copy(), v.copy(), eps) for s, (m, v, eps) in b.items()}
+            if b is not None
+            else None
+        )
 
     flat = flat0
     best_f1, best_flat, best_epoch, stall = -1.0, flat0, 0, 0
+    best_buf = _snap(buffers)
     history = []
     stopped = 0
     for epoch in range(1, max_epochs + 1):
@@ -459,6 +713,7 @@ def _early_stop_loop(epoch_fn, eval_fn, flat0, spec, max_epochs, patience, save_
         )
         if f1 > best_f1:
             best_f1, best_flat, best_epoch, stall = f1, flat.copy(), epoch, 0
+            best_buf = _snap(buffers)
         else:
             stall += 1
         stopped = epoch
@@ -467,6 +722,7 @@ def _early_stop_loop(epoch_fn, eval_fn, flat0, spec, max_epochs, patience, save_
     res = TrainResult(
         flat=best_flat, spec=spec, history=history,
         best_val_f1=max(best_f1, 0.0), best_epoch=best_epoch, stopped_epoch=stopped,
+        bn_buffers=best_buf,
     )
     if save_path:
         res.model().save(save_path)
@@ -495,26 +751,35 @@ def train_single_node(
     adam = AdamState.like(flat0)
     ordered = sorted(train_rows, key=lambda r: r[0])
     n_steps = math.ceil(len(ordered) / batch_size)
+    buffers = {
+        s: (m0.astype(dtype), v0.astype(dtype), eps)
+        for s, (m0, v0, eps) in bn_buffers_of(model).items()
+    } or None
 
     def epoch_fn(flat, epoch):
         losses = []
         for k in range(n_steps):
-            m = model_from_flat(flat, spec)
+            m = model_from_flat(flat, spec, bn_buffers=buffers)
             step = (epoch - 1) * n_steps + k
             rows = ordered[k * batch_size : (k + 1) * batch_size]
+            stats_out: dict | None = {} if buffers else None
             grad, loss, n_valid = batch_gradient(
-                m, spec, rows, dropout_p=dropout_p, seed=seed, step=step, dtype=dtype
+                m, spec, rows, dropout_p=dropout_p, seed=seed, step=step,
+                dtype=dtype, stats_out=stats_out,
             )
+            if buffers and stats_out:
+                _update_running_stats(buffers, stats_out, stats_out["_N"])
             flat = adam.step(flat, grad / max(n_valid, 1), lr)
             losses.append(loss / max(n_valid, 1))
         return flat, float(np.mean(losses))
 
     def eval_fn(flat):
-        m = model_from_flat(flat, spec)
+        m = model_from_flat(flat, spec, bn_buffers=buffers)
         return _prf1(*_eval_rows(m, val_rows, dtype))
 
     return _early_stop_loop(
-        epoch_fn, eval_fn, flat0, spec, max_epochs, patience, model_save_path
+        epoch_fn, eval_fn, flat0, spec, max_epochs, patience, model_save_path,
+        buffers=buffers,
     )
 
 
@@ -602,6 +867,61 @@ def assign_doc_shuffled_order(df, seed: int, order_partitions: int | None = None
 # --------------------------------------------------------------------------
 # M9: the distributed trainer
 # --------------------------------------------------------------------------
+def _index_block(it):
+    """One cached object per partition: rows sorted by order_idx plus an
+    int64 key index, so each step's task binary-searches its batch slice —
+    per-epoch row visits are O(n) total instead of a full shard scan per
+    step (the O(n²/P) scale-killer this replaces)."""
+    rows = sorted(it, key=lambda r: r[0])
+    yield (np.array([r[0] for r in rows], dtype=np.int64), rows)
+
+
+def _slice_block(block, lo, hi, acc=None):
+    idx, rows = block
+    a = int(np.searchsorted(idx, lo))
+    b = int(np.searchsorted(idx, hi))
+    if acc is not None:
+        acc.add(b - a)
+    return rows[a:b]
+
+
+def _bn_site_dim(m: SequenceModel, site: str) -> int:
+    if site == "ff":
+        return m.ff_w.shape[0]
+    if site == "enc":
+        return m.enc_w_hh.shape[1]
+    return 2 * m.bilstms[int(site[1:])][0][1].shape[1]
+
+
+def bn_site_input(model: SequenceModel, x, lengths, masks, stats, site):
+    """Raw input tensor of BN `site` for THIS shard of the batch, computed
+    with GLOBAL stats for every earlier site: raw h0 for 'ff' (pads = ff
+    bias), pad-zeroed LSTM output otherwise. Uses the cache-free kernel
+    forwards — this runs once per site per step in the sync-BN stat
+    reduction."""
+    h0 = x @ model.ff_w.T + model.ff_b
+    if site == "ff":
+        return h0
+    h1 = h0
+    if model.ff_bn is not None:
+        h1, _ = _bn_apply(h0, model.ff_bn, *stats["ff"])
+    h = h1 * (h1 > 0).astype(h1.dtype)
+    if masks is not None:
+        h = h * masks[0]
+    for li, (fwd, bwd) in enumerate(model.bilstms):
+        out = bilstm_forward(h, lengths, fwd, bwd)
+        s = f"l{li}"
+        if model.bilstm_bns and model.bilstm_bns[li] is not None:
+            out_z = _zero_pads(out, lengths)
+            if s == site:
+                return out_z
+            out, _ = _bn_apply(out_z, model.bilstm_bns[li], *stats[s])
+        m = masks[1 + li] if masks is not None else None
+        h = out * m if m is not None else out
+    enc_out = lstm_forward(h, model.enc_w_ih, model.enc_w_hh, model.enc_b)
+    return _zero_pads(enc_out, lengths)  # site == 'enc'
+
+
 def train_distributed(
     spark,
     train_df,  # columns: doc_id long, sentence_id, x array<array<float/double>>, y array<int>
@@ -617,13 +937,19 @@ def train_distributed(
     n_shards: int | None = None,
     model_save_path: str | None = None,
     dtype=np.float32,
+    _rows_accumulator=None,  # test hook: counts rows materialized per step
 ) -> TrainResult:
     """Synchronous data-parallel training. Every global batch is the SAME
     batch the reference's sequential loop would form (doc-shuffled order,
     consecutive slices of `batch_size`), split across `n_shards` partitions
     by order_idx % n_shards; each Adam step aggregates the shards'
-    sum-gradients (treeAggregate) and updates on the driver. Differentially
-    tested against train_single_node to ~1e-9 (tests/test_train.py)."""
+    sum-gradients (treeAggregate) and updates on the driver. Each cached
+    partition is ONE index-sorted block, so a step's task slices its batch
+    rows by binary search — O(batch/P) work per task, O(n) row visits per
+    epoch. BN models run the sync-BN schedule (module docstring): per step,
+    one stat-reduction job per BN site forward, one Σdy/Σ(dy·x̂) job per
+    site backward, then the grad job. Differentially tested against
+    train_single_node to ~1e-9, with and without BN (tests/test_train.py)."""
     sc = spark.sparkContext
     if n_shards is None:
         n_shards = max(2, sc.defaultParallelism // 4)
@@ -633,6 +959,7 @@ def train_distributed(
         .rdd.map(lambda r: (int(r[0]), (int(r[0]), r[1], r[2])))
         .partitionBy(n_shards, lambda k: k % n_shards)
         .values()
+        .mapPartitions(_index_block, preservesPartitioning=True)
         .cache()
     )
     val_rdd = val_df.select("x", "y").rdd.map(lambda r: (r[0], r[1])).cache()
@@ -643,42 +970,177 @@ def train_distributed(
     adam = AdamState.like(flat0)
     n_steps = math.ceil(n_train / batch_size)
     zero = (np.zeros_like(flat0), 0.0, 0)
+    sites = bn_sites(model)
+    buffers = {
+        s: (m0.astype(dtype), v0.astype(dtype), eps)
+        for s, (m0, v0, eps) in bn_buffers_of(model).items()
+    } or None
+    acc = _rows_accumulator
+    param_slices, _off = {}, 0
+    for _n, _shape in spec:
+        _size = int(np.prod(_shape))
+        param_slices[_n] = slice(_off, _off + _size)
+        _off += _size
+
+    def _add3(a, b):
+        return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+    def _grad_job(flat, lo, hi, step, bn_stats=None, bn_back=None):
+        bw = sc.broadcast((flat, buffers, bn_stats, bn_back))
+
+        def shard_grad(it, lo=lo, hi=hi, step=step):
+            w, bufs, stats, back = bw.value
+            m = model_from_flat(w, spec, bn_buffers=bufs)
+            rows = []
+            for block in it:
+                rows = _slice_block(block, lo, hi, acc)
+            yield batch_gradient(
+                m, spec, rows, dropout_p=dropout_p, seed=seed, step=step,
+                dtype=dtype, bn_stats=stats, bn_back=back,
+            )
+
+        out = train_rdd.mapPartitions(shard_grad).treeAggregate(
+            zero, _add3, _add3, depth=2
+        )
+        bw.unpersist()
+        return out
+
+    def _bn_step_stats(flat, lo, hi, step):
+        """Sync-BN forward schedule: one reduction per site, in forward
+        order — each site's input depends on the global stats of the sites
+        before it. Returns ({site: (mu, var)}, N_global)."""
+        template = model_from_flat(flat, spec, bn_buffers=buffers)
+        stats: dict = {}
+        meta = None  # (B_tot, len_tot, T_global) — from the first pass
+        for site in sites:
+            dim = _bn_site_dim(template, site)
+            bw = sc.broadcast((flat, buffers, dict(stats)))
+
+            def stat_pass(it, site=site, dim=dim, lo=lo, hi=hi, step=step):
+                w, bufs, known = bw.value
+                m = model_from_flat(w, spec, bn_buffers=bufs)
+                rows = []
+                for block in it:
+                    rows = _slice_block(block, lo, hi)
+                if not rows:
+                    yield (np.zeros(dim, dtype=dtype), np.zeros(dim, dtype=dtype),
+                           0, 0, 0)
+                    return
+                x, _, lengths, masks = _pad_batch(
+                    rows, m.input_dim, dtype, dropout_p, _mask_dims(m), seed, step
+                )
+                h = bn_site_input(m, x, lengths, masks, known, site)
+                hz = _zero_pads(h, lengths)  # valid-only sums (T-independent)
+                yield (
+                    hz.sum(axis=(0, 1)), (hz * hz).sum(axis=(0, 1)),
+                    len(rows), int(lengths.sum()), int(lengths.max()),
+                )
+
+            z = (np.zeros(dim, dtype=dtype), np.zeros(dim, dtype=dtype), 0, 0, 0)
+
+            def comb(a, b):
+                return (a[0] + b[0], a[1] + b[1], a[2] + b[2], a[3] + b[3],
+                        max(a[4], b[4]))
+
+            s, s2, b_tot, len_tot, t_max = train_rdd.mapPartitions(
+                stat_pass
+            ).treeAggregate(z, comb, comb, depth=2)
+            bw.unpersist()
+            if meta is None:
+                meta = (b_tot, len_tot, t_max)
+            b_tot, len_tot, t_max = meta
+            n = b_tot * t_max
+            if site == "ff":
+                # pad positions of the padded ff output equal the ff bias
+                # exactly (x pads are zero); fold them into the sums
+                ff_b = template.ff_b
+                n_pad = n - len_tot
+                s = s + n_pad * ff_b
+                s2 = s2 + n_pad * ff_b * ff_b
+            mu = s / n
+            stats[site] = (mu, s2 / n - mu * mu)
+        return stats, meta
+
+    def _bn_step_back(flat, stats, lo, hi, step, n_global):
+        """Sync-BN backward schedule: global Σdy / Σ(dy·x̂) per site,
+        top-down — each site's dy depends on the corrections above it."""
+        back: dict = {}
+        template = model_from_flat(flat, spec, bn_buffers=buffers)
+        for site in reversed(sites):
+            dim = _bn_site_dim(template, site)
+            bw = sc.broadcast((flat, buffers, stats, dict(back)))
+
+            def back_pass(it, site=site, dim=dim, lo=lo, hi=hi, step=step):
+                w, bufs, gstats, known_back = bw.value
+                m = model_from_flat(w, spec, bn_buffers=bufs)
+                rows = []
+                for block in it:
+                    rows = _slice_block(block, lo, hi)
+                if not rows:
+                    yield (np.zeros(dim, dtype=dtype), np.zeros(dim, dtype=dtype))
+                    return
+                x, y, lengths, masks = _pad_batch(
+                    rows, m.input_dim, dtype, dropout_p, _mask_dims(m), seed, step
+                )
+                logits, cache = forward_train(m, x, lengths, masks, bn_stats=gstats)
+                _, _, dlogits = cross_entropy_sum(logits, y)
+                tag, dy, xhat = backward_model(
+                    m, cache, dlogits, bn_back=known_back, stop_at=site
+                )
+                assert tag == "dy"
+                yield (dy.sum(axis=(0, 1)), (dy * xhat).sum(axis=(0, 1)))
+
+            z2 = (np.zeros(dim, dtype=dtype), np.zeros(dim, dtype=dtype))
+            s_dy, s_dyx = train_rdd.mapPartitions(back_pass).treeAggregate(
+                z2, lambda a, b: (a[0] + b[0], a[1] + b[1]),
+                lambda a, b: (a[0] + b[0], a[1] + b[1]), depth=2,
+            )
+            bw.unpersist()
+            back[site] = (s_dy, s_dyx, n_global)
+        return back
 
     def epoch_fn(flat, epoch):
         losses = []
         for k in range(n_steps):
             step = (epoch - 1) * n_steps + k
             lo, hi = k * batch_size, (k + 1) * batch_size
-            bw = sc.broadcast(flat)
-
-            def shard_grad(it, lo=lo, hi=hi, step=step):
-                m = model_from_flat(bw.value, spec)
-                rows = [r for r in it if lo <= r[0] < hi]
-                yield batch_gradient(
-                    m, spec, rows, dropout_p=dropout_p, seed=seed, step=step,
-                    dtype=dtype,
+            if sites:
+                stats, meta = _bn_step_stats(flat, lo, hi, step)
+                n_global = meta[0] * meta[2]
+                back = _bn_step_back(flat, stats, lo, hi, step, n_global)
+                grad, loss, n_valid = _grad_job(
+                    flat, lo, hi, step, bn_stats=stats, bn_back=back
                 )
-
-            grad, loss, n_valid = train_rdd.mapPartitions(shard_grad).treeAggregate(
-                zero,
-                lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
-                lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
-                depth=2,
-            )
-            bw.unpersist()
+                if "ff" in stats:
+                    # global ff pad term excluded shard-side (backward_model):
+                    # every pad row of the padded ff output is the bias, so
+                    # its BN-backward grad is one constant vector × n_pad
+                    t = model_from_flat(flat, spec, bn_buffers=buffers)
+                    gamma, eps = t.ff_bn[0], t.ff_bn[4]
+                    mu, var = stats["ff"]
+                    inv = 1.0 / np.sqrt(var + eps)
+                    s_dy, s_dyx, n = back["ff"]
+                    xhat_pad = (t.ff_b - mu) * inv
+                    dx_pad = gamma * inv * (-s_dy / n - xhat_pad * (s_dyx / n))
+                    n_pad = n_global - meta[1]
+                    grad[param_slices["ff_b"]] += n_pad * dx_pad
+                _update_running_stats(buffers, stats, n_global)
+            else:
+                grad, loss, n_valid = _grad_job(flat, lo, hi, step)
             flat = adam.step(flat, grad / max(n_valid, 1), lr)
             losses.append(loss / max(n_valid, 1))
         return flat, float(np.mean(losses))
 
     def eval_fn(flat):
-        bw = sc.broadcast(flat)
+        bw = sc.broadcast((flat, buffers))
 
         def shard_eval(it):
             # chunk the partition: one dense pad batch per batch_size rows
             # (a whole-partition batch is O(n_rows x max_len x input_dim)
             # memory — one 256-token outlier in a 100k-sentence shard would
             # allocate tens of GB; chunking bounds it like the train path)
-            m = model_from_flat(bw.value, spec)
+            w, bufs = bw.value
+            m = model_from_flat(w, spec, bn_buffers=bufs)
             tp = fp = fn = 0
             chunk: list = []
             for r in it:
@@ -701,7 +1163,8 @@ def train_distributed(
 
     try:
         return _early_stop_loop(
-            epoch_fn, eval_fn, flat0, spec, max_epochs, patience, model_save_path
+            epoch_fn, eval_fn, flat0, spec, max_epochs, patience, model_save_path,
+            buffers=buffers,
         )
     finally:
         train_rdd.unpersist()

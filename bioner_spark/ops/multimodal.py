@@ -1,10 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic byte-level fake, or NotImplementedError for real codecs) —
-but the Spark-side plumbing is real and tested: schema, Arrow batch shape,
-mapInPandas signature, partitioning. Swapping in PIL/librosa/ffmpeg later
-changes only the body of `_decode_stub`.
+Decode has two tiers. UNCOMPRESSED containers decode natively here — RIFF
+WAV-PCM (decode_wav) and binary netpbm P5/P6 (decode_netpbm) are pure
+byte-layout formats needing no codec library; both are round-trip-tested
+against their writers and oracle-verified end-to-end (multimodal_decode).
+COMPRESSED codecs (JPEG/MP3/H.264) still raise NotImplementedError inside
+decode_real — the container has no PIL/librosa/av; wiring them in changes
+only that dispatcher. The byte-histogram stub (`_decode_stub`) remains for
+the codec-free feature-plumbing queries.
 
 Design for 100 TB of media: payloads stay binary end-to-end (never hit
 Python strings), batches are bounded by bytes not rows (`byte_budget`), and
@@ -53,11 +56,162 @@ def _decode_stub(payload: bytes, modality: str, normalize: bool = True) -> np.nd
     return hist / max(hist.sum(), 1.0)
 
 
-def decode_real(payload: bytes, modality: str) -> np.ndarray:
-    """The real decoder hook — requires codec libraries not in this image."""
+# ---------------------------------------------------------------------------
+# real decoders: pure-stdlib/numpy parsers for UNCOMPRESSED containers.
+# WAV (RIFF PCM) and PPM/PGM (binary netpbm) need no codec library — they are
+# byte-layout formats, parsed here from their public specs (RIFF/WAVE:
+# Microsoft multimedia file format; netpbm: P5/P6 man pages). Compressed
+# codecs (JPEG/MP3/H.264) still raise NotImplementedError below.
+# ---------------------------------------------------------------------------
+
+
+class MediaDecodeError(ValueError):
+    """Malformed media payload."""
+
+
+_WAV_PCM_DTYPES = {8: np.dtype("u1"), 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+
+
+def decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE PCM parser → {'samples': int32 [n_frames, n_channels],
+    'sample_rate': int, 'n_channels': int}. Walks chunks (fmt /data may be
+    preceded by LIST etc.), supports PCM (format 1) at 8/16/32 bits;
+    8-bit WAV is unsigned and is re-centered to signed like every decoder.
+    Bounds-checked: declared sizes never read past the buffer."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise MediaDecodeError("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise MediaDecodeError(f"chunk {cid!r} declares {size} bytes past EOF")
+        if cid == b"fmt ":
+            if size < 16:
+                raise MediaDecodeError("fmt chunk too short")
+            fmt = {
+                "audio_format": int.from_bytes(body[0:2], "little"),
+                "n_channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise MediaDecodeError("missing fmt /data chunk")
+    if fmt["audio_format"] != 1:
+        raise NotImplementedError(
+            f"WAV audio_format {fmt['audio_format']} is compressed/non-PCM; "
+            "only PCM (1) is decoded without codec libraries"
+        )
+    dtype = _WAV_PCM_DTYPES.get(fmt["bits"])
+    if dtype is None or fmt["n_channels"] < 1:
+        raise MediaDecodeError(f"unsupported PCM layout {fmt}")
+    n = len(data) // dtype.itemsize
+    samples = np.frombuffer(data, dtype=dtype, count=n).astype(np.int32)
+    if fmt["bits"] == 8:
+        samples = samples - 128
+    frames = n // fmt["n_channels"]
+    samples = samples[: frames * fmt["n_channels"]].reshape(
+        frames, fmt["n_channels"]
+    )
+    return {
+        "samples": samples,
+        "sample_rate": fmt["sample_rate"],
+        "n_channels": fmt["n_channels"],
+    }
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono 16-bit PCM WAV writer (fixtures + the synthetic media tables):
+    the exact inverse of decode_wav for this layout."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + int(sample_rate).to_bytes(4, "little")
+        + int(sample_rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_netpbm(payload: bytes) -> dict:
+    """Binary netpbm parser (P5 grayscale / P6 RGB, maxval ≤ 255) →
+    {'pixels': uint8 [h, w] or [h, w, 3], 'width', 'height'}. Header is
+    ASCII tokens with '#' comments; raster follows the single whitespace
+    after maxval."""
+    if len(payload) < 2 or payload[0:1] != b"P" or payload[1:2] not in b"56":
+        raise MediaDecodeError("not a binary netpbm (P5/P6) payload")
+    depth = 1 if payload[1:2] == b"5" else 3
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise MediaDecodeError("truncated netpbm header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            j = pos
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tok = payload[pos:j]
+            if not tok.isdigit():
+                raise MediaDecodeError(f"bad netpbm header token {tok!r}")
+            tokens.append(int(tok))
+            pos = j
+    w, h, maxval = tokens
+    if maxval > 255 or w <= 0 or h <= 0:
+        raise MediaDecodeError(f"unsupported netpbm geometry {w}x{h} max {maxval}")
+    pos += 1  # exactly one whitespace byte before the raster
+    need = w * h * depth
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise MediaDecodeError(f"netpbm raster short: {len(raster)} < {need}")
+    px = np.frombuffer(raster, dtype=np.uint8, count=need)
+    return {
+        "pixels": px.reshape((h, w) if depth == 1 else (h, w, 3)),
+        "width": w,
+        "height": h,
+    }
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """P6 writer ([h, w, 3] uint8) — inverse of decode_netpbm for RGB."""
+    p = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = p.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + p.tobytes()
+
+
+def decode_real(payload: bytes, modality: str) -> dict:
+    """Real decode, dispatched on magic bytes: RIFF/WAVE PCM and binary
+    netpbm (P5/P6) are fully decoded in-process; compressed codecs still
+    raise until PIL/librosa/av are wired in."""
+    if payload is None or len(payload) < 2:
+        raise MediaDecodeError("empty payload")
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[0:1] == b"P" and payload[1:2] in b"56":
+        return decode_netpbm(payload)
     raise NotImplementedError(
-        "image/audio codecs are not installed in this environment; "
-        "wire PIL/librosa/av here and set REAL_CODECS_AVAILABLE=True"
+        "compressed image/audio codecs are not installed in this "
+        "environment; wire PIL/librosa/av here and set "
+        "REAL_CODECS_AVAILABLE=True (uncompressed WAV-PCM and netpbm "
+        "decode natively above)"
     )
 
 
@@ -113,6 +267,93 @@ def extract_features(
 
     return media.mapInPandas(
         run, schema=FEATURES_SCHEMA if normalize else HIST_SCHEMA
+    )
+
+
+DECODED_HIST_SCHEMA = (
+    "media_id string, modality string, n_values int, feature array<int>"
+)
+
+
+def extract_decoded_histograms(media: DataFrame, byte_budget: int = 64 << 20) -> DataFrame:
+    """REAL-decode feature extraction: parse each payload with decode_real
+    (WAV-PCM samples / netpbm pixels) and emit an exact 16-bin integer
+    histogram of the decoded values — int16 samples binned by
+    (s + 32768) >> 12, uint8 pixels by b >> 4. Integer output ⇒ the DuckDB
+    oracle can verify the decode end-to-end with zero float tolerance.
+    Same byte-budget sub-batching as extract_features."""
+
+    def _hist(payload) -> tuple[int, list[int]]:
+        d = decode_real(payload, "")
+        if "samples" in d:
+            vals = (d["samples"].ravel().astype(np.int64) + 32768) >> 12
+        else:
+            vals = d["pixels"].ravel().astype(np.int64) >> 4
+        return len(vals), np.bincount(vals, minlength=16).astype(np.int32).tolist()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["media_id"].to_numpy()
+            mods = pdf["modality"].to_numpy()
+            payloads = pdf["payload"].to_numpy()
+            out: dict = {"media_id": [], "modality": [], "n_values": [], "feature": []}
+            acc = 0
+            for mid, mod, payload in zip(ids, mods, payloads):
+                n, hist = _hist(payload)
+                out["media_id"].append(mid)
+                out["modality"].append(mod)
+                out["n_values"].append(n)
+                out["feature"].append(hist)
+                acc += len(payload) if payload is not None else 0
+                if acc >= byte_budget:
+                    yield pd.DataFrame(out)
+                    out = {k: [] for k in out}
+                    acc = 0
+            if out["media_id"]:
+                df = pd.DataFrame(out)
+                df["n_values"] = df["n_values"].astype(np.int32)
+                yield df
+
+    return media.mapInPandas(run, schema=DECODED_HIST_SCHEMA)
+
+
+def synthesize_codec_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-container media table from the documents table:
+    odd doc_ids become mono 16-bit PCM WAVs whose samples follow
+    s[i] = ((doc_id*7919 + i*104729) mod 65536) − 32768 with
+    n = (n_chars mod 200) + 50 samples; even doc_ids become P6 PPMs with
+    w = (n_chars mod 16) + 4, h = 8 and bytes p[j] = (doc_id*31 + j*17)
+    mod 256. The formulas are SQL-expressible, so the DuckDB oracle
+    recomputes the decoded histograms independently — verifying the WAV/PPM
+    writers AND parsers against a derivation that never touches them."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict = {"media_id": [], "modality": [], "payload": []}
+            for doc_id, n_chars in zip(
+                pdf["doc_id"].to_numpy(), pdf["n_chars"].to_numpy()
+            ):
+                d = int(doc_id)
+                if d % 2 == 1:
+                    n = (int(n_chars) % 200) + 50
+                    i = np.arange(n, dtype=np.int64)
+                    s = ((d * 7919 + i * 104729) % 65536) - 32768
+                    payload = encode_wav_pcm16(s.astype(np.int16))
+                    mod = "audio"
+                else:
+                    w = (int(n_chars) % 16) + 4
+                    h = 8
+                    j = np.arange(w * h * 3, dtype=np.int64)
+                    px = ((d * 31 + j * 17) % 256).astype(np.uint8)
+                    payload = encode_ppm(px.reshape(h, w, 3))
+                    mod = "image"
+                out["media_id"].append(str(d))
+                out["modality"].append(mod)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        run, schema="media_id string, modality string, payload binary"
     )
 
 

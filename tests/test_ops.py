@@ -162,10 +162,93 @@ def test_multimodal_features(spark):
 
 
 def test_decode_real_is_gated():
-    from bioner_spark.ops.multimodal import decode_real
+    """Compressed codecs still raise; malformed payloads get a typed error."""
+    from bioner_spark.ops.multimodal import MediaDecodeError, decode_real
 
     with pytest.raises(NotImplementedError):
+        decode_real(b"\xff\xd8\xff\xe0 jpeg-ish", "image")
+    with pytest.raises(MediaDecodeError):
         decode_real(b"x", "image")
+
+
+def test_wav_pcm_roundtrip_and_bounds():
+    import numpy as np
+
+    from bioner_spark.ops.multimodal import (
+        MediaDecodeError, decode_real, decode_wav, encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, size=777).astype(np.int16)
+    wav = encode_wav_pcm16(s, sample_rate=22050)
+    d = decode_wav(wav)
+    assert d["sample_rate"] == 22050 and d["n_channels"] == 1
+    np.testing.assert_array_equal(d["samples"][:, 0], s.astype(np.int32))
+    assert "samples" in decode_real(wav, "audio")
+    # declared chunk size past EOF must raise, not read out of bounds
+    with pytest.raises(MediaDecodeError):
+        decode_wav(b"RIFF\x10\x00\x00\x00WAVEdata\xff\xff\xff\xff")
+    # non-PCM format codes are honestly not-implemented
+    bad = bytearray(encode_wav_pcm16(s[:4]))
+    bad[20] = 3  # fmt.audio_format = IEEE float
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
+
+
+def test_netpbm_roundtrip_comments_and_truncation():
+    import numpy as np
+
+    from bioner_spark.ops.multimodal import (
+        MediaDecodeError, decode_netpbm, encode_ppm,
+    )
+
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    d = decode_netpbm(encode_ppm(px))
+    np.testing.assert_array_equal(d["pixels"], px)
+    assert (d["width"], d["height"]) == (7, 5)
+    # P5 grayscale with a header comment
+    pgm = b"P5\n# comment line\n3 2\n255\n" + bytes(range(6))
+    assert decode_netpbm(pgm)["pixels"].shape == (2, 3)
+    with pytest.raises(MediaDecodeError):
+        decode_netpbm(b"P6\n4 4\n255\n\x00\x01")  # truncated raster
+    with pytest.raises(MediaDecodeError):
+        decode_netpbm(b"P6\n4 4\n65535\n" + b"\x00" * 96)  # 16-bit maxval
+
+
+def test_synthesized_codec_media_decodes_to_formula(spark):
+    """End-to-end Spark path: synthesize real WAV/PPM containers, decode
+    them with the native parsers via mapInPandas, and check the histograms
+    against the generating formulas computed independently in numpy."""
+    import numpy as np
+
+    from bioner_spark.ops.multimodal import (
+        extract_decoded_histograms, synthesize_codec_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, 100 + 37 * d) for d in range(6)], "doc_id long, n_chars int"
+    )
+    got = {
+        r["media_id"]: r
+        for r in extract_decoded_histograms(synthesize_codec_media(docs)).collect()
+    }
+    assert len(got) == 6
+    for d in range(6):
+        n_chars = 100 + 37 * d
+        if d % 2 == 1:
+            n = (n_chars % 200) + 50
+            i = np.arange(n, dtype=np.int64)
+            bins = ((d * 7919 + i * 104729) % 65536) >> 12
+            assert got[str(d)]["modality"] == "audio"
+        else:
+            w = (n_chars % 16) + 4
+            j = np.arange(w * 8 * 3, dtype=np.int64)
+            bins = ((d * 31 + j * 17) % 256) >> 4
+            assert got[str(d)]["modality"] == "image"
+        expected = np.bincount(bins, minlength=16).tolist()
+        assert got[str(d)]["feature"] == expected
+        assert got[str(d)]["n_values"] == len(bins)
 
 
 def test_near_dup_clusters(documents):

@@ -190,3 +190,62 @@ def test_checkpointed_zero_triples_and_recrawl(spark, corpus, tmp_path):
     )
     r3 = run_checkpointed(spark, recrawled, empty_alias, out, n_buckets=4)
     assert r3.n_buckets_processed == 4
+
+
+def test_full_bioner_checkpoint_through_pipeline(spark, corpus, tmp_path):
+    """The REAL released-BioNER architecture (ff1 2048, 3× BiLSTM 1024,
+    encoder 1024, fastText-300 input — bioner_model.py:22-33) imported from
+    a full-shape .pt fixture and run end-to-end through run_checkpointed:
+    proves the import path at the real parameter-name set AND that a
+    real-size model flows through SparkFiles shipping + the batched
+    mapInPandas forward, not just the small-config subset."""
+    import numpy as np
+
+    from bioner_spark.ner.fasttext import FastTextModel, ship_fasttext
+    from bioner_spark.ner.infer import ship_model
+    from bioner_spark.ner.torch_import import (
+        load_sequence_model, write_state_dict_pt,
+    )
+
+    rng = np.random.default_rng(177)
+    D, FF, H = 300, 2048, 1024
+
+    def t(*shape):
+        return (rng.standard_normal(shape) * 0.01).astype(np.float32)
+
+    sd = {"ff1.weight": t(FF, D), "ff1.bias": t(FF)}
+    for prefix, d_in, bidi in (
+        ("biLSTM", FF, True),
+        ("additional_biLSTM_layers.0", 2 * H, True),
+        ("additional_biLSTM_layers.1", 2 * H, True),
+        ("encoderLSTM", 2 * H, False),
+    ):
+        for suf in ("", "_reverse") if bidi else ("",):
+            sd[f"{prefix}.weight_ih_l0{suf}"] = t(4 * H, d_in)
+            sd[f"{prefix}.weight_hh_l0{suf}"] = t(4 * H, H)
+            sd[f"{prefix}.bias_ih_l0{suf}"] = t(4 * H)
+            sd[f"{prefix}.bias_hh_l0{suf}"] = t(4 * H)
+    sd["hidden2tag.weight"] = t(3, H)
+    sd["hidden2tag.bias"] = t(3)
+
+    pt = str(tmp_path / "bioner_full_pipeline.pt")
+    write_state_dict_pt(pt, sd)
+    model = load_sequence_model(pt, name="BioNER")
+    ft = FastTextModel.fixture(bucket=500, dim=D)
+    assert model.input_dim == ft.dim
+
+    pages = corpus_mod.pages_spark_df(spark, corpus).limit(3)
+    alias = corpus_mod.alias_dict_spark_df(spark, corpus)
+    out = str(tmp_path / "bioner_full_out")
+    result = run_checkpointed(
+        spark, pages, alias, out, n_buckets=2, tagger="neural",
+        model=ship_model(spark, model, name="bioner_full_fixture"),
+        ft_model=ship_fasttext(spark, ft, name="ft300_fixture"),
+        use_extractor=False,
+    )
+    # random weights → arbitrary tags; the contract here is plumbing:
+    # the job completes, writes buckets, and the manifest is consistent
+    n = result.triples.count()
+    assert n >= 0
+    manifest = spark.read.parquet(f"{out}/manifest")
+    assert manifest.count() >= 1

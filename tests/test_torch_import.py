@@ -217,3 +217,125 @@ def test_tampered_checkpoint_stride_rejected(tmp_path):
             zf.writestr(n, data[n])
     with pytest.raises((TorchImportError, ValueError)):
         load_state_dict(evil)
+
+
+def _reference_lstm_names(prefix, bidirectional):
+    names = []
+    sufs = ("", "_reverse") if bidirectional else ("",)
+    for suf in sufs:
+        names += [
+            f"{prefix}.weight_ih_l0{suf}", f"{prefix}.weight_hh_l0{suf}",
+            f"{prefix}.bias_ih_l0{suf}", f"{prefix}.bias_hh_l0{suf}",
+        ]
+    return names
+
+
+def test_full_bioner_checkpoint_shape(tmp_path):
+    """A .pt fixture with the REAL released BioNER architecture — every
+    parameter name the reference model emits (bioner_model.py:22-33: ff1
+    2048, biLSTM 1024, additional_biLSTM_layers.0/1, encoderLSTM 1024,
+    hidden2tag) at full size, authored from the reference naming scheme
+    (not via model_to_state_dict) — must import with every name consumed
+    and run a forward."""
+    rng = np.random.default_rng(77)
+    D, FF, H = 300, 2048, 1024  # fastText dim, reference sizes
+
+    def t(*shape):
+        return (rng.standard_normal(shape) * 0.01).astype(np.float32)
+
+    sd = {"ff1.weight": t(FF, D), "ff1.bias": t(FF)}
+
+    def lstm(prefix, d_in, bidirectional):
+        for name in _reference_lstm_names(prefix, bidirectional):
+            if "weight_ih" in name:
+                sd[name] = t(4 * H, d_in)
+            elif "weight_hh" in name:
+                sd[name] = t(4 * H, H)
+            else:
+                sd[name] = t(4 * H)
+
+    lstm("biLSTM", FF, True)
+    lstm("additional_biLSTM_layers.0", 2 * H, True)
+    lstm("additional_biLSTM_layers.1", 2 * H, True)
+    lstm("encoderLSTM", 2 * H, False)
+    sd["hidden2tag.weight"] = t(3, H)
+    sd["hidden2tag.bias"] = t(3)
+
+    expected_names = set(sd)
+    pt = str(tmp_path / "bioner_full.pt")
+    write_state_dict_pt(pt, sd)
+    model = load_sequence_model(pt, name="BioNER")
+
+    assert model.input_dim == D
+    assert model.ff_w.shape == (FF, D)
+    assert len(model.bilstms) == 3
+    for fwd, bwd in model.bilstms:
+        assert fwd[1].shape == (4 * H, H) and bwd[1].shape == (4 * H, H)
+    assert model.bilstms[0][0][0].shape == (4 * H, FF)
+    assert model.bilstms[1][0][0].shape == (4 * H, 2 * H)
+    assert model.enc_w_ih.shape == (4 * H, 2 * H)
+    assert model.out_w.shape == (3, H)
+    assert model.ff_bn is None and model.enc_bn is None
+
+    # every reference name maps back out — nothing silently dropped
+    back = model_to_state_dict(model)
+    assert set(back) == expected_names
+
+    # forward runs at full size
+    x = rng.standard_normal((2, 5, D)).astype(np.float32)
+    lengths = np.array([5, 3])
+    tags = model.predict_tags(x, lengths)
+    assert [len(tg) for tg in tags] == [5, 3]
+
+
+def test_full_stacked_bn_checkpoint_name_set(tmp_path):
+    """StackedBiLSTMModel with BatchNorm enabled (datexis_model.py:105-109):
+    the complete reference name set incl. ffBatchNorm, biLSTMBatchNorms.N,
+    encoderLSTMBatchNorm and their num_batches_tracked buffers must import
+    name-for-name (small dims; the naming is dimension-independent)."""
+    rng = np.random.default_rng(78)
+    D, FF, H, LAYERS = 6, 8, 4, 3
+
+    def t(*shape):
+        return rng.standard_normal(shape).astype(np.float32)
+
+    sd = {"ff1.weight": t(FF, D), "ff1.bias": t(FF)}
+
+    def lstm(prefix, d_in, bidirectional):
+        for name in _reference_lstm_names(prefix, bidirectional):
+            if "weight_ih" in name:
+                sd[name] = t(4 * H, d_in)
+            elif "weight_hh" in name:
+                sd[name] = t(4 * H, H)
+            else:
+                sd[name] = t(4 * H)
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = t(c)
+        sd[f"{prefix}.bias"] = t(c)
+        sd[f"{prefix}.running_mean"] = t(c)
+        sd[f"{prefix}.running_var"] = np.abs(t(c)) + 0.5
+        sd[f"{prefix}.num_batches_tracked"] = np.array(7, dtype=np.int64)
+
+    lstm("biLSTM", FF, True)
+    for i in range(LAYERS - 1):
+        lstm(f"additional_biLSTM_layers.{i}", 2 * H, True)
+    lstm("encoderLSTM", 2 * H, False)
+    sd["hidden2tag.weight"] = t(3, H)
+    sd["hidden2tag.bias"] = t(3)
+    bn("ffBatchNorm", FF)
+    for i in range(LAYERS):
+        bn(f"biLSTMBatchNorms.{i}", 2 * H)
+    bn("encoderLSTMBatchNorm", H)
+
+    pt = str(tmp_path / "stacked_bn.pt")
+    write_state_dict_pt(pt, sd)
+    model = load_sequence_model(pt)
+    assert model.ff_bn is not None and model.enc_bn is not None
+    assert model.bilstm_bns is not None
+    assert sum(b is not None for b in model.bilstm_bns) == LAYERS
+    back = model_to_state_dict(model)
+    assert set(back) == set(sd)
+    np.testing.assert_array_equal(
+        back["biLSTMBatchNorms.2.running_var"], sd["biLSTMBatchNorms.2.running_var"]
+    )

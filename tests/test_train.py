@@ -367,3 +367,247 @@ def test_training_frame_fasttext_end_to_end(spark):
     loaded = SequenceModel.load(path)
     f1_loaded = _prf1(*_eval_rows(loaded, base_rows, np.float64))[2]
     assert f1_loaded == pytest.approx(res.best_val_f1, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# BatchNorm training mode (reference main.py:84 --enableBatchNormalization →
+# StackedBiLSTMModel training forward, datexis_model.py:132-188)
+# --------------------------------------------------------------------------
+def bn_model(dtype=np.float64, **over):
+    from bioner_spark.ner.train import bn_buffers_of
+
+    cfg = dict(feedforward_size=7, lstm_size=4, n_bilstm_layers=2, seed=7,
+               batch_norm=True)
+    cfg.update(over)
+    m = init_model(input_dim=5, **cfg)
+    bufs = {
+        s: (mm.astype(dtype), vv.astype(dtype), eps)
+        for s, (mm, vv, eps) in bn_buffers_of(m).items()
+    }
+    flat = flatten_params(m, dtype)
+    return model_from_flat(flat, param_spec(m), bn_buffers=bufs), bufs
+
+
+@pytest.mark.parametrize("dropout", [None, 0.4])
+def test_gradcheck_batchnorm_training(dropout):
+    """FD gradient check with BN on: batch statistics make every parameter
+    upstream of a BN site couple through mu/var — the analytic backward must
+    carry the full BN training-mode gradient, incl. gamma/beta."""
+    m, bufs = bn_model()
+    spec = param_spec(m)
+    assert any(n.endswith("_bn_g") for n, _ in spec)
+    x, y, lengths = random_batch()
+    masks = None
+    if dropout:
+        from bioner_spark.ner.train import _mask_dims
+
+        dims = _mask_dims(m)
+        masks = [np.ones((x.shape[0], x.shape[1], d)) for d in dims]
+        for bi, L in enumerate(lengths):
+            ms = dropout_masks_for_sentence(dropout, int(L), dims, 9, 0, bi, np.float64)
+            for site, mk in enumerate(ms):
+                masks[site][bi, :L] = mk
+
+    logits, cache = forward_train(m, x, lengths, masks)
+    _, _, dlogits = cross_entropy_sum(logits, y)
+    grads = backward_model(m, cache, dlogits)
+    flat = flatten_params(m)
+    flat_grad = flatten_grads(grads, spec)
+
+    def _loss(f):
+        mm = model_from_flat(f, spec, bn_buffers=bufs)
+        lg, _ = forward_train(mm, x, lengths, masks)
+        l, _, _ = cross_entropy_sum(lg, y)
+        return l
+
+    eps = 1e-6
+    rng = np.random.default_rng(3)
+    off = 0
+    for name, shape in spec:
+        size = int(np.prod(shape))
+        for idx in rng.choice(size, size=min(4, size), replace=False):
+            j = off + int(idx)
+            fp = flat.copy(); fp[j] += eps
+            fm = flat.copy(); fm[j] -= eps
+            num = (_loss(fp) - _loss(fm)) / (2 * eps)
+            ana = flat_grad[j]
+            assert abs(num - ana) < 1e-5 * max(1.0, abs(num)), (
+                f"{name}[{idx}]: numeric {num} vs analytic {ana}"
+            )
+        off += size
+
+
+def test_bn_lstm_sites_ignore_pad_values():
+    """The LSTM-site BN stats are computed over pad-ZEROED tensors (the
+    values pad_packed_sequence hands the reference BN), not whatever the
+    kernel left at pads — so with the ff BN removed (the one site that
+    legitimately sees pad rows, since it runs before the first pack), the
+    loss must be invariant to pad input values."""
+    import dataclasses
+
+    m, _ = bn_model()
+    m = dataclasses.replace(m, ff_bn=None)
+    x, y, lengths = random_batch()
+
+    def _loss(xx):
+        lg, _ = forward_train(m, xx, lengths, None)
+        l, _, _ = cross_entropy_sum(lg, y)
+        return l
+
+    base = _loss(x)
+    x2 = x.copy()
+    for i, L in enumerate(lengths):
+        x2[i, L:] = 123.456
+    assert _loss(x2) == pytest.approx(base, abs=1e-12)
+
+
+def test_bn_ff_pad_rows_equal_bias_semantics():
+    """The ff BN site sees pad rows equal to the ff bias (reference: BN runs
+    on the padded ff1 output before the first pack, and the collated input
+    pads are zero). Injecting the global stats computed from a DIFFERENTLY
+    padded copy of the same batch must reproduce the same loss — the
+    pad-correction the distributed stat reduction applies (n_pad × bias)."""
+    m, _ = bn_model(n_bilstm_layers=1)
+    x, y, lengths = random_batch()
+    logits, cache = forward_train(m, x, lengths, None)
+    loss, _, _ = cross_entropy_sum(logits, y)
+    # recompute stats by hand: valid-only sums + n_pad * bias corrections
+    h0 = x @ m.ff_w.T + m.ff_b
+    hz = h0.copy()
+    for i, L in enumerate(lengths):
+        hz[i, L:] = 0.0
+    N = x.shape[0] * x.shape[1]
+    n_pad = N - int(lengths.sum())
+    s = hz.sum(axis=(0, 1)) + n_pad * m.ff_b
+    s2 = (hz * hz).sum(axis=(0, 1)) + n_pad * m.ff_b * m.ff_b
+    mu = s / N
+    var = s2 / N - mu * mu
+    got_mu, got_var = cache["bn_stats"]["ff"]
+    np.testing.assert_allclose(mu, got_mu, atol=1e-12)
+    np.testing.assert_allclose(var, got_var, atol=1e-12)
+
+
+def test_bn_running_stats_update_torch_semantics():
+    """One training forward must update running stats with momentum 0.1 and
+    UNBIASED batch var (N/(N-1)) — torch BatchNorm1d documented behavior."""
+    from bioner_spark.ner.train import (
+        _update_running_stats, batch_gradient, bn_buffers_of,
+    )
+
+    m, bufs = bn_model(n_bilstm_layers=1)
+    spec = param_spec(m)
+    x, y, lengths = random_batch()
+    rows = [(i, x[i, :L].tolist(), y[i, :L].tolist()) for i, L in enumerate(lengths)]
+    before = {s: (mm.copy(), vv.copy()) for s, (mm, vv, _) in bufs.items()}
+    stats_out: dict = {}
+    batch_gradient(m, spec, rows, dropout_p=0.0, seed=1, step=0,
+                   dtype=np.float64, stats_out=stats_out)
+    N = stats_out["_N"]
+    assert N == len(rows) * max(int(L) for L in lengths)
+    _update_running_stats(bufs, stats_out, N)
+    for s, (mu, var) in ((k, v) for k, v in stats_out.items() if k != "_N"):
+        m0, v0 = before[s]
+        np.testing.assert_allclose(bufs[s][0], 0.9 * m0 + 0.1 * mu, atol=1e-12)
+        np.testing.assert_allclose(
+            bufs[s][1], 0.9 * v0 + 0.1 * var * N / (N - 1), atol=1e-12
+        )
+
+
+def test_distributed_matches_single_node_batchnorm(spark):
+    """The sync-BN schedule (global batch statistics + global backward
+    corrections) must reproduce the single-node BN training run exactly —
+    weights AND running buffers."""
+    rows = _toy_rows()
+    val_rows = [(x, y) for (o, x, y, d, s) in rows[:5]]
+    m, _ = bn_model(n_bilstm_layers=1)
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sentence_id", IntegerType()),
+            StructField("x", ArrayType(ArrayType(DoubleType()))),
+            StructField("y", ArrayType(IntegerType())),
+        ]
+    )
+    df = spark.createDataFrame([(d, s, x, y) for (o, x, y, d, s) in rows], schema)
+    ordered, n = assign_doc_shuffled_order(df, seed=42)
+    auth_rows = [
+        (int(r[0]), r[1], r[2])
+        for r in ordered.select("order_idx", "x", "y").collect()
+    ]
+    single = train_single_node(
+        auth_rows, val_rows, m, batch_size=6, max_epochs=2, lr=0.01,
+        dropout_p=0.3, seed=42, dtype=np.float64,
+    )
+    val_schema = StructType(
+        [
+            StructField("x", ArrayType(ArrayType(DoubleType()))),
+            StructField("y", ArrayType(IntegerType())),
+        ]
+    )
+    val_df = spark.createDataFrame(val_rows, val_schema)
+    dist = train_distributed(
+        spark, df, val_df, m, batch_size=6, max_epochs=2, lr=0.01,
+        dropout_p=0.3, seed=42, n_shards=3, dtype=np.float64,
+    )
+    np.testing.assert_allclose(dist.flat, single.flat, rtol=0, atol=1e-9)
+    assert dist.bn_buffers is not None and single.bn_buffers is not None
+    for s in single.bn_buffers:
+        np.testing.assert_allclose(
+            dist.bn_buffers[s][0], single.bn_buffers[s][0], atol=1e-9
+        )
+        np.testing.assert_allclose(
+            dist.bn_buffers[s][1], single.bn_buffers[s][1], atol=1e-9
+        )
+    for h1, h2 in zip(dist.history, single.history):
+        assert h1["train_loss"] == pytest.approx(h2["train_loss"], abs=1e-9)
+        assert h1["val_f1"] == pytest.approx(h2["val_f1"], abs=1e-12)
+    # the trained model round-trips through the npz checkpoint with buffers
+    import os, tempfile
+
+    path = os.path.join(tempfile.mkdtemp(), "bn_trained.npz")
+    dist.model().save(path)
+    from bioner_spark.ner.kernel import SequenceModel
+
+    loaded = SequenceModel.load(path)
+    assert loaded.ff_bn is not None
+
+
+def test_step_reads_only_its_batch_rows(spark):
+    """The indexed-block cache must make per-epoch row materialization O(n)
+    — each training row is sliced into exactly ONE step's batch per epoch
+    (the old per-step shard scan visited n/P rows per shard per step)."""
+    rows = _toy_rows(n_docs=8, seed=9)
+    val_rows = [(x, y) for (o, x, y, d, s) in rows[:3]]
+    m = tiny_model(n_bilstm_layers=1)
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sentence_id", IntegerType()),
+            StructField("x", ArrayType(ArrayType(DoubleType()))),
+            StructField("y", ArrayType(IntegerType())),
+        ]
+    )
+    df = spark.createDataFrame([(d, s, x, y) for (o, x, y, d, s) in rows], schema)
+    val_schema = StructType(
+        [
+            StructField("x", ArrayType(ArrayType(DoubleType()))),
+            StructField("y", ArrayType(IntegerType())),
+        ]
+    )
+    val_df = spark.createDataFrame(val_rows, val_schema)
+    acc = spark.sparkContext.accumulator(0)
+    epochs = 2
+    train_distributed(
+        spark, df, val_df, m, batch_size=5, max_epochs=epochs, lr=0.01,
+        seed=7, n_shards=3, dtype=np.float64, _rows_accumulator=acc,
+    )
+    assert acc.value == len(rows) * epochs
