@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None) -> None:
                          "torch-free by torch_import.load_state_dict)")
     ap.add_argument("--shuffle-partitions", type=int, default=None,
                     help="override spark.sql.shuffle.partitions (default: 2x cores)")
+    ap.add_argument("--iceberg-table", default=None,
+                    help="also materialize the triples into this Iceberg "
+                         "table (catalog.db.table) with per-partition "
+                         "lineage in the snapshot summary — requires the "
+                         "iceberg-spark-runtime jar + a catalog conf on "
+                         "the cluster (io/iceberg_sink.py docstring has "
+                         "the spark-submit flags); errors out if absent")
     ap.add_argument("--pilot-docs", type=int, default=0,
                     help="run the full pipeline over this many docs BEFORE "
                          "the timed section (untimed, output discarded). "
@@ -195,6 +202,20 @@ def main(argv: list[str] | None = None) -> None:
     )
     n_triples = result.triples.count()
     wall = time.time() - t0
+
+    if args.iceberg_table:
+        # mirror the (bucket-partitioned) triples into the Iceberg table,
+        # lineage riding in the commit's snapshot summary — outside the
+        # timed section: the scaling metric is the pipeline, the mirror is
+        # a second sink
+        from bioner_spark.io.iceberg_sink import materialize_triples
+        from bioner_spark.pipeline import bucket_fingerprints
+
+        fps = [
+            (r["bucket"], r["input_fingerprint"], r["n_docs"])
+            for r in bucket_fingerprints(pages, args.n_buckets).collect()
+        ]
+        materialize_triples(spark, result.triples, args.iceberg_table, fps)
 
     print(
         json.dumps(
