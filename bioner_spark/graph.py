@@ -46,8 +46,13 @@ def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     durable at the cost of a write per round."""
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() != checkpoint_dir:
+        # getCheckpointDir() returns the dir Spark DERIVED from what we set
+        # (scheme + a per-set random UUID subdir, e.g. 'file:/x/<uuid>'), so
+        # comparing it to our argument is always unequal — remember what we
+        # passed instead, or every CC round would mkdir a fresh UUID dir
+        if getattr(sc, "_bioner_ckpt_dir", None) != checkpoint_dir:
             sc.setCheckpointDir(checkpoint_dir)
+            sc._bioner_ckpt_dir = checkpoint_dir
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
@@ -91,23 +96,29 @@ def connected_components(
     distributed path (large-star/small-star), or a larger value when the
     caller knows the graph is driver-sized (saves the iteration
     entirely). The gate is count-only — an over-threshold graph never
-    moves full edge rows to the driver, and the subsequent collect is
-    limit-bounded so a source that grows between the two jobs falls
-    through to the distributed path instead of overfilling the driver.
+    moves full edge rows to the driver — and the limit(n+1) DF is
+    persisted across the count and the collect, so the upstream edge
+    pipeline executes once for the gate, never twice.
 
     checkpoint_dir: optional reliable checkpoint dir for the distributed
     path's per-round lineage truncation (see _truncate)."""
     node_type = edges.schema[src].dataType.simpleString()
     if driver_threshold:
-        slim = edges.select(src, dst)
-        if slim.limit(driver_threshold + 1).count() <= driver_threshold:
-            sample = slim.limit(driver_threshold + 1).collect()
-            if len(sample) <= driver_threshold:
+        # persist the limited DF so the count gate and the collect share ONE
+        # computation of the upstream edge pipeline (for near_dup_clusters
+        # that pipeline is the full LSH-candidate + Jaccard chain); the
+        # cache holds at most threshold+1 two-column rows
+        limited = edges.select(src, dst).limit(driver_threshold + 1).persist()
+        try:
+            if limited.count() <= driver_threshold:
+                sample = limited.collect()
                 return _driver_union_find(
                     [(r[src], r[dst]) for r in sample],
                     edges.sparkSession,
                     node_type,
                 )
+        finally:
+            limited.unpersist()
     return connected_components_star(
         edges, src, dst, max_iterations, checkpoint_dir=checkpoint_dir
     )

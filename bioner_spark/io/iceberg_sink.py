@@ -128,6 +128,16 @@ def snapshot_lineage_options(
     }
 
 
+def stale_buckets(
+    lineage: list[tuple[int, str, int]] | tuple,
+    done: dict[int, str],
+) -> list[tuple[int, str, int]]:
+    """Incremental-mirror work list: the pipeline's bucket lineage minus
+    buckets whose fingerprint already matches the table's recorded lineage
+    (read_lineage). A fully-caught-up mirror returns [] → zero commits."""
+    return [(int(b), fp, int(n)) for b, fp, n in lineage if done.get(int(b)) != fp]
+
+
 def plan_for_dataframe(table: str, df: DataFrame) -> str:
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     return create_table_ddl(table, cols)

@@ -121,6 +121,20 @@ def _rebuild_tensor(storage: np.ndarray, offset: int, size, stride, *rest):
             f"tensor view (offset={offset}, size={size}, stride={stride}) "
             f"reads element {last} past storage of {storage.size}"
         )
+    # allocation cap: zero strides make `last` small while the MATERIALIZED
+    # copy below is prod(size) elements — a crafted (2^20, 2^20) stride-(0,0)
+    # view would pass the range check and OOM the driver on view.copy().
+    # state_dict tensors are contiguous, so prod(size) never exceeds the
+    # storage tail; broadcast/expanded views are rejected by design here.
+    n_elem = 1
+    for d in size:
+        n_elem *= d
+    if n_elem > storage.size - offset:
+        raise TorchImportError(
+            f"tensor declares {n_elem} elements but storage holds only "
+            f"{storage.size - offset} past its offset (broadcast/expanded "
+            f"views are not accepted from untrusted checkpoints)"
+        )
     itemsize = storage.dtype.itemsize
     view = np.lib.stride_tricks.as_strided(
         storage[offset:],

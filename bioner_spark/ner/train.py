@@ -339,11 +339,18 @@ def _zero_pads(h, lengths):
 def _bn_stats(h, N):
     """Per-channel (mu, biased var) of h over its first two axes with stats
     count N (= B * T_global: torch normalizes over batch AND time, pads
-    included). h must already hold the reference's pad values."""
-    s = h.sum(axis=(0, 1))
-    s2 = (h * h).sum(axis=(0, 1))
+    included). h must already hold the reference's pad values.
+
+    Accumulates in float64 and clamps at 0: E[x²]−E[x]² cancels
+    catastrophically in float32 for near-constant channels with large mean
+    (relative error ~1e-7 on s2/N ≈ mu² swamps a true var below ~1e-5 and
+    can go NEGATIVE, NaN-ing 1/sqrt(var+eps))."""
+    h64 = h.astype(np.float64, copy=False)
+    s = h64.sum(axis=(0, 1))
+    s2 = (h64 * h64).sum(axis=(0, 1))
     mu = s / N
-    return mu, s2 / N - mu * mu
+    var = np.maximum(s2 / N - mu * mu, 0.0)
+    return mu.astype(h.dtype, copy=False), var.astype(h.dtype, copy=False)
 
 
 def _bn_apply(h, bn, mu, var):
@@ -1031,12 +1038,16 @@ def train_distributed(
                 )
                 h = bn_site_input(m, x, lengths, masks, known, site)
                 hz = _zero_pads(h, lengths)  # valid-only sums (T-independent)
+                # float64 shard sums: see _bn_stats — float32 E[x²]−E[x]²
+                # cancellation would NaN var for near-constant channels
+                hz64 = hz.astype(np.float64, copy=False)
                 yield (
-                    hz.sum(axis=(0, 1)), (hz * hz).sum(axis=(0, 1)),
+                    hz64.sum(axis=(0, 1)), (hz64 * hz64).sum(axis=(0, 1)),
                     len(rows), int(lengths.sum()), int(lengths.max()),
                 )
 
-            z = (np.zeros(dim, dtype=dtype), np.zeros(dim, dtype=dtype), 0, 0, 0)
+            z = (np.zeros(dim, dtype=np.float64),
+                 np.zeros(dim, dtype=np.float64), 0, 0, 0)
 
             def comb(a, b):
                 return (a[0] + b[0], a[1] + b[1], a[2] + b[2], a[3] + b[3],
@@ -1053,12 +1064,13 @@ def train_distributed(
             if site == "ff":
                 # pad positions of the padded ff output equal the ff bias
                 # exactly (x pads are zero); fold them into the sums
-                ff_b = template.ff_b
+                ff_b = template.ff_b.astype(np.float64)
                 n_pad = n - len_tot
                 s = s + n_pad * ff_b
                 s2 = s2 + n_pad * ff_b * ff_b
             mu = s / n
-            stats[site] = (mu, s2 / n - mu * mu)
+            var = np.maximum(s2 / n - mu * mu, 0.0)
+            stats[site] = (mu.astype(dtype), var.astype(dtype))
         return stats, meta
 
     def _bn_step_back(flat, stats, lo, hi, step, n_global):

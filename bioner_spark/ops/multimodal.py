@@ -123,6 +123,7 @@ def decode_wav(payload: bytes) -> dict:
         "samples": samples,
         "sample_rate": fmt["sample_rate"],
         "n_channels": fmt["n_channels"],
+        "bits": fmt["bits"],
     }
 
 
@@ -278,15 +279,23 @@ DECODED_HIST_SCHEMA = (
 def extract_decoded_histograms(media: DataFrame, byte_budget: int = 64 << 20) -> DataFrame:
     """REAL-decode feature extraction: parse each payload with decode_real
     (WAV-PCM samples / netpbm pixels) and emit an exact 16-bin integer
-    histogram of the decoded values — int16 samples binned by
-    (s + 32768) >> 12, uint8 pixels by b >> 4. Integer output ⇒ the DuckDB
-    oracle can verify the decode end-to-end with zero float tolerance.
-    Same byte-budget sub-batching as extract_features."""
+    histogram of the decoded values — PCM samples normalized to the int16
+    domain (8-bit << 8, 32-bit >> 16) then binned by (s + 32768) >> 12,
+    uint8 pixels by b >> 4, so every supported bit depth lands in exactly
+    16 bins. Integer output ⇒ the DuckDB oracle can verify the decode
+    end-to-end with zero float tolerance. Same byte-budget sub-batching as
+    extract_features."""
 
     def _hist(payload) -> tuple[int, list[int]]:
         d = decode_real(payload, "")
         if "samples" in d:
-            vals = (d["samples"].ravel().astype(np.int64) + 32768) >> 12
+            s = d["samples"].ravel().astype(np.int64)
+            bits = d.get("bits", 16)
+            if bits == 8:        # recentered [-128,127] → int16 domain
+                s = s << 8
+            elif bits == 32:     # int32 domain → int16 domain
+                s = s >> 16
+            vals = (s + 32768) >> 12
         else:
             vals = d["pixels"].ravel().astype(np.int64) >> 4
         return len(vals), np.bincount(vals, minlength=16).astype(np.int32).tolist()

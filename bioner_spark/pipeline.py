@@ -49,6 +49,11 @@ class PipelineResult:
     # done with the result should unpersist() so a driver looping over many
     # inputs doesn't accumulate dead cache entries for the session lifetime
     persisted: tuple = ()
+    # run_checkpointed only: [(bucket, input_fingerprint, n_docs)] for ALL
+    # buckets of this input — secondary sinks (e.g. the Iceberg mirror)
+    # diff it against their own recorded lineage to write only stale
+    # buckets instead of re-scanning pages for fingerprints
+    bucket_lineage: tuple = ()
 
     def unpersist(self) -> None:
         for df in self.persisted:
@@ -481,4 +486,8 @@ def run_checkpointed(
         n_buckets_processed=len(todo_buckets),
         n_buckets_skipped=int(n_skipped),
         persisted=aux.persisted,
+        bucket_lineage=tuple(
+            (int(r["bucket"]), r["input_fingerprint"], int(r["n_docs"]))
+            for r in fp_rows
+        ),
     )

@@ -207,15 +207,26 @@ def main(argv: list[str] | None = None) -> None:
         # mirror the (bucket-partitioned) triples into the Iceberg table,
         # lineage riding in the commit's snapshot summary — outside the
         # timed section: the scaling metric is the pipeline, the mirror is
-        # a second sink
-        from bioner_spark.io.iceberg_sink import materialize_triples
-        from bioner_spark.pipeline import bucket_fingerprints
+        # a second sink. Incremental: diff the pipeline's bucket lineage
+        # (already computed by run_checkpointed — no page rescan) against
+        # the table's own snapshot lineage and write ONLY stale buckets; a
+        # no-op resume issues zero commits instead of rewriting the table
+        from pyspark.sql import functions as F
 
-        fps = [
-            (r["bucket"], r["input_fingerprint"], r["n_docs"])
-            for r in bucket_fingerprints(pages, args.n_buckets).collect()
-        ]
-        materialize_triples(spark, result.triples, args.iceberg_table, fps)
+        from bioner_spark.io.iceberg_sink import (
+            materialize_triples, plan_for_dataframe, read_lineage,
+            require_iceberg, stale_buckets,
+        )
+
+        require_iceberg(spark)
+        spark.sql(plan_for_dataframe(args.iceberg_table, result.triples))
+        done = read_lineage(spark, args.iceberg_table)
+        todo = stale_buckets(result.bucket_lineage, done)
+        if todo:
+            out = result.triples.filter(
+                F.col("bucket").isin([b for b, _, _ in todo])
+            )
+            materialize_triples(spark, out, args.iceberg_table, todo)
 
     print(
         json.dumps(

@@ -58,6 +58,11 @@ def main() -> None:
     ap.add_argument("--dropout", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=1632737901)
     ap.add_argument("--n-shards", type=int, default=None)
+    ap.add_argument(
+        "--batch-norm", action="store_true",
+        help="train with BatchNorm sites (reference --enableBatchNormalization), "
+        "starting from torch's fresh-BN state (gamma=1, beta=0, running 0/1)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -73,6 +78,7 @@ def main() -> None:
     model = init_model(
         args.input_dim, feedforward_size=args.ff, lstm_size=args.lstm,
         n_bilstm_layers=args.layers, seed=args.seed,
+        batch_norm=args.batch_norm, bn_identity=args.batch_norm,
     )
 
     t0 = time.time()

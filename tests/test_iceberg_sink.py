@@ -65,3 +65,16 @@ def test_lineage_options_roundtrip():
     assert json.loads(opts["snapshot-property.kg.buckets"]) == [1, 4]
     assert json.loads(opts["snapshot-property.kg.fingerprints"]) == ["fp1", "fp4"]
     assert json.loads(opts["snapshot-property.kg.n_docs"]) == [7, 10]
+
+
+def test_stale_buckets_diff():
+    """The incremental mirror writes ONLY buckets whose fingerprint differs
+    from the table's recorded lineage; a caught-up mirror returns []."""
+    lineage = [(0, "a", 5), (1, "b", 6), (2, "c", 7)]
+    assert ice.stale_buckets(lineage, {}) == lineage  # empty table: all stale
+    assert ice.stale_buckets(lineage, {0: "a", 1: "b", 2: "c"}) == []  # no-op
+    assert ice.stale_buckets(lineage, {0: "a", 1: "OLD", 2: "c"}) == [(1, "b", 6)]
+    # numpy/Row ints in the lineage still match plain-int lineage keys
+    import numpy as np
+
+    assert ice.stale_buckets([(np.int32(1), "b", np.int64(6))], {1: "b"}) == []

@@ -141,6 +141,33 @@ def test_batchnorm_identity_stats_is_noop():
     )
 
 
+def test_init_model_bn_identity_flag():
+    """bn_identity=True is torch's fresh-BatchNorm1d state (what a
+    reference TRAINING run starts from): gamma=1, beta=0, running mean 0 /
+    var 1 at every site, tuple order matching _bn_params — and with those
+    stats the inference forward equals the BN-free model up to the
+    1/sqrt(1+eps) epsilon shift."""
+    m = init_model(input_dim=10, feedforward_size=8, lstm_size=4,
+                   n_bilstm_layers=2, seed=7, batch_norm=True,
+                   bn_identity=True)
+    sites = [(m.ff_bn, 8)] + [(b, 8) for b in m.bilstm_bns] + [(m.enc_bn, 4)]
+    for bn, c in sites:
+        gamma, beta, mean, var, eps = bn
+        np.testing.assert_array_equal(gamma, np.ones(c, dtype=np.float32))
+        np.testing.assert_array_equal(beta, np.zeros(c, dtype=np.float32))
+        np.testing.assert_array_equal(mean, np.zeros(c, dtype=np.float32))
+        np.testing.assert_array_equal(var, np.ones(c, dtype=np.float32))
+        assert eps == 1e-5
+    base = init_model(input_dim=10, feedforward_size=8, lstm_size=4,
+                      n_bilstm_layers=2, seed=7)
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(2, 6, 10)).astype(np.float32)
+    lengths = np.array([6, 4])
+    np.testing.assert_allclose(
+        m.forward(x, lengths), base.forward(x, lengths), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_batchnorm_placement_differential():
     """Non-trivial BN stats: forward must equal a hand-applied affine at the
     reference's exact placement (FF pre-ReLU → each BiLSTM → encoder LSTM;

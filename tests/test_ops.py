@@ -195,6 +195,51 @@ def test_wav_pcm_roundtrip_and_bounds():
         decode_wav(bytes(bad))
 
 
+def _wav_container(bits: int, data: bytes) -> bytes:
+    """Minimal RIFF/WAVE PCM container at an arbitrary bit depth (the
+    engine's own encoder is 16-bit only)."""
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + (8000 * bits // 8).to_bytes(4, "little")
+        + (bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def test_decoded_histograms_8_and_32_bit_pcm(spark):
+    """Every supported PCM bit depth must land in the 16-bin contract:
+    samples are normalized to the int16 domain before binning (8-bit << 8,
+    32-bit >> 16), so extreme 32-bit values neither crash bincount with
+    negatives nor overflow the feature length."""
+    import numpy as np
+
+    from bioner_spark.ops.multimodal import decode_wav, extract_decoded_histograms
+
+    d8 = decode_wav(_wav_container(8, bytes([0, 128, 255])))
+    assert d8["bits"] == 8
+    np.testing.assert_array_equal(d8["samples"][:, 0], [-128, 0, 127])
+    v32 = np.array([-(2**31), 0, 2**31 - 1], dtype="<i4")
+    d32 = decode_wav(_wav_container(32, v32.tobytes()))
+    assert d32["bits"] == 32
+
+    media = spark.createDataFrame(
+        [("a8", "audio", _wav_container(8, bytes([0, 128, 255]))),
+         ("a32", "audio", _wav_container(32, v32.tobytes()))],
+        "media_id string, modality string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_decoded_histograms(media).collect()}
+    for r in rows.values():
+        assert len(r["feature"]) == 16
+        assert sum(r["feature"]) == r["n_values"] == 3
+    # extremes bin to 0 and 15, midpoints to 8, at both depths
+    for mid in ("a8", "a32"):
+        f = rows[mid]["feature"]
+        assert f[0] == 1 and f[8] == 1 and f[15] == 1
+
+
 def test_netpbm_roundtrip_comments_and_truncation():
     import numpy as np
 

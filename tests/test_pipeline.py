@@ -47,6 +47,10 @@ def test_checkpointed_resume(spark, corpus, tmp_path):
     r2 = run_checkpointed(spark, pages, alias, out, n_buckets=4)
     assert r2.n_buckets_processed == 0
     assert r2.n_buckets_skipped == r1.n_buckets_processed
+    # bucket_lineage covers ALL buckets (secondary sinks diff against it);
+    # identical input → identical fingerprints across runs
+    assert sorted(b for b, _, _ in r2.bucket_lineage) == list(range(4))
+    assert r2.bucket_lineage == r1.bucket_lineage
     t2 = r2.triples.drop("bucket").toPandas().sort_values(["doc_id", "sentence_id", "subj", "pred", "obj"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(t1, t2)
 

@@ -189,6 +189,13 @@ def test_rebuild_tensor_bounds_checked():
         _rebuild_tensor(storage, 2, (4,), (1,))  # offset + extent overflows
     with pytest.raises(TorchImportError, match="rank"):
         _rebuild_tensor(storage, 0, (2, 2), (1,))
+    # allocation DoS: stride-0 dims keep `last` inside the storage while
+    # the materialized copy would be prod(size) elements — a crafted
+    # (2^20, 2^20) stride-(0,0) view must be rejected, not allocated
+    with pytest.raises(TorchImportError, match="broadcast/expanded"):
+        _rebuild_tensor(storage, 0, (2**20, 2**20), (0, 0))
+    with pytest.raises(TorchImportError, match="broadcast/expanded"):
+        _rebuild_tensor(storage, 2, (3,), (0,))  # 3 elems, 2 left past offset
 
 
 def test_tampered_checkpoint_stride_rejected(tmp_path):

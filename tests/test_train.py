@@ -437,6 +437,30 @@ def test_gradcheck_batchnorm_training(dropout):
         off += size
 
 
+def test_bn_stats_float32_near_constant_channel():
+    """E[x²]−E[x]² computed in float32 cancels catastrophically for a
+    near-constant channel with large mean (can go NEGATIVE → NaN via
+    1/sqrt(var+eps)); _bn_stats must accumulate in float64 and clamp at 0,
+    at the trainer's shipping dtype (float32)."""
+    from bioner_spark.ner.train import _bn_stats
+
+    rng = np.random.default_rng(0)
+    B, T, C = 8, 800, 3
+    h = np.full((B, T, C), 100.0, dtype=np.float32)
+    h += rng.normal(0.0, 1e-3, size=h.shape).astype(np.float32)
+    mu, var = _bn_stats(h, B * T)
+    assert mu.dtype == np.float32 and var.dtype == np.float32
+    assert np.all(np.isfinite(var)) and np.all(var >= 0.0)
+    ref_var = h.astype(np.float64).var(axis=(0, 1))  # exact two-pass
+    np.testing.assert_allclose(var, ref_var, rtol=1e-3)
+    # the failure mode this guards: the same formula at float32 precision
+    # misses the true var by orders of magnitude (or goes negative)
+    s2_32 = (h * h).sum(axis=(0, 1), dtype=np.float32) / (B * T)
+    mu_32 = h.sum(axis=(0, 1), dtype=np.float32) / (B * T)
+    naive = s2_32 - mu_32 * mu_32
+    assert np.any(np.abs(naive - ref_var) > 10 * ref_var) or np.any(naive < 0)
+
+
 def test_bn_lstm_sites_ignore_pad_values():
     """The LSTM-site BN stats are computed over pad-ZEROED tensors (the
     values pad_packed_sequence hands the reference BN), not whatever the
