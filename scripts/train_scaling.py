@@ -30,7 +30,7 @@ def run_level(n_exec: int, zpath: str, args) -> dict:
         "--batch", str(args.batch),
         "--epochs", str(args.epochs),
         "--n-shards", str(n_exec),
-    ]
+    ] + (["--batch-norm"] if args.batch_norm else [])
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
     for line in proc.stdout.splitlines():
         line = line.strip()
@@ -48,6 +48,11 @@ def main() -> None:
     ap.add_argument("--n-sentences", type=int, default=8192)
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument(
+        "--batch-norm", action="store_true",
+        help="measure the sync-BN trainer (extra per-site stat/backward "
+        "reductions per step) instead of the plain model",
+    )
     args = ap.parse_args()
 
     zpath = make_zip()
@@ -64,6 +69,7 @@ def main() -> None:
                 "factor": factor,
                 "target": 0.8,
                 "pass": eff >= 0.8,
+                "batch_norm": bool(args.batch_norm),
             }
         )
     )
