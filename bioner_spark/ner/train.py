@@ -68,7 +68,17 @@ live batch statistics): implemented with exact reference semantics —
     differential gate as the plain path;
   * running stats update per step with torch semantics (momentum 0.1,
     unbiased var N/(N-1)) and ride along as non-Adam buffers; the best
-    checkpoint keeps the buffers of its epoch.
+    checkpoint keeps the buffers of its epoch;
+  * deliberate trade-off: shards pad to their LOCAL max length (cheaper
+    LSTM compute — no pad timesteps beyond each shard's longest sentence),
+    which is why the ff site needs three coupled pad corrections (the
+    n_pad·ff_b fold into the stat sums, backward_model's
+    zero_pad_dx=('ff' in bn_back) flag, and the driver-side
+    n_pad·γ·inv·(−S_dy−x̂_pad·S_dyx)/N bias-grad term). Padding every
+    shard to the global T would delete all three at the cost of running
+    BPTT over (T_global − T_shard) pure-pad timesteps on every shard;
+    the corrections are each differential-tested against the single-node
+    authority, which pads to the true global T by construction.
 """
 
 from __future__ import annotations
@@ -382,6 +392,15 @@ def forward_train(model: SequenceModel, x, lengths, masks=None, bn_stats=None):
 
     def _site_stats(site, h):
         if site not in stats:
+            if N <= 1:
+                # torch BatchNorm1d refuses a 1-value-per-channel training
+                # batch ("Expected more than 1 value per channel"); training
+                # through it with var=0 would be a state the reference
+                # cannot reach — mirror the refusal
+                raise ValueError(
+                    "BatchNorm training requires more than 1 value per "
+                    f"channel (batch has N={N})"
+                )
             stats[site] = _bn_stats(h, N)
         return stats[site]
 
@@ -679,15 +698,18 @@ class TrainResult:
     best_epoch: int = 0
     stopped_epoch: int = 0
     bn_buffers: dict | None = None  # BN running stats at the best epoch
+    name: str = "DATEXIS-NER"  # source model's architecture label
 
-    def model(self, name: str = "DATEXIS-NER") -> SequenceModel:
+    def model(self, name: str | None = None) -> SequenceModel:
         return model_from_flat(
-            self.flat, self.spec, name=name, bn_buffers=self.bn_buffers
+            self.flat, self.spec, name=name or self.name,
+            bn_buffers=self.bn_buffers,
         )
 
 
 def _early_stop_loop(
-    epoch_fn, eval_fn, flat0, spec, max_epochs, patience, save_path, buffers=None
+    epoch_fn, eval_fn, flat0, spec, max_epochs, patience, save_path,
+    buffers=None, name="DATEXIS-NER",
 ):
     """Shared driver loop: per-epoch train + val F1, ignite-style early
     stopping (counter resets only on strict improvement, annotator via
@@ -729,7 +751,7 @@ def _early_stop_loop(
     res = TrainResult(
         flat=best_flat, spec=spec, history=history,
         best_val_f1=max(best_f1, 0.0), best_epoch=best_epoch, stopped_epoch=stopped,
-        bn_buffers=best_buf,
+        bn_buffers=best_buf, name=name,
     )
     if save_path:
         res.model().save(save_path)
@@ -758,6 +780,10 @@ def train_single_node(
     adam = AdamState.like(flat0)
     ordered = sorted(train_rows, key=lambda r: r[0])
     n_steps = math.ceil(len(ordered) / batch_size)
+    if n_steps == 0:
+        # fail loudly: np.mean([]) would otherwise return nan and the run
+        # would "succeed" for max_epochs, yielding an untrained checkpoint
+        raise ValueError("empty training set (0 rows) — nothing to train on")
     buffers = {
         s: (m0.astype(dtype), v0.astype(dtype), eps)
         for s, (m0, v0, eps) in bn_buffers_of(model).items()
@@ -786,7 +812,7 @@ def train_single_node(
 
     return _early_stop_loop(
         epoch_fn, eval_fn, flat0, spec, max_epochs, patience, model_save_path,
-        buffers=buffers,
+        buffers=buffers, name=model.name,
     )
 
 
@@ -888,6 +914,10 @@ def _slice_block(block, lo, hi, acc=None):
     a = int(np.searchsorted(idx, lo))
     b = int(np.searchsorted(idx, hi))
     if acc is not None:
+        # test/metrics hook only: accumulator updates inside a
+        # transformation are at-LEAST-once (task retries and speculative
+        # execution re-add), so on a real cluster this can over-count —
+        # never gate logic on it
         acc.add(b - a)
     return rows[a:b]
 
@@ -905,7 +935,12 @@ def bn_site_input(model: SequenceModel, x, lengths, masks, stats, site):
     with GLOBAL stats for every earlier site: raw h0 for 'ff' (pads = ff
     bias), pad-zeroed LSTM output otherwise. Uses the cache-free kernel
     forwards — this runs once per site per step in the sync-BN stat
-    reduction."""
+    reduction, where forward_train's full activation caches would be
+    wasted memory. MUST mirror forward_train's layer traversal (BN
+    placement, pad zeroing, dropout-mask application) exactly; the parity
+    is pinned by tests/test_train.py::
+    test_bn_site_input_matches_forward_train — extend that test when
+    changing either traversal."""
     h0 = x @ model.ff_w.T + model.ff_b
     if site == "ff":
         return h0
@@ -976,6 +1011,11 @@ def train_distributed(
     flat0 = flatten_params(model, dtype)
     adam = AdamState.like(flat0)
     n_steps = math.ceil(n_train / batch_size)
+    if n_steps == 0:
+        # fail loudly (mirrors train_single_node): an upstream mis-join that
+        # filters the frame to zero rows must not "train" for max_epochs
+        # and return the init weights with train_loss=nan
+        raise ValueError("empty training set (0 rows) — nothing to train on")
     zero = (np.zeros_like(flat0), 0.0, 0)
     sites = bn_sites(model)
     buffers = {
@@ -992,11 +1032,18 @@ def train_distributed(
     def _add3(a, b):
         return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
 
-    def _grad_job(flat, lo, hi, step, bn_stats=None, bn_back=None):
-        bw = sc.broadcast((flat, buffers, bn_stats, bn_back))
+    def _grad_job(bw_w, lo, hi, step, bn_stats=None, bn_back=None):
+        # bw_w carries (flat, buffers) — broadcast ONCE per step by
+        # epoch_fn and shared by every job of the step; only the small
+        # per-site stat/correction dicts ship per job (at BioNER size the
+        # weights are ~300 MB, the dicts a few KB — rebroadcasting the
+        # weights per job would multiply the step's driver serialization
+        # and torrent traffic by 2k+1 for k BN sites)
+        bs = sc.broadcast((bn_stats, bn_back))
 
         def shard_grad(it, lo=lo, hi=hi, step=step):
-            w, bufs, stats, back = bw.value
+            w, bufs = bw_w.value
+            stats, back = bs.value
             m = model_from_flat(w, spec, bn_buffers=bufs)
             rows = []
             for block in it:
@@ -1009,22 +1056,25 @@ def train_distributed(
         out = train_rdd.mapPartitions(shard_grad).treeAggregate(
             zero, _add3, _add3, depth=2
         )
-        bw.unpersist()
+        bs.unpersist()
         return out
 
-    def _bn_step_stats(flat, lo, hi, step):
+    def _bn_step_stats(bw_w, lo, hi, step):
         """Sync-BN forward schedule: one reduction per site, in forward
         order — each site's input depends on the global stats of the sites
-        before it. Returns ({site: (mu, var)}, N_global)."""
-        template = model_from_flat(flat, spec, bn_buffers=buffers)
+        before it. Returns ({site: (mu, var)}, N_global). bw_w = the
+        step's shared (flat, buffers) broadcast; only the accumulated
+        stats dict ships per site."""
+        template = model_from_flat(bw_w.value[0], spec, bn_buffers=buffers)
         stats: dict = {}
         meta = None  # (B_tot, len_tot, T_global) — from the first pass
         for site in sites:
             dim = _bn_site_dim(template, site)
-            bw = sc.broadcast((flat, buffers, dict(stats)))
+            bw = sc.broadcast(dict(stats))
 
             def stat_pass(it, site=site, dim=dim, lo=lo, hi=hi, step=step):
-                w, bufs, known = bw.value
+                w, bufs = bw_w.value
+                known = bw.value
                 m = model_from_flat(w, spec, bn_buffers=bufs)
                 rows = []
                 for block in it:
@@ -1061,6 +1111,13 @@ def train_distributed(
                 meta = (b_tot, len_tot, t_max)
             b_tot, len_tot, t_max = meta
             n = b_tot * t_max
+            if n <= 1:
+                # same refusal as forward_train._site_stats: torch cannot
+                # train BN on a 1-value-per-channel batch
+                raise ValueError(
+                    "BatchNorm training requires more than 1 value per "
+                    f"channel (global batch has N={n})"
+                )
             if site == "ff":
                 # pad positions of the padded ff output equal the ff bias
                 # exactly (x pads are zero); fold them into the sums
@@ -1073,17 +1130,20 @@ def train_distributed(
             stats[site] = (mu.astype(dtype), var.astype(dtype))
         return stats, meta
 
-    def _bn_step_back(flat, stats, lo, hi, step, n_global):
+    def _bn_step_back(bw_w, stats, lo, hi, step, n_global):
         """Sync-BN backward schedule: global Σdy / Σ(dy·x̂) per site,
-        top-down — each site's dy depends on the corrections above it."""
+        top-down — each site's dy depends on the corrections above it.
+        bw_w = the step's shared (flat, buffers) broadcast; only the
+        (stats, corrections-so-far) dicts ship per site."""
         back: dict = {}
-        template = model_from_flat(flat, spec, bn_buffers=buffers)
+        template = model_from_flat(bw_w.value[0], spec, bn_buffers=buffers)
         for site in reversed(sites):
             dim = _bn_site_dim(template, site)
-            bw = sc.broadcast((flat, buffers, stats, dict(back)))
+            bw = sc.broadcast((stats, dict(back)))
 
             def back_pass(it, site=site, dim=dim, lo=lo, hi=hi, step=step):
-                w, bufs, gstats, known_back = bw.value
+                w, bufs = bw_w.value
+                gstats, known_back = bw.value
                 m = model_from_flat(w, spec, bn_buffers=bufs)
                 rows = []
                 for block in it:
@@ -1116,12 +1176,16 @@ def train_distributed(
         for k in range(n_steps):
             step = (epoch - 1) * n_steps + k
             lo, hi = k * batch_size, (k + 1) * batch_size
+            # ONE weight broadcast per step, shared by every job of the
+            # step (2k+1 jobs at k BN sites); buffers mutate between steps
+            # so the pair is re-broadcast each step, never each job
+            bw_w = sc.broadcast((flat, buffers))
             if sites:
-                stats, meta = _bn_step_stats(flat, lo, hi, step)
+                stats, meta = _bn_step_stats(bw_w, lo, hi, step)
                 n_global = meta[0] * meta[2]
-                back = _bn_step_back(flat, stats, lo, hi, step, n_global)
+                back = _bn_step_back(bw_w, stats, lo, hi, step, n_global)
                 grad, loss, n_valid = _grad_job(
-                    flat, lo, hi, step, bn_stats=stats, bn_back=back
+                    bw_w, lo, hi, step, bn_stats=stats, bn_back=back
                 )
                 if "ff" in stats:
                     # global ff pad term excluded shard-side (backward_model):
@@ -1138,7 +1202,8 @@ def train_distributed(
                     grad[param_slices["ff_b"]] += n_pad * dx_pad
                 _update_running_stats(buffers, stats, n_global)
             else:
-                grad, loss, n_valid = _grad_job(flat, lo, hi, step)
+                grad, loss, n_valid = _grad_job(bw_w, lo, hi, step)
+            bw_w.unpersist()
             flat = adam.step(flat, grad / max(n_valid, 1), lr)
             losses.append(loss / max(n_valid, 1))
         return flat, float(np.mean(losses))
@@ -1176,7 +1241,7 @@ def train_distributed(
     try:
         return _early_stop_loop(
             epoch_fn, eval_fn, flat0, spec, max_epochs, patience, model_save_path,
-            buffers=buffers,
+            buffers=buffers, name=model.name,
         )
     finally:
         train_rdd.unpersist()

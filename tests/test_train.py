@@ -437,6 +437,60 @@ def test_gradcheck_batchnorm_training(dropout):
         off += size
 
 
+def test_bn_site_input_matches_forward_train():
+    """bn_site_input (the cache-free stat-pass forward) must compute the
+    exact tensor forward_train feeds into each BN site — any traversal
+    drift between the two would make the sync-BN stat reductions describe
+    a different network than the grad job uses. forward_train's cache
+    stores (x̂, inv, γ) per site, so the site input reconstructs as
+    x̂/inv + μ."""
+    from bioner_spark.ner.train import (
+        _mask_dims, _pad_batch, bn_site_input, bn_sites,
+    )
+
+    m = init_model(input_dim=6, feedforward_size=5, lstm_size=3,
+                   n_bilstm_layers=2, seed=13, batch_norm=True)
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, rng.normal(size=(L, 6)).tolist(), [0] * L)
+        for i, L in enumerate([7, 5, 2])
+    ]
+    for dropout_p in (0.0, 0.3):
+        x, _, lengths, masks = _pad_batch(
+            rows, 6, np.float64, dropout_p, _mask_dims(m), seed=3, step=0
+        )
+        _, cache = forward_train(m, x, lengths, masks)
+        stats = cache["bn_stats"]
+        for site in bn_sites(m):
+            xhat, inv, _gamma = cache["bn"][site]
+            mu, _var = stats[site]
+            recon = xhat / inv + mu
+            got = bn_site_input(m, x, lengths, masks, stats, site)
+            np.testing.assert_allclose(got, recon, rtol=1e-9, atol=1e-12)
+
+
+def test_empty_training_set_raises():
+    """An upstream mis-join that filters the frame to zero rows must fail
+    loudly, not 'train' for max_epochs and return init weights with nan
+    loss."""
+    m = init_model(input_dim=4, feedforward_size=4, lstm_size=2, seed=1)
+    with pytest.raises(ValueError, match="empty training set"):
+        train_single_node([], [([[0.0] * 4], [0])], m, batch_size=4)
+
+
+def test_bn_single_value_batch_refused():
+    """torch BatchNorm1d raises 'Expected more than 1 value per channel'
+    on a 1-value training batch; the engine mirrors the refusal instead of
+    training through var=0 stats the reference cannot reach."""
+    from bioner_spark.ner.train import forward_train
+
+    m = init_model(input_dim=4, feedforward_size=4, lstm_size=2, seed=1,
+                   batch_norm=True)
+    x = np.zeros((1, 1, 4), dtype=np.float64)
+    with pytest.raises(ValueError, match="more than 1 value per channel"):
+        forward_train(m, x, np.array([1]))
+
+
 def test_bn_stats_float32_near_constant_channel():
     """E[x²]−E[x]² computed in float32 cancels catastrophically for a
     near-constant channel with large mean (can go NEGATIVE → NaN via
