@@ -57,6 +57,12 @@ ICEBERG_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
 PROP_BUCKETS = "kg.buckets"
 PROP_FINGERPRINTS = "kg.fingerprints"
 PROP_N_DOCS = "kg.n_docs"
+# buckets whose rows were deleted in/just before this commit because the
+# current input no longer produces them (the parquet manifest's "removed"
+# rows) — without this, a bucket that disappears and later REAPPEARS with
+# an identical fingerprint would be skipped against stale lineage while
+# its rows are gone
+PROP_REMOVED = "kg.removed"
 
 
 class IcebergUnavailable(RuntimeError):
@@ -115,17 +121,25 @@ def delete_buckets_sql(table: str, buckets: list[int]) -> str:
 
 def snapshot_lineage_options(
     todo: list[tuple[int, str, int]],
+    removed: list[int] | tuple = (),
 ) -> dict[str, str]:
     """DataFrameWriterV2 options attaching per-partition lineage to the
     commit's snapshot summary: [(bucket, input_fingerprint, n_docs)] →
-    {'snapshot-property.kg.buckets': '[..]', ...}. Read back via
+    {'snapshot-property.kg.buckets': '[..]', ...}. `removed` lists orphan
+    buckets deleted alongside this commit (their lineage entries must be
+    voided). Read back via
     `SELECT summary FROM <table>.snapshots ORDER BY committed_at`."""
     todo = sorted(todo)
-    return {
+    opts = {
         f"snapshot-property.{PROP_BUCKETS}": json.dumps([int(b) for b, _, _ in todo]),
         f"snapshot-property.{PROP_FINGERPRINTS}": json.dumps([fp for _, fp, _ in todo]),
         f"snapshot-property.{PROP_N_DOCS}": json.dumps([int(n) for _, _, n in todo]),
     }
+    if removed:
+        opts[f"snapshot-property.{PROP_REMOVED}"] = json.dumps(
+            sorted(int(b) for b in removed)
+        )
+    return opts
 
 
 def stale_buckets(
@@ -151,27 +165,54 @@ def materialize_triples(
     out: DataFrame,
     table: str,
     todo: list[tuple[int, str, int]],
+    removed: list[int] | tuple = (),
 ) -> None:
     """Write recomputed buckets into the Iceberg triples table.
 
     `out` must carry the `bucket` column and contain ONLY todo-bucket
     rows (the caller — the same todo/skip logic as run_checkpointed —
-    guarantees this). Two commits: a DELETE clearing the todo buckets
-    (covers zero-row recomputes), then one overwritePartitions snapshot
-    carrying the lineage properties. A crash between them leaves the
-    todo buckets absent and UNRECORDED in the snapshot lineage, so the
+    guarantees this). `removed` lists orphan buckets the current input no
+    longer produces: their rows are deleted here and the removal is
+    recorded in the lineage props so a later reappearance is recomputed
+    instead of skipped against stale lineage (the parquet manifest's
+    "removed" rows). Two commits: a DELETE clearing the todo + removed
+    buckets (covers zero-row recomputes), then one overwritePartitions
+    snapshot carrying the lineage properties. A crash between them leaves
+    those buckets absent and UNRECORDED in the snapshot lineage, so the
     next run's fingerprint check recomputes them — the identical
-    idempotence contract as the parquet sink's delete-then-write window.
+    idempotence contract as the parquet sink's delete-then-write window
+    (a removed bucket whose removal prop was never committed is simply
+    re-deleted next run).
     """
     require_iceberg(spark)
     spark.sql(plan_for_dataframe(table, out))
-    buckets = [b for b, _, _ in todo]
+    buckets = sorted({b for b, _, _ in todo} | {int(b) for b in removed})
     if buckets:
         spark.sql(delete_buckets_sql(table, buckets))
     writer = out.writeTo(table)
-    for k, v in snapshot_lineage_options(todo).items():
+    for k, v in snapshot_lineage_options(todo, removed).items():
         writer = writer.option(k, v)
     writer.overwritePartitions()
+
+
+def lineage_from_summaries(summaries: list[dict]) -> dict[int, str]:
+    """Replay snapshot summaries in commit order → {bucket: fingerprint}.
+    Pure (unit-testable without the jar). Per snapshot: removals first
+    (void the bucket's lineage), then updates — a commit's `removed` and
+    `todo` sets are disjoint by construction (orphans = recorded − current,
+    todo ⊆ current), so the order within one snapshot only matters for
+    malformed input."""
+    done: dict[int, str] = {}
+    for s in summaries:
+        s = s or {}
+        if PROP_REMOVED in s:
+            for b in json.loads(s[PROP_REMOVED]):
+                done.pop(int(b), None)
+        if PROP_BUCKETS in s:
+            bs = json.loads(s[PROP_BUCKETS])
+            fps = json.loads(s[PROP_FINGERPRINTS])
+            done.update({int(b): fp for b, fp in zip(bs, fps)})
+    return done
 
 
 def read_lineage(spark: SparkSession, table: str) -> dict[int, str]:
@@ -181,11 +222,4 @@ def read_lineage(spark: SparkSession, table: str) -> dict[int, str]:
     rows = spark.sql(
         f"SELECT summary FROM {table}.snapshots ORDER BY committed_at"
     ).collect()
-    done: dict[int, str] = {}
-    for r in rows:
-        s = r["summary"] or {}
-        if PROP_BUCKETS in s:
-            bs = json.loads(s[PROP_BUCKETS])
-            fps = json.loads(s[PROP_FINGERPRINTS])
-            done.update(dict(zip(bs, fps)))
-    return done
+    return lineage_from_summaries([r["summary"] for r in rows])

@@ -222,11 +222,28 @@ def main(argv: list[str] | None = None) -> None:
         spark.sql(plan_for_dataframe(args.iceberg_table, result.triples))
         done = read_lineage(spark, args.iceberg_table)
         todo = stale_buckets(result.bucket_lineage, done)
-        if todo:
+        # orphans: buckets the table records but the current input no
+        # longer produces — delete their rows AND void their lineage, or a
+        # reappearance with an identical fingerprint would be skipped
+        # against rows that are gone (mirrors run_checkpointed's orphan
+        # partition removal + "removed" manifest rows)
+        current = {b for b, _, _ in result.bucket_lineage}
+        orphans = sorted(b for b in done if b not in current)
+        if orphans and not todo and current:
+            # the removal prop rides a data commit; rewrite one current
+            # bucket (idempotent, its rows are already correct) as carrier
+            carrier = min(current)
+            todo = [
+                (b, fp, n) for b, fp, n in result.bucket_lineage
+                if b == carrier
+            ]
+        if todo or orphans:
             out = result.triples.filter(
                 F.col("bucket").isin([b for b, _, _ in todo])
             )
-            materialize_triples(spark, out, args.iceberg_table, todo)
+            materialize_triples(
+                spark, out, args.iceberg_table, todo, removed=orphans
+            )
 
     print(
         json.dumps(

@@ -78,3 +78,31 @@ def test_stale_buckets_diff():
     import numpy as np
 
     assert ice.stale_buckets([(np.int32(1), "b", np.int64(6))], {1: "b"}) == []
+
+
+def test_lineage_replay_with_removals():
+    """lineage_from_summaries replays commits in order: a kg.removed entry
+    voids the bucket's lineage, so a bucket that disappears and later
+    reappears with the SAME fingerprint is recomputed, not skipped."""
+    c1 = dict(ice.snapshot_lineage_options([(0, "a", 5), (1, "b", 6)]))
+    # strip the writer-option prefix back to raw summary keys
+    strip = lambda d: {k.split("snapshot-property.", 1)[1]: v for k, v in d.items()}  # noqa: E731
+    s1 = strip(c1)
+    s2 = strip(ice.snapshot_lineage_options([(2, "c", 7)], removed=[1]))
+    assert ice.lineage_from_summaries([s1]) == {0: "a", 1: "b"}
+    done = ice.lineage_from_summaries([s1, s2])
+    assert done == {0: "a", 2: "c"}  # bucket 1 voided
+    # reappearance with the same fingerprint is now stale → recomputed
+    assert ice.stale_buckets([(1, "b", 6)], done) == [(1, "b", 6)]
+    # a later commit re-adding bucket 1 restores its lineage
+    s3 = strip(ice.snapshot_lineage_options([(1, "b", 6)]))
+    assert ice.lineage_from_summaries([s1, s2, s3])[1] == "b"
+    # snapshots with no kg props (e.g. the row-level DELETE commits) are
+    # ignored, including None summaries
+    assert ice.lineage_from_summaries([s1, None, {}, s2]) == {0: "a", 2: "c"}
+
+
+def test_snapshot_lineage_removed_prop():
+    opts = ice.snapshot_lineage_options([], removed=[3, 1])
+    assert json.loads(opts["snapshot-property.kg.removed"]) == [1, 3]
+    assert "snapshot-property.kg.removed" not in ice.snapshot_lineage_options([])
