@@ -429,6 +429,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["error_stats_by_length"] = error_stats_by_length
 
+    def error_chart_data(spark, sf_dir):
+        """Multi-model per-length error ratios — the data behind the
+        reference's error-analysis bar chart (analysis.py:396-418;
+        rendered driver-side by analysis_chart.render_error_length_chart)."""
+        from bioner_spark.analysis_chart import error_length_chart_data
+
+        gold = _spans(spark, sf_dir, GOLD_B, GOLD_I)
+        models = {
+            "BioNER": _spans(spark, sf_dir, PRED_B, PRED_I),
+            "DATEXIS-NER": _spans(spark, sf_dir, PRED2_B, PRED2_I),
+        }
+        return error_length_chart_data(gold, models)
+
+    q["error_chart_data"] = error_chart_data
+
     def token_prf1(spark, sf_dir):
         """Token-level per-class P/R/F1 (SURVEY §2.6 A14 — reference
         scibert_eval.py:80-90, confusion-count reformulation)."""
@@ -1644,6 +1659,40 @@ totals AS (SELECT len, COUNT(*)::BIGINT AS n_total FROM g GROUP BY len)
 SELECT t.len::INT AS len, COALESCE(e.n_errors, 0)::BIGINT AS n_errors, t.n_total,
        ROUND(COALESCE(e.n_errors, 0) / t.n_total, 6) AS error_ratio
 FROM totals t LEFT JOIN errors e ON t.len = e.len
+"""
+
+    o["error_chart_data"] = f"""
+WITH {_TOKS_CTE},
+{_spans_cte_pref(GOLD_B, GOLD_I, 'g')},
+{_spans_cte_pref(PRED_B, PRED_I, 'p')},
+{_spans_cte_pref(PRED2_B, PRED2_I, 'q')},
+g AS (SELECT *, (end_tok - start_tok + 1) AS len FROM g_spans),
+totals AS (SELECT len, COUNT(*)::BIGINT AS n_total FROM g GROUP BY len),
+e1 AS (
+  SELECT g.len, COUNT(*)::BIGINT AS n_errors FROM g
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p_spans p
+    WHERE p.doc_id = g.doc_id AND p.sentence_id = g.sentence_id
+      AND p.start_tok = g.start_tok AND p.end_tok = g.end_tok)
+  GROUP BY g.len
+),
+e2 AS (
+  SELECT g.len, COUNT(*)::BIGINT AS n_errors FROM g
+  WHERE NOT EXISTS (
+    SELECT 1 FROM q_spans q
+    WHERE q.doc_id = g.doc_id AND q.sentence_id = g.sentence_id
+      AND q.start_tok = g.start_tok AND q.end_tok = g.end_tok)
+  GROUP BY g.len
+)
+SELECT 'BioNER' AS model, t.len::INT AS len,
+       COALESCE(e1.n_errors, 0)::BIGINT AS n_errors, t.n_total,
+       ROUND(COALESCE(e1.n_errors, 0) / t.n_total, 6) AS error_ratio
+FROM totals t LEFT JOIN e1 ON t.len = e1.len
+UNION ALL
+SELECT 'DATEXIS-NER' AS model, t.len::INT AS len,
+       COALESCE(e2.n_errors, 0)::BIGINT AS n_errors, t.n_total,
+       ROUND(COALESCE(e2.n_errors, 0) / t.n_total, 6) AS error_ratio
+FROM totals t LEFT JOIN e2 ON t.len = e2.len
 """
 
     o["token_prf1"] = f"""
