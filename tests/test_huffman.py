@@ -1,0 +1,128 @@
+"""Huffman code assignment (SURVEY §2 V4 — the intended semantics of the
+reference's dead `update_huffman_codes`, i.e. word2vec CreateBinaryTree).
+
+Differential authority: an independent heapq-built Huffman tree — optimal
+prefix codes are not unique, but the WEIGHTED TOTAL LENGTH of every
+optimal code is, so the two constructions must agree on cost exactly.
+"""
+
+from __future__ import annotations
+
+import heapq
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from bioner_spark.functions.huffman import (
+    MAX_CODE_LENGTH,
+    build_codes,
+    huffman_codes,
+)
+
+
+def heapq_optimal_cost(counts) -> int:
+    """Independent Huffman total cost: sum of all internal-node weights."""
+    if len(counts) < 2:
+        return 0
+    h = list(int(c) for c in counts)
+    heapq.heapify(h)
+    cost = 0
+    while len(h) > 1:
+        a, b = heapq.heappop(h), heapq.heappop(h)
+        cost += a + b
+        heapq.heappush(h, a + b)
+    return cost
+
+
+def desc(counts):
+    return np.sort(np.asarray(counts, dtype=np.int64))[::-1]
+
+
+def test_clrs_example_lengths_and_cost():
+    # CLRS fig 16.5: f=45,e=13,c=12,b=16... classic counts 45,13,12,16,9,5
+    counts = desc([45, 13, 12, 16, 9, 5])        # -> 45,16,13,12,9,5
+    codes, lens, _ = build_codes(counts)
+    assert int(np.dot(counts, lens)) == 224 == heapq_optimal_cost(counts)
+    assert list(lens) == [1, 3, 3, 3, 4, 4]
+
+
+@pytest.mark.parametrize("seed,v,hi", [(0, 50, 1000), (1, 200, 17), (2, 7, 3)])
+def test_optimality_differential(seed, v, hi):
+    rng = np.random.RandomState(seed)
+    counts = desc(rng.randint(1, hi, size=v))
+    codes, lens, _ = build_codes(counts)
+    assert int(np.dot(counts, lens)) == heapq_optimal_cost(counts)
+
+
+def test_kraft_equality_and_prefix_free():
+    rng = np.random.RandomState(3)
+    counts = desc(rng.randint(1, 500, size=64))
+    codes, lens, _ = build_codes(counts)
+    assert sum(Fraction(1, 2 ** int(n)) for n in lens) == 1
+    codeset = sorted(codes)
+    for a, b in zip(codeset, codeset[1:]):       # sorted => prefixes adjacent
+        assert not b.startswith(a)
+    assert len(set(codes)) == len(codes)
+    # more frequent word never gets a longer code
+    assert all(x <= y for x, y in zip(lens, lens[1:]))
+
+
+def test_points_law():
+    counts = desc([45, 13, 12, 16, 9, 5])
+    v = len(counts)
+    _, lens, points = build_codes(counts)
+    for w, (n, pts) in enumerate(zip(lens, points)):
+        assert len(pts) == n + 1                  # word2vec: codelen+1 points
+        assert pts[0] == v - 2                    # root is node 2V-2 => V-2
+        assert pts[-1] == w - v                   # leaf sentinel (negative)
+        assert all(p >= 0 for p in pts[:-1])      # interior = inner nodes
+
+
+def test_singleton_and_empty():
+    codes, lens, points = build_codes(np.array([7], dtype=np.int64))
+    assert codes == ["0"] and list(lens) == [1]   # word2vec do-while law
+    codes, lens, points = build_codes(np.array([], dtype=np.int64))
+    assert codes == [] and len(lens) == 0
+
+
+def test_all_equal_counts_balanced():
+    codes, lens, _ = build_codes(np.ones(4, dtype=np.int64))
+    assert list(lens) == [2, 2, 2, 2]
+
+
+def test_unsorted_counts_rejected():
+    with pytest.raises(ValueError, match="sorted descending"):
+        build_codes(np.array([1, 5], dtype=np.int64))
+
+
+def test_depth_cap_raises():
+    fib = [1, 1]
+    for _ in range(50):
+        fib.append(fib[-1] + fib[-2])             # fibonacci => depth V-1
+    with pytest.raises(ValueError, match=str(MAX_CODE_LENGTH)):
+        build_codes(desc(fib))
+
+
+def test_dataframe_path_joins_every_vocab_row(spark):
+    from bioner_spark.functions.ngrams import build_vocabulary
+
+    toks = spark.createDataFrame(
+        [("spark",), ("spark",), ("window",), ("hash",), ("hash",),
+         ("table",), ("row",), ("merge",), ("spark",)],
+        "text string",
+    )
+    vocab = build_vocabulary(toks, n=3, min_word_frequency=1)
+    out = huffman_codes(vocab).collect()
+    assert len(out) == vocab.count()
+    by_idx = sorted(out, key=lambda r: r["index"])
+    counts = np.array([r["count"] for r in by_idx], dtype=np.int64)
+    lens = np.array([r.code_len for r in by_idx])
+    assert int(np.dot(counts, lens)) == heapq_optimal_cost(counts)
+    for r in out:
+        assert len(r.code) == r.code_len
+        assert set(r.code) <= {"0", "1"}
+        assert len(r.points) == r.code_len + 1
+    # deterministic: same vocab -> same codes
+    again = {r.ngram: r.code for r in huffman_codes(vocab).collect()}
+    assert again == {r.ngram: r.code for r in out}
