@@ -1666,7 +1666,10 @@ WITH {_TOKS_CTE},
 {_spans_cte_pref(GOLD_B, GOLD_I, 'g')},
 {_spans_cte_pref(PRED_B, PRED_I, 'p')},
 {_spans_cte_pref(PRED2_B, PRED2_I, 'q')},
-g AS (SELECT *, (end_tok - start_tok + 1) AS len FROM g_spans),
+-- DISTINCT mirrors the engine's set semantics (analysis_chart dedups span
+-- keys; decode emits unique spans today, so this is parity armor only)
+g AS (SELECT DISTINCT doc_id, sentence_id, start_tok, end_tok,
+             (end_tok - start_tok + 1) AS len FROM g_spans),
 totals AS (SELECT len, COUNT(*)::BIGINT AS n_total FROM g GROUP BY len),
 e1 AS (
   SELECT g.len, COUNT(*)::BIGINT AS n_errors FROM g

@@ -76,10 +76,13 @@ def error_length_chart_data(
     """
     if not model_spans:
         raise ValueError("error_length_chart_data: need at least one model")
+    # no persist here: the caller owns the gold DataFrame's lifecycle —
+    # persist gold spans BEFORE calling when the corpus is large (the plan
+    # references gold once per model), so nothing leaks cached partitions
+    # past the caller's control
     g = (
         gold.select(*_SPAN_KEY).distinct()
         .withColumn("len", F.col("end_tok") - F.col("start_tok") + 1)
-        .persist()
     )
     totals = g.groupBy("len").agg(F.count(F.lit(1)).alias("n_total"))
     out = None

@@ -127,6 +127,14 @@ def huffman_codes(
     """
     spark = vocab.sparkSession
     pdf = vocab.select("index", "count").orderBy("index").toPandas()
+    if len(pdf) == 0:
+        # schema-stable empty result (createDataFrame can't infer a schema
+        # from an all-empty object-dtype pandas frame)
+        return spark.createDataFrame(
+            [],
+            "ngram string, count bigint, index bigint, code string, "
+            "code_len int, points array<bigint>",
+        )
     counts = pdf["count"].to_numpy(dtype=np.int64)
     codes, code_lens, points = build_codes(counts, max_code_length)
     mapping = pd.DataFrame(

@@ -142,6 +142,60 @@ def snapshot_lineage_options(
     return opts
 
 
+def plan_commit(
+    todo: list[tuple[int, str, int]],
+    removed: list[int] | tuple,
+    present: set[int],
+    carrier_candidate: int | None,
+    full_lineage: list[tuple[int, str, int]] | tuple = (),
+) -> tuple[list[int], list[tuple[int, str, int]], bool]:
+    """Pure commit planner for the incremental mirror (unit-testable
+    without the jar). Inputs: the stale-bucket work list, the orphan
+    buckets to remove, `present` = the todo buckets that actually have
+    ≥1 triple row, and `carrier_candidate` = any bucket with ≥1 row in
+    the FULL triples output (None iff the whole output is empty).
+
+    Returns (buckets_to_delete, todo_final, reset_table):
+
+    * buckets_to_delete — ONLY partitions absent from the data about to
+      be written: orphans plus zero-row todos. Non-empty todo buckets are
+      NOT pre-deleted — `overwritePartitions` replaces them atomically,
+      so a crash anywhere in the commit sequence can only leave buckets
+      that are SUPPOSED to be empty absent (with stale lineage → they are
+      re-listed and re-deleted next run), never lose live rows.
+    * todo_final — todo, plus a carrier bucket grafted from
+      `full_lineage` when lineage props must be recorded but no todo
+      bucket contributes a row (snapshot properties only ride a snapshot
+      that writes data). The carrier's rows are already correct, so its
+      rewrite is idempotent — and because it is never pre-deleted, the
+      old carrier-crash data-loss window is gone.
+    * reset_table — True when orphan removals MUST be recorded (or a
+      reappearing identical-fingerprint bucket would be skipped against
+      deleted rows) but the entire output has no row to carry them: the
+      caller drops and recreates the table, which voids all snapshot
+      lineage at once. Costs a full recompute of (empty) buckets on the
+      next runs — correct, and only reachable when the whole corpus
+      produced zero triples.
+    """
+    todo = sorted(todo)
+    removed = sorted(int(b) for b in removed)
+    needs_carrier = (todo or removed) and not any(b in present for b, _, _ in todo)
+    if needs_carrier:
+        if carrier_candidate is None:
+            if removed:
+                return [], [], True
+            # nothing to void and nothing to write: the zero-row todos are
+            # deleted below; their lineage stays stale, so they are cheaply
+            # re-listed next run (benign — the table is empty anyway)
+        elif all(b != carrier_candidate for b, _, _ in todo):
+            todo = sorted(
+                todo + [t for t in full_lineage if int(t[0]) == carrier_candidate]
+            )
+    written = set(present) | ({carrier_candidate} if carrier_candidate is not None else set())
+    empty_todo = [int(b) for b, _, _ in todo if int(b) not in written]
+    return sorted(set(removed) | set(empty_todo)), todo, False
+
+
 def stale_buckets(
     lineage: list[tuple[int, str, int]] | tuple,
     done: dict[int, str],
@@ -162,35 +216,60 @@ def plan_for_dataframe(table: str, df: DataFrame) -> str:
 
 def materialize_triples(
     spark: SparkSession,
-    out: DataFrame,
+    triples: DataFrame,
     table: str,
     todo: list[tuple[int, str, int]],
     removed: list[int] | tuple = (),
+    full_lineage: list[tuple[int, str, int]] | tuple = (),
 ) -> None:
     """Write recomputed buckets into the Iceberg triples table.
 
-    `out` must carry the `bucket` column and contain ONLY todo-bucket
-    rows (the caller — the same todo/skip logic as run_checkpointed —
-    guarantees this). `removed` lists orphan buckets the current input no
-    longer produces: their rows are deleted here and the removal is
-    recorded in the lineage props so a later reappearance is recomputed
-    instead of skipped against stale lineage (the parquet manifest's
-    "removed" rows). Two commits: a DELETE clearing the todo + removed
-    buckets (covers zero-row recomputes), then one overwritePartitions
-    snapshot carrying the lineage properties. A crash between them leaves
-    those buckets absent and UNRECORDED in the snapshot lineage, so the
-    next run's fingerprint check recomputes them — the identical
-    idempotence contract as the parquet sink's delete-then-write window
-    (a removed bucket whose removal prop was never committed is simply
-    re-deleted next run).
+    `triples` is the FULL pipeline output (bucket column included); the
+    todo filter happens here so the carrier-selection logic can see every
+    bucket. `removed` lists orphan buckets the current input no longer
+    produces: their rows are deleted and the removal is recorded in the
+    lineage props so a later reappearance is recomputed instead of
+    skipped against stale lineage (the parquet manifest's "removed"
+    rows); `full_lineage` is the pipeline's complete bucket lineage
+    (carrier tuples are drawn from it).
+
+    Commit sequence (see plan_commit for the planning law and the crash
+    analysis): at most one DELETE clearing ONLY partitions absent from
+    the data about to be written (orphans + zero-row todos — buckets
+    whose correct state IS absent), then one `overwritePartitions`
+    snapshot that atomically replaces every row-bearing todo partition
+    and carries the lineage properties. A crash between the two commits
+    leaves only supposed-to-be-empty buckets absent with stale lineage —
+    re-listed and re-deleted by the next run — and can never lose live
+    rows, because no row-bearing partition is ever pre-deleted.
     """
     require_iceberg(spark)
-    spark.sql(plan_for_dataframe(table, out))
-    buckets = sorted({b for b, _, _ in todo} | {int(b) for b in removed})
-    if buckets:
-        spark.sql(delete_buckets_sql(table, buckets))
+    spark.sql(plan_for_dataframe(table, triples))
+    todo_buckets = [int(b) for b, _, _ in todo]
+    from pyspark.sql import functions as F
+
+    # bounded collects: ≤ n_buckets distinct values / a single min row
+    present = {
+        int(r["bucket"])
+        for r in triples.filter(F.col("bucket").isin(todo_buckets))
+        .select("bucket").distinct().collect()
+    }
+    carrier = triples.select(F.min("bucket").alias("b")).collect()[0]["b"]
+    carrier = int(carrier) if carrier is not None else None
+    delete, todo_final, reset = plan_commit(
+        todo, removed, present, carrier, full_lineage or todo
+    )
+    if reset:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(plan_for_dataframe(table, triples))
+        return
+    if delete:
+        spark.sql(delete_buckets_sql(table, delete))
+    out = triples.filter(
+        F.col("bucket").isin([int(b) for b, _, _ in todo_final])
+    )
     writer = out.writeTo(table)
-    for k, v in snapshot_lineage_options(todo, removed).items():
+    for k, v in snapshot_lineage_options(todo_final, removed).items():
         writer = writer.option(k, v)
     writer.overwritePartitions()
 

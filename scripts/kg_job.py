@@ -211,8 +211,6 @@ def main(argv: list[str] | None = None) -> None:
         # (already computed by run_checkpointed — no page rescan) against
         # the table's own snapshot lineage and write ONLY stale buckets; a
         # no-op resume issues zero commits instead of rewriting the table
-        from pyspark.sql import functions as F
-
         from bioner_spark.io.iceberg_sink import (
             materialize_triples, plan_for_dataframe, read_lineage,
             require_iceberg, stale_buckets,
@@ -229,20 +227,14 @@ def main(argv: list[str] | None = None) -> None:
         # partition removal + "removed" manifest rows)
         current = {b for b, _, _ in result.bucket_lineage}
         orphans = sorted(b for b in done if b not in current)
-        if orphans and not todo and current:
-            # the removal prop rides a data commit; rewrite one current
-            # bucket (idempotent, its rows are already correct) as carrier
-            carrier = min(current)
-            todo = [
-                (b, fp, n) for b, fp, n in result.bucket_lineage
-                if b == carrier
-            ]
         if todo or orphans:
-            out = result.triples.filter(
-                F.col("bucket").isin([b for b, _, _ in todo])
-            )
+            # carrier selection (removal props must ride a data-bearing
+            # commit) and the delete/overwrite crash-safety law live in
+            # iceberg_sink.plan_commit — materialize_triples sees the full
+            # triples output and lineage and plans the commits itself
             materialize_triples(
-                spark, out, args.iceberg_table, todo, removed=orphans
+                spark, result.triples, args.iceberg_table, todo,
+                removed=orphans, full_lineage=result.bucket_lineage,
             )
 
     print(

@@ -126,3 +126,13 @@ def test_dataframe_path_joins_every_vocab_row(spark):
     # deterministic: same vocab -> same codes
     again = {r.ngram: r.code for r in huffman_codes(vocab).collect()}
     assert again == {r.ngram: r.code for r in out}
+
+
+def test_empty_vocab_returns_schema_stable_empty(spark):
+    from bioner_spark.functions.ngrams import build_vocabulary
+
+    toks = spark.createDataFrame([("rare",)], "text string")
+    vocab = build_vocabulary(toks, n=3, min_word_frequency=10)  # truncates all
+    out = huffman_codes(vocab)
+    assert out.count() == 0
+    assert "code" in out.columns and "points" in out.columns

@@ -106,3 +106,62 @@ def test_snapshot_lineage_removed_prop():
     opts = ice.snapshot_lineage_options([], removed=[3, 1])
     assert json.loads(opts["snapshot-property.kg.removed"]) == [1, 3]
     assert "snapshot-property.kg.removed" not in ice.snapshot_lineage_options([])
+
+
+# ------------------------------------------------------------- plan_commit
+
+def _t(*buckets):
+    return [(b, f"fp{b}", b + 10) for b in buckets]
+
+
+def test_plan_commit_deletes_only_absent_partitions():
+    # row-bearing todos are NOT pre-deleted (overwritePartitions replaces
+    # them atomically); zero-row todos and orphans are
+    delete, todo, reset = ice.plan_commit(
+        _t(1, 2, 3), removed=[7], present={1, 3}, carrier_candidate=1,
+        full_lineage=_t(1, 2, 3),
+    )
+    assert delete == [2, 7] and not reset
+    assert [b for b, _, _ in todo] == [1, 2, 3]
+
+
+def test_plan_commit_grafts_carrier_when_no_todo_has_rows():
+    # orphan removal with empty todo: a row-bearing current bucket is
+    # grafted from full_lineage to carry the removal props
+    delete, todo, reset = ice.plan_commit(
+        [], removed=[7], present=set(), carrier_candidate=4,
+        full_lineage=_t(4, 5),
+    )
+    assert not reset
+    assert [b for b, _, _ in todo] == [4]       # carrier, never pre-deleted
+    assert delete == [7]
+
+
+def test_plan_commit_carrier_for_all_zero_row_todos():
+    delete, todo, reset = ice.plan_commit(
+        _t(2), removed=[9], present=set(), carrier_candidate=5,
+        full_lineage=_t(2, 5),
+    )
+    assert not reset
+    assert [b for b, _, _ in todo] == [2, 5]
+    assert delete == [2, 9]                     # zero-row todo + orphan
+
+
+def test_plan_commit_resets_when_removal_unrecordable():
+    # whole output empty, orphans must be voided -> table reset
+    delete, todo, reset = ice.plan_commit(
+        [], removed=[3], present=set(), carrier_candidate=None,
+        full_lineage=[],
+    )
+    assert reset and delete == [] and todo == []
+
+
+def test_plan_commit_no_reset_without_removals():
+    # all-zero-row todos, nothing removed, no data anywhere: just delete
+    # the todo partitions; stale lineage is benignly re-listed next run
+    delete, todo, reset = ice.plan_commit(
+        _t(1), removed=[], present=set(), carrier_candidate=None,
+        full_lineage=_t(1),
+    )
+    assert not reset and delete == [1]
+    assert [b for b, _, _ in todo] == [1]
