@@ -1038,7 +1038,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one persisted base per call.
         prev = _CORPUS_FILTER_BASE.pop("base", None)
         if prev is not None:
-            prev.unpersist()
+            # the previous base may belong to an earlier, already-stopped
+            # SparkSession (harnesses that restart the session between
+            # invocations); unpersisting through a stopped SparkContext
+            # raises, and a dead session's cache is gone anyway — only
+            # release same-session caches, drop the reference otherwise
+            try:
+                if prev.sparkSession is spark:
+                    prev.unpersist()
+            except Exception:
+                pass
         _CORPUS_FILTER_BASE["base"] = base
         base.count()
         d = with_token_counts(with_lang_guess(base))

@@ -20,8 +20,10 @@ How the portable sink's concepts map onto Iceberg:
   -------------------------------------  --------------------------------
   triples/ dir partitioned by bucket     table PARTITIONED BY (bucket)
   delete todo partitions + rewrite       one atomic overwritePartitions
-                                         snapshot (empty todo buckets: a
-                                         row-level DELETE commit first)
+                                         snapshot (zero-row todos: a
+                                         row-level DELETE commit BEFORE
+                                         it; orphans: a DELETE AFTER it —
+                                         plan_commit has the ordering law)
   manifest/ append-only lineage rows     snapshot summary properties
     (bucket, fingerprint, n_rows, ts)      (kg.buckets, kg.fingerprints)
     latest-row-wins read                   read back from .snapshots,
@@ -147,53 +149,66 @@ def plan_commit(
     removed: list[int] | tuple,
     present: set[int],
     carrier_candidate: int | None,
-    full_lineage: list[tuple[int, str, int]] | tuple = (),
-) -> tuple[list[int], list[tuple[int, str, int]], bool]:
+) -> tuple[list[int], list[int], list[tuple[int, str, int]], list[int], bool]:
     """Pure commit planner for the incremental mirror (unit-testable
     without the jar). Inputs: the stale-bucket work list, the orphan
     buckets to remove, `present` = the todo buckets that actually have
     ≥1 triple row, and `carrier_candidate` = any bucket with ≥1 row in
     the FULL triples output (None iff the whole output is empty).
 
-    Returns (buckets_to_delete, todo_final, reset_table):
+    Returns (pre_delete, write_buckets, props_todo, post_delete, reset).
+    The crash-safe commit ORDER is load-bearing and differs by delete
+    kind, because the two hazards are mirror images:
 
-    * buckets_to_delete — ONLY partitions absent from the data about to
-      be written: orphans plus zero-row todos. Non-empty todo buckets are
-      NOT pre-deleted — `overwritePartitions` replaces them atomically,
-      so a crash anywhere in the commit sequence can only leave buckets
-      that are SUPPOSED to be empty absent (with stale lineage → they are
-      re-listed and re-deleted next run), never lose live rows.
-    * todo_final — todo, plus a carrier bucket grafted from
-      `full_lineage` when lineage props must be recorded but no todo
-      bucket contributes a row (snapshot properties only ride a snapshot
-      that writes data). The carrier's rows are already correct, so its
-      rewrite is idempotent — and because it is never pre-deleted, the
-      old carrier-crash data-loss window is gone.
-    * reset_table — True when orphan removals MUST be recorded (or a
-      reappearing identical-fingerprint bucket would be skipped against
-      deleted rows) but the entire output has no row to carry them: the
-      caller drops and recreates the table, which voids all snapshot
-      lineage at once. Costs a full recompute of (empty) buckets on the
-      next runs — correct, and only reachable when the whole corpus
-      produced zero triples.
+    * pre_delete — zero-row todo buckets, deleted BEFORE the overwrite
+      that records their lineage. A crash in between leaves rows absent
+      with STALE lineage → re-listed and recomputed next run (benign,
+      converges). Recording first would instead mark them done while
+      stale rows linger — silent garbage.
+    * write_buckets — partitions whose rows ride the one atomic
+      `overwritePartitions` snapshot: the row-bearing todos, plus a
+      carrier bucket when lineage/removal props must land but no todo
+      contributes a row (snapshot properties only ride a snapshot that
+      writes data). The carrier's rows are already correct, so its
+      rewrite is idempotent; it does NOT need an entry in the props —
+      its recorded lineage is already right — so no fingerprint lookup
+      is needed and a removal can always be recorded as long as ANY
+      bucket in the full output has a row.
+    * props_todo — the todo tuples recorded in the snapshot properties
+      (zero-row todos included: after pre_delete their correct state IS
+      empty, so recording their new fingerprint prevents a permanently
+      empty bucket from being recomputed every run).
+    * post_delete — orphan buckets, deleted AFTER the overwrite whose
+      `kg.removed` property voids their lineage. A crash in between
+      leaves rows lingering with VOIDED lineage → if the bucket
+      reappears (same fingerprint or not) it is stale and recomputed,
+      never skipped against deleted rows; if it stays absent, the next
+      run re-lists it from the table's actual partitions (see
+      `table_buckets`) and retries the delete. Deleting first would
+      instead lose rows permanently when the bucket reappears with an
+      identical fingerprint.
+    * reset — True when orphan removals MUST be voided but the entire
+      output has no row to carry the props: the caller drops and
+      recreates the table, voiding all snapshot lineage at once. Only
+      reachable when the whole corpus produced zero triples.
     """
     todo = sorted(todo)
     removed = sorted(int(b) for b in removed)
-    needs_carrier = (todo or removed) and not any(b in present for b, _, _ in todo)
-    if needs_carrier:
+    pre = sorted(int(b) for b, _, _ in todo if int(b) not in present)
+    write = sorted(int(b) for b, _, _ in todo if int(b) in present)
+    props = todo
+    if (todo or removed) and not write:
         if carrier_candidate is None:
             if removed:
-                return [], [], True
-            # nothing to void and nothing to write: the zero-row todos are
-            # deleted below; their lineage stays stale, so they are cheaply
-            # re-listed next run (benign — the table is empty anyway)
-        elif all(b != carrier_candidate for b, _, _ in todo):
-            todo = sorted(
-                todo + [t for t in full_lineage if int(t[0]) == carrier_candidate]
-            )
-    written = set(present) | ({carrier_candidate} if carrier_candidate is not None else set())
-    empty_todo = [int(b) for b, _, _ in todo if int(b) not in written]
-    return sorted(set(removed) | set(empty_todo)), todo, False
+                return [], [], [], [], True
+            # nothing to void and nothing to write: the zero-row todos
+            # are pre-deleted; no snapshot is written, so their lineage
+            # stays stale and they are cheaply re-listed next run
+            # (benign — the table is empty anyway)
+            props = []
+        else:
+            write = [int(carrier_candidate)]
+    return pre, write, props, removed, False
 
 
 def stale_buckets(
@@ -227,21 +242,25 @@ def materialize_triples(
     `triples` is the FULL pipeline output (bucket column included); the
     todo filter happens here so the carrier-selection logic can see every
     bucket. `removed` lists orphan buckets the current input no longer
-    produces: their rows are deleted and the removal is recorded in the
-    lineage props so a later reappearance is recomputed instead of
-    skipped against stale lineage (the parquet manifest's "removed"
-    rows); `full_lineage` is the pipeline's complete bucket lineage
-    (carrier tuples are drawn from it).
+    produces: the removal is recorded in the lineage props and THEN their
+    rows are deleted, so a later reappearance is recomputed instead of
+    skipped against deleted rows (the parquet manifest's "removed" rows).
+    `full_lineage` is accepted for caller compatibility but no longer
+    consulted — the carrier bucket's lineage is already correct and is
+    not re-recorded, so no fingerprint lookup is needed.
 
-    Commit sequence (see plan_commit for the planning law and the crash
-    analysis): at most one DELETE clearing ONLY partitions absent from
-    the data about to be written (orphans + zero-row todos — buckets
-    whose correct state IS absent), then one `overwritePartitions`
-    snapshot that atomically replaces every row-bearing todo partition
-    and carries the lineage properties. A crash between the two commits
-    leaves only supposed-to-be-empty buckets absent with stale lineage —
-    re-listed and re-deleted by the next run — and can never lose live
-    rows, because no row-bearing partition is ever pre-deleted.
+    Commit sequence (see plan_commit for the planning law and the
+    per-phase crash analysis): (1) one DELETE clearing zero-row todo
+    partitions — buckets whose correct state IS absent — before their
+    lineage is recorded; (2) one `overwritePartitions` snapshot that
+    atomically replaces every row-bearing todo partition and carries the
+    lineage + removal properties; (3) one DELETE clearing orphan
+    partitions, after the snapshot that voided their lineage. No
+    row-bearing todo partition is ever pre-deleted, and every crash
+    window converges: stale-lineage buckets are re-listed by
+    `stale_buckets`, and delete-stranded orphans (voided lineage, rows
+    still present) are re-listed by diffing `table_buckets` against the
+    current input's buckets.
     """
     require_iceberg(spark)
     spark.sql(plan_for_dataframe(table, triples))
@@ -256,22 +275,42 @@ def materialize_triples(
     }
     carrier = triples.select(F.min("bucket").alias("b")).collect()[0]["b"]
     carrier = int(carrier) if carrier is not None else None
-    delete, todo_final, reset = plan_commit(
-        todo, removed, present, carrier, full_lineage or todo
+    pre_delete, write_buckets, props_todo, post_delete, reset = plan_commit(
+        todo, removed, present, carrier
     )
     if reset:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(plan_for_dataframe(table, triples))
         return
-    if delete:
-        spark.sql(delete_buckets_sql(table, delete))
-    out = triples.filter(
-        F.col("bucket").isin([int(b) for b, _, _ in todo_final])
-    )
-    writer = out.writeTo(table)
-    for k, v in snapshot_lineage_options(todo_final, removed).items():
-        writer = writer.option(k, v)
-    writer.overwritePartitions()
+    if pre_delete:
+        spark.sql(delete_buckets_sql(table, pre_delete))
+    if write_buckets:
+        out = triples.filter(F.col("bucket").isin(write_buckets))
+        writer = out.writeTo(table)
+        for k, v in snapshot_lineage_options(props_todo, post_delete).items():
+            writer = writer.option(k, v)
+        writer.overwritePartitions()
+    if post_delete:
+        spark.sql(delete_buckets_sql(table, post_delete))
+
+
+def table_buckets_sql(table: str) -> str:
+    """Distinct partition values from Iceberg's `.partitions` metadata
+    table — a metadata-only read (no data-file scan) even at 10^12 rows."""
+    return f"SELECT partition.bucket AS bucket FROM {table}.partitions"
+
+
+def table_buckets(spark: SparkSession, table: str) -> set[int]:
+    """Buckets that actually have rows in the table. Callers diff this
+    against the current input's buckets (in addition to the recorded
+    lineage) so an orphan whose lineage was voided but whose DELETE
+    crashed is re-listed and the delete retried."""
+    require_iceberg(spark)
+    return {
+        int(r["bucket"])
+        for r in spark.sql(table_buckets_sql(table)).collect()
+        if r["bucket"] is not None
+    }
 
 
 def lineage_from_summaries(summaries: list[dict]) -> dict[int, str]:

@@ -26,21 +26,28 @@ Reference semantics mirrored (cited per function):
     (parameter_optimization.py:12-14, 94-131).
 
 Spark-first rendering: synchronous data-parallel SGD. The encoded training
-set is doc-shuffled into a deterministic global order (B2), round-robin
-partitioned so every reference batch of 64 spans ALL shards, and each Adam
-step is one Spark job: executors compute sum-gradients over their slice of
-the batch with the numpy kernels, a treeAggregate adds them, the driver
-applies the Adam update and rebroadcasts. Because CE-sum gradients are
-additive over sentences, the aggregated update is mathematically identical
-to the single-node step over the same batch — large-batch data parallelism,
-the standard cluster rendering of a sequential SGD loop.
+set is doc-shuffled into a deterministic global order (B2), partitioned by
+(step block, shard) so every reference batch of 64 spans ALL shards, and
+each Adam step is one Spark job over ONLY the n_shards partitions holding
+that step's rows (sc.runJob partition pruning): executors compute
+sum-gradients over their slice of the batch with the numpy kernels, the
+driver adds the n_shards partials and applies the Adam update, then
+rebroadcasts. Because CE-sum gradients are additive over sentences, the
+aggregated update is mathematically identical to the single-node step over
+the same batch — large-batch data parallelism, the standard cluster
+rendering of a sequential SGD loop.
 
-Scale notes: each cached partition holds ONE sorted, order_idx-indexed
-block, so a step's task binary-searches its batch slice instead of scanning
-the shard — per-epoch row visits are O(n) total, not O(n²/P). Model weights
-ship per-step via broadcast (torrent), grads return via
-treeAggregate(depth=2): for BioNER-sized (~300 MB) models that is the same
-traffic pattern as a ring-allreduce round.
+Scale notes: cached RDD partitions unpickle WHOLE on access, so partition
+granularity — not indexing within a partition — is what bounds per-step
+cost. Keying partitions by step block caps each step's deserialization at
+steps_per_block × batch rows regardless of corpus size (per-epoch row
+visits O(steps_per_block × n), never the O(n²/P) full-shard-scan-per-step
+this design replaces); the sorted index inside each block then slices the
+step's rows by binary search. Model weights ship per-step via broadcast
+(torrent); grads return as n_shards driver-folded partials — for
+BioNER-sized (~300 MB) models that is the same traffic pattern as a
+parameter-server round, acceptable at n_shards ≤ ~32 (scale corpus size
+via steps_per_block/partition count, not shard count).
 
 BatchNorm TRAINING mode (reference main.py:84 --enableBatchNormalization →
 ModelLoader → StackedBiLSTMModel, whose training forward normalizes with
@@ -902,23 +909,32 @@ def assign_doc_shuffled_order(df, seed: int, order_partitions: int | None = None
 # --------------------------------------------------------------------------
 def _index_block(it):
     """One cached object per partition: rows sorted by order_idx plus an
-    int64 key index, so each step's task binary-searches its batch slice —
-    per-epoch row visits are O(n) total instead of a full shard scan per
-    step (the O(n²/P) scale-killer this replaces)."""
+    int64 key index, so each step's task binary-searches its batch slice.
+    Partitions are keyed by (step block, shard) — see train_distributed —
+    so a step's job touches (and deserializes) ONLY the n_shards
+    partitions holding its rows: O(steps_per_block × batch) rows per
+    step, independent of corpus size. RDD.cache() stores partitions
+    PICKLED, so partition granularity — not the binary search — is what
+    bounds per-step deserialization; the search only avoids re-scanning
+    within the block."""
     rows = sorted(it, key=lambda r: r[0])
     yield (np.array([r[0] for r in rows], dtype=np.int64), rows)
 
 
-def _slice_block(block, lo, hi, acc=None):
+def _slice_block(block, lo, hi, acc=None, block_acc=None):
     idx, rows = block
     a = int(np.searchsorted(idx, lo))
     b = int(np.searchsorted(idx, hi))
     if acc is not None:
-        # test/metrics hook only: accumulator updates inside a
-        # transformation are at-LEAST-once (task retries and speculative
-        # execution re-add), so on a real cluster this can over-count —
-        # never gate logic on it
+        # test/metrics hooks only: accumulator updates inside a job are
+        # at-LEAST-once (task retries and speculative execution re-add),
+        # so on a real cluster this can over-count — never gate logic on
+        # it. `acc` counts batch rows materialized; `block_acc` counts
+        # rows DESERIALIZED (the whole cached block), pinning the
+        # partition-pruning guarantee
         acc.add(b - a)
+    if block_acc is not None:
+        block_acc.add(len(rows))
     return rows[a:b]
 
 
@@ -977,29 +993,57 @@ def train_distributed(
     seed: int = 1632737901,
     patience: int = 10,
     n_shards: int | None = None,
+    steps_per_block: int = 8,
     model_save_path: str | None = None,
     dtype=np.float32,
     _rows_accumulator=None,  # test hook: counts rows materialized per step
+    _block_rows_accumulator=None,  # test hook: counts rows DESERIALIZED
 ) -> TrainResult:
     """Synchronous data-parallel training. Every global batch is the SAME
     batch the reference's sequential loop would form (doc-shuffled order,
-    consecutive slices of `batch_size`), split across `n_shards` partitions
-    by order_idx % n_shards; each Adam step aggregates the shards'
-    sum-gradients (treeAggregate) and updates on the driver. Each cached
-    partition is ONE index-sorted block, so a step's task slices its batch
-    rows by binary search — O(batch/P) work per task, O(n) row visits per
-    epoch. BN models run the sync-BN schedule (module docstring): per step,
-    one stat-reduction job per BN site forward, one Σdy/Σ(dy·x̂) job per
-    site backward, then the grad job. Differentially tested against
+    consecutive slices of `batch_size`), split across `n_shards` shards by
+    order_idx % n_shards; each Adam step aggregates the shards'
+    sum-gradients and updates on the driver.
+
+    Scale law: the cached RDD is partitioned by (step block, shard) —
+    partition = (order_idx // (batch_size·steps_per_block))·n_shards +
+    order_idx % n_shards — and every per-step job runs via sc.runJob on
+    ONLY the n_shards partitions holding that step's rows. Cached
+    partitions unpickle whole, so per-step deserialization is
+    O(steps_per_block × batch) rows, independent of corpus size, and
+    per-epoch row visits are O(steps_per_block × n) — a full shard scan
+    per step (O(n²/P) per epoch) never happens at any corpus size.
+    steps_per_block trades partition count against per-step unpickle
+    volume: 10M sentences at batch 64 → ~156k steps → ~20k·n_shards
+    cached partitions at the default 8, each task unpickling ≤512 rows.
+    The driver reduces n_shards partial (grad, loss, n) tuples per step
+    (runJob has no executor-side tree combine; fine for n_shards ≤ ~32 —
+    raise steps_per_block, not n_shards, for bigger corpora). BN models
+    run the sync-BN schedule (module docstring): per step, one
+    stat-reduction job per BN site forward, one Σdy/Σ(dy·x̂) job per site
+    backward, then the grad job. Differentially tested against
     train_single_node to ~1e-9, with and without BN (tests/test_train.py)."""
     sc = spark.sparkContext
     if n_shards is None:
         n_shards = max(2, sc.defaultParallelism // 4)
     ordered, n_train = assign_doc_shuffled_order(train_df, seed)
+    n_steps = math.ceil(n_train / batch_size)
+    if n_steps == 0:
+        # fail loudly (mirrors train_single_node): an upstream mis-join that
+        # filters the frame to zero rows must not "train" for max_epochs
+        # and return the init weights with train_loss=nan
+        raise ValueError("empty training set (0 rows) — nothing to train on")
+    steps_per_block = max(1, int(steps_per_block))
+    n_blocks = math.ceil(n_steps / steps_per_block)
+    block_rows = batch_size * steps_per_block
+
+    def _part_of(k: int) -> int:
+        return (k // block_rows) * n_shards + (k % n_shards)
+
     train_rdd = (
         ordered.select("order_idx", "x", "y")
         .rdd.map(lambda r: (int(r[0]), (int(r[0]), r[1], r[2])))
-        .partitionBy(n_shards, lambda k: k % n_shards)
+        .partitionBy(n_blocks * n_shards, _part_of)
         .values()
         .mapPartitions(_index_block, preservesPartitioning=True)
         .cache()
@@ -1007,15 +1051,15 @@ def train_distributed(
     val_rdd = val_df.select("x", "y").rdd.map(lambda r: (r[0], r[1])).cache()
     train_rdd.count()  # materialize once before the timed loop
 
+    def _step_parts(step: int) -> list[int]:
+        # the n_shards partitions holding step's batch rows (step is the
+        # global step; the within-epoch index sets the block)
+        blk = (step % n_steps) // steps_per_block
+        return [blk * n_shards + s for s in range(n_shards)]
+
     spec = param_spec(model)
     flat0 = flatten_params(model, dtype)
     adam = AdamState.like(flat0)
-    n_steps = math.ceil(n_train / batch_size)
-    if n_steps == 0:
-        # fail loudly (mirrors train_single_node): an upstream mis-join that
-        # filters the frame to zero rows must not "train" for max_epochs
-        # and return the init weights with train_loss=nan
-        raise ValueError("empty training set (0 rows) — nothing to train on")
     zero = (np.zeros_like(flat0), 0.0, 0)
     sites = bn_sites(model)
     buffers = {
@@ -1023,6 +1067,7 @@ def train_distributed(
         for s, (m0, v0, eps) in bn_buffers_of(model).items()
     } or None
     acc = _rows_accumulator
+    block_acc = _block_rows_accumulator
     param_slices, _off = {}, 0
     for _n, _shape in spec:
         _size = int(np.prod(_shape))
@@ -1038,25 +1083,34 @@ def train_distributed(
         # per-site stat/correction dicts ship per job (at BioNER size the
         # weights are ~300 MB, the dicts a few KB — rebroadcasting the
         # weights per job would multiply the step's driver serialization
-        # and torrent traffic by 2k+1 for k BN sites)
-        bs = sc.broadcast((bn_stats, bn_back))
+        # and torrent traffic by 2k+1 for k BN sites). Non-BN steps skip
+        # the second broadcast entirely — (None, None) has nothing to ship
+        bs = (
+            sc.broadcast((bn_stats, bn_back))
+            if bn_stats is not None or bn_back is not None
+            else None
+        )
 
         def shard_grad(it, lo=lo, hi=hi, step=step):
             w, bufs = bw_w.value
-            stats, back = bs.value
+            stats, back = bs.value if bs is not None else (None, None)
             m = model_from_flat(w, spec, bn_buffers=bufs)
             rows = []
             for block in it:
-                rows = _slice_block(block, lo, hi, acc)
+                rows = _slice_block(block, lo, hi, acc, block_acc)
             yield batch_gradient(
                 m, spec, rows, dropout_p=dropout_p, seed=seed, step=step,
                 dtype=dtype, bn_stats=stats, bn_back=back,
             )
 
-        out = train_rdd.mapPartitions(shard_grad).treeAggregate(
-            zero, _add3, _add3, depth=2
-        )
-        bs.unpersist()
+        # runJob on ONLY the step's partitions (the partition-pruning scale
+        # law in the function docstring); the driver folds n_shards partial
+        # tuples — no executor-side tree, fine at n_shards ≤ ~32
+        out = zero
+        for part in sc.runJob(train_rdd, shard_grad, _step_parts(step)):
+            out = _add3(out, part)
+        if bs is not None:
+            bs.unpersist()
         return out
 
     def _bn_step_stats(bw_w, lo, hi, step):
@@ -1078,7 +1132,7 @@ def train_distributed(
                 m = model_from_flat(w, spec, bn_buffers=bufs)
                 rows = []
                 for block in it:
-                    rows = _slice_block(block, lo, hi)
+                    rows = _slice_block(block, lo, hi, None, block_acc)
                 if not rows:
                     yield (np.zeros(dim, dtype=dtype), np.zeros(dim, dtype=dtype),
                            0, 0, 0)
@@ -1103,9 +1157,10 @@ def train_distributed(
                 return (a[0] + b[0], a[1] + b[1], a[2] + b[2], a[3] + b[3],
                         max(a[4], b[4]))
 
-            s, s2, b_tot, len_tot, t_max = train_rdd.mapPartitions(
-                stat_pass
-            ).treeAggregate(z, comb, comb, depth=2)
+            agg = z
+            for part in sc.runJob(train_rdd, stat_pass, _step_parts(step)):
+                agg = comb(agg, part)
+            s, s2, b_tot, len_tot, t_max = agg
             bw.unpersist()
             if meta is None:
                 meta = (b_tot, len_tot, t_max)
@@ -1147,7 +1202,7 @@ def train_distributed(
                 m = model_from_flat(w, spec, bn_buffers=bufs)
                 rows = []
                 for block in it:
-                    rows = _slice_block(block, lo, hi)
+                    rows = _slice_block(block, lo, hi, None, block_acc)
                 if not rows:
                     yield (np.zeros(dim, dtype=dtype), np.zeros(dim, dtype=dtype))
                     return
@@ -1162,11 +1217,11 @@ def train_distributed(
                 assert tag == "dy"
                 yield (dy.sum(axis=(0, 1)), (dy * xhat).sum(axis=(0, 1)))
 
-            z2 = (np.zeros(dim, dtype=dtype), np.zeros(dim, dtype=dtype))
-            s_dy, s_dyx = train_rdd.mapPartitions(back_pass).treeAggregate(
-                z2, lambda a, b: (a[0] + b[0], a[1] + b[1]),
-                lambda a, b: (a[0] + b[0], a[1] + b[1]), depth=2,
-            )
+            s_dy = np.zeros(dim, dtype=dtype)
+            s_dyx = np.zeros(dim, dtype=dtype)
+            for p_dy, p_dyx in sc.runJob(train_rdd, back_pass, _step_parts(step)):
+                s_dy = s_dy + p_dy
+                s_dyx = s_dyx + p_dyx
             bw.unpersist()
             back[site] = (s_dy, s_dyx, n_global)
         return back

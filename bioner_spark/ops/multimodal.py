@@ -307,6 +307,16 @@ def extract_decoded_histograms(media: DataFrame, byte_budget: int = 64 << 20) ->
             payloads = pdf["payload"].to_numpy()
             out: dict = {"media_id": [], "modality": [], "n_values": [], "feature": []}
             acc = 0
+
+            def flush() -> pd.DataFrame:
+                # int32 on EVERY flush (not just the tail): a mid-loop
+                # byte-budget flush must emit the same Arrow dtype as the
+                # declared schema instead of leaning on a silent int64→
+                # int32 narrowing cast
+                df = pd.DataFrame(out)
+                df["n_values"] = df["n_values"].astype(np.int32)
+                return df
+
             for mid, mod, payload in zip(ids, mods, payloads):
                 n, hist = _hist(payload)
                 out["media_id"].append(mid)
@@ -315,13 +325,11 @@ def extract_decoded_histograms(media: DataFrame, byte_budget: int = 64 << 20) ->
                 out["feature"].append(hist)
                 acc += len(payload) if payload is not None else 0
                 if acc >= byte_budget:
-                    yield pd.DataFrame(out)
+                    yield flush()
                     out = {k: [] for k in out}
                     acc = 0
             if out["media_id"]:
-                df = pd.DataFrame(out)
-                df["n_values"] = df["n_values"].astype(np.int32)
-                yield df
+                yield flush()
 
     return media.mapInPandas(run, schema=DECODED_HIST_SCHEMA)
 

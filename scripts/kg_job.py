@@ -213,20 +213,24 @@ def main(argv: list[str] | None = None) -> None:
         # no-op resume issues zero commits instead of rewriting the table
         from bioner_spark.io.iceberg_sink import (
             materialize_triples, plan_for_dataframe, read_lineage,
-            require_iceberg, stale_buckets,
+            require_iceberg, stale_buckets, table_buckets,
         )
 
         require_iceberg(spark)
         spark.sql(plan_for_dataframe(args.iceberg_table, result.triples))
         done = read_lineage(spark, args.iceberg_table)
         todo = stale_buckets(result.bucket_lineage, done)
-        # orphans: buckets the table records but the current input no
-        # longer produces — delete their rows AND void their lineage, or a
-        # reappearance with an identical fingerprint would be skipped
-        # against rows that are gone (mirrors run_checkpointed's orphan
-        # partition removal + "removed" manifest rows)
-        current = {b for b, _, _ in result.bucket_lineage}
-        orphans = sorted(b for b in done if b not in current)
+        # orphans: buckets the table holds but the current input no longer
+        # produces — record the removal (voiding their lineage) and THEN
+        # delete their rows, or a reappearance with an identical
+        # fingerprint would be skipped against rows that are gone (mirrors
+        # run_checkpointed's orphan removal + "removed" manifest rows).
+        # The union with the table's actual partitions re-lists orphans
+        # whose lineage a prior run voided but whose DELETE then crashed.
+        current = {int(b) for b, _, _ in result.bucket_lineage}
+        orphans = sorted(
+            (set(done) | table_buckets(spark, args.iceberg_table)) - current
+        )
         if todo or orphans:
             # carrier selection (removal props must ride a data-bearing
             # commit) and the delete/overwrite crash-safety law live in

@@ -116,52 +116,72 @@ def _t(*buckets):
 
 def test_plan_commit_deletes_only_absent_partitions():
     # row-bearing todos are NOT pre-deleted (overwritePartitions replaces
-    # them atomically); zero-row todos and orphans are
-    delete, todo, reset = ice.plan_commit(
+    # them atomically); zero-row todos are pre-deleted (before their
+    # lineage is recorded), orphans post-deleted (after the snapshot that
+    # voids their lineage)
+    pre, write, props, post, reset = ice.plan_commit(
         _t(1, 2, 3), removed=[7], present={1, 3}, carrier_candidate=1,
-        full_lineage=_t(1, 2, 3),
-    )
-    assert delete == [2, 7] and not reset
-    assert [b for b, _, _ in todo] == [1, 2, 3]
-
-
-def test_plan_commit_grafts_carrier_when_no_todo_has_rows():
-    # orphan removal with empty todo: a row-bearing current bucket is
-    # grafted from full_lineage to carry the removal props
-    delete, todo, reset = ice.plan_commit(
-        [], removed=[7], present=set(), carrier_candidate=4,
-        full_lineage=_t(4, 5),
     )
     assert not reset
-    assert [b for b, _, _ in todo] == [4]       # carrier, never pre-deleted
-    assert delete == [7]
+    assert pre == [2] and post == [7]
+    assert write == [1, 3]
+    assert [b for b, _, _ in props] == [1, 2, 3]
+
+
+def test_plan_commit_carrier_when_no_todo_has_rows():
+    # orphan removal with empty todo: a row-bearing current bucket
+    # carries the removal props; its own (already-correct) lineage is NOT
+    # re-recorded, so no fingerprint lookup is needed
+    pre, write, props, post, reset = ice.plan_commit(
+        [], removed=[7], present=set(), carrier_candidate=4,
+    )
+    assert not reset
+    assert write == [4]                         # carrier, never pre-deleted
+    assert props == [] and pre == [] and post == [7]
+
+
+def test_plan_commit_carrier_records_removal_without_lineage():
+    # the finding this pins: a carrier exists but no lineage tuple for it
+    # is available anywhere — the removal must STILL be recorded (it rides
+    # the carrier's data-bearing snapshot via kg.removed), never silently
+    # dropped
+    pre, write, props, post, reset = ice.plan_commit(
+        [], removed=[3], present=set(), carrier_candidate=5,
+    )
+    assert not reset and write == [5] and post == [3]
 
 
 def test_plan_commit_carrier_for_all_zero_row_todos():
-    delete, todo, reset = ice.plan_commit(
+    pre, write, props, post, reset = ice.plan_commit(
         _t(2), removed=[9], present=set(), carrier_candidate=5,
-        full_lineage=_t(2, 5),
     )
     assert not reset
-    assert [b for b, _, _ in todo] == [2, 5]
-    assert delete == [2, 9]                     # zero-row todo + orphan
+    assert pre == [2]                           # deleted BEFORE props land
+    assert write == [5]                         # carrier only
+    assert [b for b, _, _ in props] == [2]      # zero-row todo recorded
+    assert post == [9]                          # deleted AFTER voiding
 
 
 def test_plan_commit_resets_when_removal_unrecordable():
     # whole output empty, orphans must be voided -> table reset
-    delete, todo, reset = ice.plan_commit(
+    pre, write, props, post, reset = ice.plan_commit(
         [], removed=[3], present=set(), carrier_candidate=None,
-        full_lineage=[],
     )
-    assert reset and delete == [] and todo == []
+    assert reset and pre == [] and write == [] and props == [] and post == []
 
 
 def test_plan_commit_no_reset_without_removals():
     # all-zero-row todos, nothing removed, no data anywhere: just delete
-    # the todo partitions; stale lineage is benignly re-listed next run
-    delete, todo, reset = ice.plan_commit(
+    # the todo partitions; no snapshot is written, so their lineage stays
+    # stale and is benignly re-listed next run
+    pre, write, props, post, reset = ice.plan_commit(
         _t(1), removed=[], present=set(), carrier_candidate=None,
-        full_lineage=_t(1),
     )
-    assert not reset and delete == [1]
-    assert [b for b, _, _ in todo] == [1]
+    assert not reset and pre == [1]
+    assert write == [] and props == [] and post == []
+
+
+def test_table_buckets_sql():
+    assert ice.table_buckets_sql("kg.db.triples") == (
+        "SELECT partition.bucket AS bucket FROM kg.db.triples.partitions"
+    )

@@ -683,9 +683,21 @@ def test_step_reads_only_its_batch_rows(spark):
     )
     val_df = spark.createDataFrame(val_rows, val_schema)
     acc = spark.sparkContext.accumulator(0)
+    blk_acc = spark.sparkContext.accumulator(0)
     epochs = 2
+    steps_per_block = 2
     train_distributed(
         spark, df, val_df, m, batch_size=5, max_epochs=epochs, lr=0.01,
-        seed=7, n_shards=3, dtype=np.float64, _rows_accumulator=acc,
+        seed=7, n_shards=3, steps_per_block=steps_per_block,
+        dtype=np.float64, _rows_accumulator=acc,
+        _block_rows_accumulator=blk_acc,
     )
     assert acc.value == len(rows) * epochs
+    # the partition-pruning guarantee: cached partitions unpickle WHOLE,
+    # so the real per-step cost is rows DESERIALIZED, not rows sliced —
+    # keying partitions by step block bounds it at steps_per_block × n
+    # per epoch (the old shard-scan design deserialized n rows per STEP,
+    # i.e. n_steps × n per epoch)
+    assert 0 < blk_acc.value <= steps_per_block * len(rows) * epochs
+    n_steps = -(-len(rows) // 5)
+    assert blk_acc.value < n_steps * len(rows) * epochs
