@@ -68,7 +68,7 @@ live batch statistics): implemented with exact reference semantics —
     which depend on the normalized outputs of the sites below it — so a
     BN step runs (k sites) sequential stat-reduction jobs forward, k more
     for the backward's global Σdy / Σ(dy·x̂) corrections, then the grad
-    job: 2k+1 small treeAggregates per Adam step, each recomputing the
+    job: 2k+1 small step-pruned runJob reductions per Adam step, each recomputing the
     forward prefix (executors are stateless between BSP rounds — the
     standard sync-BN allreduce-per-layer rendered in Spark). The engine
     therefore matches train_single_node to ~1e-9 with BN on, the same
