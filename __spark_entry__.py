@@ -1039,15 +1039,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         prev = _CORPUS_FILTER_BASE.pop("base", None)
         if prev is not None:
             # the previous base may belong to an earlier, already-stopped
-            # SparkSession (harnesses that restart the session between
-            # invocations); unpersisting through a stopped SparkContext
-            # raises, and a dead session's cache is gone anyway — only
-            # release same-session caches, drop the reference otherwise
+            # SparkContext (harnesses that restart Spark between
+            # invocations); unpersisting through a stopped context raises,
+            # and a dead context's cache is gone anyway. Caches live on the
+            # CONTEXT, not the session wrapper — match on sparkContext so
+            # harnesses that hand a fresh spark.newSession() per call still
+            # get the previous base released instead of leaking one
+            # persisted corpus per invocation.
             try:
-                if prev.sparkSession is spark:
-                    prev.unpersist()
+                same_ctx = prev.sparkSession.sparkContext is spark.sparkContext
             except Exception:
-                pass
+                same_ctx = False  # prev's context already torn down
+            if same_ctx:
+                prev.unpersist()
         _CORPUS_FILTER_BASE["base"] = base
         base.count()
         d = with_token_counts(with_lang_guess(base))

@@ -235,7 +235,6 @@ def materialize_triples(
     table: str,
     todo: list[tuple[int, str, int]],
     removed: list[int] | tuple = (),
-    full_lineage: list[tuple[int, str, int]] | tuple = (),
 ) -> None:
     """Write recomputed buckets into the Iceberg triples table.
 
@@ -245,9 +244,10 @@ def materialize_triples(
     produces: the removal is recorded in the lineage props and THEN their
     rows are deleted, so a later reappearance is recomputed instead of
     skipped against deleted rows (the parquet manifest's "removed" rows).
-    `full_lineage` is accepted for caller compatibility but no longer
-    consulted — the carrier bucket's lineage is already correct and is
-    not re-recorded, so no fingerprint lookup is needed.
+    `removed` MUST include delete-stranded orphans (lineage voided by a
+    prior crashed run, rows still present) for the recovery law to hold —
+    use `mirror_triples`, which computes todo and the complete removed
+    set itself, unless you are re-implementing that law.
 
     Commit sequence (see plan_commit for the planning law and the
     per-phase crash analysis): (1) one DELETE clearing zero-row todo
@@ -260,7 +260,7 @@ def materialize_triples(
     window converges: stale-lineage buckets are re-listed by
     `stale_buckets`, and delete-stranded orphans (voided lineage, rows
     still present) are re-listed by diffing `table_buckets` against the
-    current input's buckets.
+    current input's buckets (`mirror_triples` does both).
     """
     require_iceberg(spark)
     spark.sql(plan_for_dataframe(table, triples))
@@ -292,6 +292,36 @@ def materialize_triples(
         writer.overwritePartitions()
     if post_delete:
         spark.sql(delete_buckets_sql(table, post_delete))
+
+
+def mirror_triples(
+    spark: SparkSession,
+    triples: DataFrame,
+    table: str,
+    bucket_lineage: list[tuple[int, str, int]],
+) -> tuple[list[tuple[int, str, int]], list[int]]:
+    """Incrementally mirror the pipeline's triples into the Iceberg table —
+    the one entry point that owns the full convergence law, so every
+    caller gets crash recovery, not just the ones that remember to apply
+    it. Diffs the pipeline's bucket lineage (already computed by
+    run_checkpointed — no page rescan) against the table's own snapshot
+    lineage and writes ONLY stale buckets; a no-op resume issues zero
+    commits. Orphans — buckets the table holds but the current input no
+    longer produces — are computed from the UNION of the recorded lineage
+    and the table's actual partitions (`table_buckets`, a metadata-only
+    read), which re-lists orphans whose lineage a prior run voided but
+    whose DELETE then crashed; their removal is recorded and THEN their
+    rows deleted (plan_commit's ordering). Returns (todo, orphans) so
+    callers can report what was written."""
+    require_iceberg(spark)
+    spark.sql(plan_for_dataframe(table, triples))
+    done = read_lineage(spark, table)
+    todo = stale_buckets(bucket_lineage, done)
+    current = {int(b) for b, _, _ in bucket_lineage}
+    orphans = sorted((set(done) | table_buckets(spark, table)) - current)
+    if todo or orphans:
+        materialize_triples(spark, triples, table, todo, removed=orphans)
+    return todo, orphans
 
 
 def table_buckets_sql(table: str) -> str:

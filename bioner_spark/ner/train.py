@@ -1025,7 +1025,13 @@ def train_distributed(
     train_single_node to ~1e-9, with and without BN (tests/test_train.py)."""
     sc = spark.sparkContext
     if n_shards is None:
-        n_shards = max(2, sc.defaultParallelism // 4)
+        # clamp to the driver-side-fold bound documented above: runJob has
+        # no executor-side combine, so each step materializes n_shards full
+        # gradient partials in the driver — on a 256-core cluster an
+        # unclamped defaultParallelism//4 would be 64 partials/step (driver
+        # OOM risk for BioNER-sized models). Scale via steps_per_block (and
+        # batch_size), not shard count.
+        n_shards = min(32, max(2, sc.defaultParallelism // 4))
     ordered, n_train = assign_doc_shuffled_order(train_df, seed)
     n_steps = math.ceil(n_train / batch_size)
     if n_steps == 0:

@@ -207,39 +207,15 @@ def main(argv: list[str] | None = None) -> None:
         # mirror the (bucket-partitioned) triples into the Iceberg table,
         # lineage riding in the commit's snapshot summary — outside the
         # timed section: the scaling metric is the pipeline, the mirror is
-        # a second sink. Incremental: diff the pipeline's bucket lineage
-        # (already computed by run_checkpointed — no page rescan) against
-        # the table's own snapshot lineage and write ONLY stale buckets; a
-        # no-op resume issues zero commits instead of rewriting the table
-        from bioner_spark.io.iceberg_sink import (
-            materialize_triples, plan_for_dataframe, read_lineage,
-            require_iceberg, stale_buckets, table_buckets,
-        )
+        # a second sink. mirror_triples owns the incremental/convergence
+        # law (stale-bucket diff, delete-stranded orphan re-listing,
+        # record-removal-then-delete ordering); a no-op resume issues zero
+        # commits instead of rewriting the table.
+        from bioner_spark.io.iceberg_sink import mirror_triples
 
-        require_iceberg(spark)
-        spark.sql(plan_for_dataframe(args.iceberg_table, result.triples))
-        done = read_lineage(spark, args.iceberg_table)
-        todo = stale_buckets(result.bucket_lineage, done)
-        # orphans: buckets the table holds but the current input no longer
-        # produces — record the removal (voiding their lineage) and THEN
-        # delete their rows, or a reappearance with an identical
-        # fingerprint would be skipped against rows that are gone (mirrors
-        # run_checkpointed's orphan removal + "removed" manifest rows).
-        # The union with the table's actual partitions re-lists orphans
-        # whose lineage a prior run voided but whose DELETE then crashed.
-        current = {int(b) for b, _, _ in result.bucket_lineage}
-        orphans = sorted(
-            (set(done) | table_buckets(spark, args.iceberg_table)) - current
+        mirror_triples(
+            spark, result.triples, args.iceberg_table, result.bucket_lineage
         )
-        if todo or orphans:
-            # carrier selection (removal props must ride a data-bearing
-            # commit) and the delete/overwrite crash-safety law live in
-            # iceberg_sink.plan_commit — materialize_triples sees the full
-            # triples output and lineage and plans the commits itself
-            materialize_triples(
-                spark, result.triples, args.iceberg_table, todo,
-                removed=orphans, full_lineage=result.bucket_lineage,
-            )
 
     print(
         json.dumps(

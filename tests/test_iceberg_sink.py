@@ -31,6 +31,8 @@ def test_materialize_fails_loudly_without_jar(spark):
     with pytest.raises(ice.IcebergUnavailable):
         ice.materialize_triples(spark, df, "kg.db.triples", [(0, "fp", 1)])
     with pytest.raises(ice.IcebergUnavailable):
+        ice.mirror_triples(spark, df, "kg.db.triples", [(0, "fp", 1)])
+    with pytest.raises(ice.IcebergUnavailable):
         ice.read_lineage(spark, "kg.db.triples")
 
 
