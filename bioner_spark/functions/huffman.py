@@ -20,46 +20,48 @@ builder) — the engine implements THAT, correctly:
   ``index - V`` last) for hierarchical-softmax consumers.
 
 Scale split: the corpus-sized work (n-gram counting, min-frequency
-truncation, global rank) is the DISTRIBUTED ``build_vocabulary``; this
-module's driver step touches only the truncated vocab's count column —
-one int64 per vocab entry, ~80 MB even at a 10^7-entry web-corpus
-char-n-gram vocab — because Huffman merging is inherently sequential in
-the sorted count order (word2vec also builds it single-threaded). The
-resulting (index → code) map is re-distributed and joined back on the
-rank key, so downstream consumers stay DataFrames.
+truncation, global rank) is the DISTRIBUTED ``build_vocabulary``. The
+driver then does ONLY what is inherently sequential — the two-pointer
+merge over the sorted counts (word2vec builds the tree single-threaded
+too) — holding one int64 count array plus the tree itself (int32 parent
++ int8 branch-bit per node): ~80 MB counts + ~100 MB tree at a
+10^7-entry web-corpus char-n-gram vocab, nothing per-word. The tree is
+broadcast and every word's root-ward walk (code string, code_len, point
+path — the O(V × depth) part, several GB if materialised centrally) runs
+executor-side over Arrow batches of the vocab DataFrame, so the per-word
+strings and point lists are built where the rows live and never
+congregate on the driver.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 #: reference ngram_encoder.py:15 — word2vec.c's MAX_CODE_LENGTH.
 MAX_CODE_LENGTH = 40
 
 _SENTINEL = np.int64(1) << 62
 
+_OUT_SCHEMA = (
+    "ngram string, count bigint, index bigint, code string, "
+    "code_len int, points array<bigint>"
+)
 
-def build_codes(counts: np.ndarray, max_code_length: int = MAX_CODE_LENGTH):
-    """word2vec ``CreateBinaryTree`` over counts ALREADY sorted descending.
 
-    Returns (codes: list[str], code_lens: np.ndarray, points: list[list[int]]).
-    Pure driver-side numpy; the walk is vectorised level-by-level so the
-    cost is O(V × depth) numpy ops, depth capped at ``max_code_length``
-    (beyond the cap word2vec itself would overrun its fixed buffers; the
-    engine raises instead).
+def _build_tree(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """word2vec's two-pointer merge over counts ALREADY sorted descending.
+
+    Returns (parent: int32[2V-1], binary: int8[2V-1]) — the whole tree in
+    ~5 bytes/node, the only per-vocab state the driver keeps or ships.
     """
     v = int(len(counts))
-    if v == 0:
-        return [], np.zeros(0, dtype=np.int64), []
-    counts = np.asarray(counts, dtype=np.int64)
-    if v > 1 and np.any(counts[:-1] < counts[1:]):
-        raise ValueError("build_codes: counts must be sorted descending")
-
     cnt = np.full(2 * v - 1, _SENTINEL, dtype=np.int64)
     cnt[:v] = counts
-    parent = np.zeros(2 * v - 1, dtype=np.int64)
+    parent = np.zeros(2 * v - 1, dtype=np.int32)
     binary = np.zeros(2 * v - 1, dtype=np.int8)
     pos1, pos2 = v - 1, v
     for a in range(v - 1):
@@ -75,15 +77,31 @@ def build_codes(counts: np.ndarray, max_code_length: int = MAX_CODE_LENGTH):
         parent[min1] = v + a
         parent[min2] = v + a
         binary[min2] = 1
+    return parent, binary
 
-    # vectorised root-ward walk (word2vec's per-word do-while, all words at
-    # once): record (bit, node) per level until the parent is the root
+
+def _walk_codes(
+    indices: np.ndarray,
+    parent: np.ndarray,
+    binary: np.ndarray,
+    v: int,
+    max_code_length: int = MAX_CODE_LENGTH,
+):
+    """Root-ward walk for the given word ranks (word2vec's per-word
+    do-while, vectorised level-by-level over the batch). Memory is
+    O(batch × depth) — batch-sized, not vocab-sized.
+
+    Returns (codes: list[str], code_lens: np.ndarray, points: list[list[int]]).
+    """
+    m = int(len(indices))
+    if m == 0:
+        return [], np.zeros(0, dtype=np.int64), []
     root = 2 * v - 2
-    cur = np.arange(v, dtype=np.int64)
-    alive = np.ones(v, dtype=bool)
+    cur = np.asarray(indices, dtype=np.int64).copy()
+    alive = np.ones(m, dtype=bool)
     bit_levels: list[np.ndarray] = []
     node_levels: list[np.ndarray] = []
-    code_lens = np.zeros(v, dtype=np.int64)
+    code_lens = np.zeros(m, dtype=np.int64)
     while alive.any():
         if len(bit_levels) >= max_code_length:
             raise ValueError(
@@ -94,15 +112,14 @@ def build_codes(counts: np.ndarray, max_code_length: int = MAX_CODE_LENGTH):
         bit_levels.append(np.where(alive, binary[cur], -1).astype(np.int8))
         node_levels.append(np.where(alive, cur, -1))
         code_lens[alive] += 1
-        nxt = parent[cur]
+        nxt = parent[cur].astype(np.int64)
         alive &= nxt != root
         cur = np.where(alive, nxt, cur)
-
-    bits = np.stack(bit_levels, axis=1) if bit_levels else np.zeros((v, 0))
-    nodes = np.stack(node_levels, axis=1) if node_levels else np.zeros((v, 0))
+    bits = np.stack(bit_levels, axis=1) if bit_levels else np.zeros((m, 0))
+    nodes = np.stack(node_levels, axis=1) if node_levels else np.zeros((m, 0))
     codes: list[str] = []
     points: list[list[int]] = []
-    for w in range(v):
+    for w in range(m):
         n = int(code_lens[w])
         walk_bits = bits[w, :n]
         walk_nodes = nodes[w, :n]
@@ -110,6 +127,27 @@ def build_codes(counts: np.ndarray, max_code_length: int = MAX_CODE_LENGTH):
         # word2vec: point[0] = V-2, then point[n-b] = walk_nodes[b] - V
         points.append([v - 2] + [int(x) - v for x in walk_nodes[::-1]])
     return codes, code_lens, points
+
+
+def build_codes(counts: np.ndarray, max_code_length: int = MAX_CODE_LENGTH):
+    """word2vec ``CreateBinaryTree`` over counts ALREADY sorted descending.
+
+    Returns (codes: list[str], code_lens: np.ndarray, points: list[list[int]]).
+    Pure driver-side numpy (the single-process path and the differential
+    authority for the distributed one): merge + full-vocab walk, O(V ×
+    depth) — fine for test-scale vocabs; at corpus scale use
+    ``huffman_codes``, which runs the walk executor-side.
+    """
+    v = int(len(counts))
+    if v == 0:
+        return [], np.zeros(0, dtype=np.int64), []
+    counts = np.asarray(counts, dtype=np.int64)
+    if v > 1 and np.any(counts[:-1] < counts[1:]):
+        raise ValueError("build_codes: counts must be sorted descending")
+    parent, binary = _build_tree(counts)
+    return _walk_codes(
+        np.arange(v, dtype=np.int64), parent, binary, v, max_code_length
+    )
 
 
 def huffman_codes(
@@ -123,30 +161,55 @@ def huffman_codes(
 
     Driver collects ONLY the count column in rank order (bounded by the
     vocabulary's min-frequency truncation — see module docstring for the
-    scale argument), builds codes, and joins the mapping back on index.
+    scale argument) and runs the sequential merge; the per-word code
+    assembly runs executor-side (``mapInPandas`` over the broadcast tree),
+    so nothing per-word is ever materialised on the driver. The depth cap
+    is enforced on the driver first (a cheap tree-height walk) so a
+    pathological vocabulary fails loudly before any job is launched.
     """
     spark = vocab.sparkSession
     pdf = vocab.select("index", "count").orderBy("index").toPandas()
-    if len(pdf) == 0:
+    v = len(pdf)
+    if v == 0:
         # schema-stable empty result (createDataFrame can't infer a schema
         # from an all-empty object-dtype pandas frame)
-        return spark.createDataFrame(
-            [],
-            "ngram string, count bigint, index bigint, code string, "
-            "code_len int, points array<bigint>",
-        )
+        return spark.createDataFrame([], _OUT_SCHEMA)
     counts = pdf["count"].to_numpy(dtype=np.int64)
-    codes, code_lens, points = build_codes(counts, max_code_length)
-    mapping = pd.DataFrame(
-        {
-            "index": pdf["index"].to_numpy(dtype=np.int64),
-            "code": codes,
-            "code_len": code_lens.astype(np.int32),
-            "points": points,
-        }
-    )
-    mapping_df = spark.createDataFrame(mapping)
-    return vocab.join(mapping_df, "index").select(
-        "ngram", "count", "index", "code",
-        F.col("code_len").cast("int").alias("code_len"), "points",
+    if v > 1 and np.any(counts[:-1] < counts[1:]):
+        raise ValueError("huffman_codes: vocab index must rank count descending")
+    parent, binary = _build_tree(counts)
+    # driver-side depth probe: O(tree height) scalar hops up the LAST leaf
+    # (ties break toward earlier merges, so the rarest word is on a deepest
+    # path) — loud failure before broadcasting or launching the walk job
+    depth, node, root = 0, v - 1, 2 * v - 2
+    while node != root:
+        node, depth = int(parent[node]), depth + 1
+        if depth > max_code_length:
+            raise ValueError(
+                f"Huffman code length exceeds {max_code_length} "
+                f"(reference MAX_CODE_LENGTH, ngram_encoder.py:15); "
+                f"vocabulary counts are pathologically skewed"
+            )
+    bc = spark.sparkContext.broadcast((parent, binary))
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tree_parent, tree_binary = bc.value
+        for b in batches:
+            idx = b["index"].to_numpy(dtype=np.int64)
+            codes, code_lens, points = _walk_codes(
+                idx, tree_parent, tree_binary, v, max_code_length
+            )
+            yield pd.DataFrame(
+                {
+                    "ngram": b["ngram"],
+                    "count": b["count"].to_numpy(dtype=np.int64),
+                    "index": idx,
+                    "code": codes,
+                    "code_len": code_lens.astype(np.int32),
+                    "points": points,
+                }
+            )
+
+    return vocab.select("ngram", "count", "index").mapInPandas(
+        assemble, _OUT_SCHEMA
     )

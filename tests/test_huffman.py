@@ -128,6 +128,26 @@ def test_dataframe_path_joins_every_vocab_row(spark):
     assert again == {r.ngram: r.code for r in out}
 
 
+def test_distributed_walk_matches_driver_build_codes(spark):
+    """huffman_codes assembles codes executor-side (mapInPandas over the
+    broadcast tree); build_codes is the single-process differential
+    authority — identical codes, lengths and point paths, row for row."""
+    from bioner_spark.functions.ngrams import build_vocabulary
+
+    toks = spark.createDataFrame(
+        [(w,) for w in "spark window hash table row merge spark hash spark "
+         "join scan sort shuffle broadcast".split()],
+        "text string",
+    )
+    vocab = build_vocabulary(toks, n=3, min_word_frequency=1)
+    rows = sorted(huffman_codes(vocab).collect(), key=lambda r: r["index"])
+    counts = np.array([r["count"] for r in rows], dtype=np.int64)
+    codes, lens, points = build_codes(counts)
+    assert [r.code for r in rows] == codes
+    assert [r.code_len for r in rows] == [int(n) for n in lens]
+    assert [list(r.points) for r in rows] == points
+
+
 def test_empty_vocab_returns_schema_stable_empty(spark):
     from bioner_spark.functions.ngrams import build_vocabulary
 
