@@ -1047,11 +1047,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # get the previous base released instead of leaking one
             # persisted corpus per invocation.
             try:
-                same_ctx = prev.sparkSession.sparkContext is spark.sparkContext
+                if prev.sparkSession.sparkContext is spark.sparkContext:
+                    prev.unpersist()
             except Exception:
-                same_ctx = False  # prev's context already torn down
-            if same_ctx:
-                prev.unpersist()
+                # prev's context already torn down, or it died between the
+                # identity check and the unpersist — degrade to the bounded
+                # one-cache leak rather than failing the query
+                pass
         _CORPUS_FILTER_BASE["base"] = base
         base.count()
         d = with_token_counts(with_lang_guess(base))

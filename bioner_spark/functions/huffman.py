@@ -46,6 +46,11 @@ MAX_CODE_LENGTH = 40
 
 _SENTINEL = np.int64(1) << 62
 
+#: previous call's broadcast tree — released (executor copies dropped;
+#: Spark re-ships from the driver if an old lazy plan re-executes) on the
+#: next huffman_codes call, bounding broadcast retention to one copy.
+_TREE_BROADCAST: dict = {}
+
 _OUT_SCHEMA = (
     "ngram string, count bigint, index bigint, code string, "
     "code_len int, points array<bigint>"
@@ -177,6 +182,19 @@ def huffman_codes(
     counts = pdf["count"].to_numpy(dtype=np.int64)
     if v > 1 and np.any(counts[:-1] < counts[1:]):
         raise ValueError("huffman_codes: vocab index must rank count descending")
+    # the executor walk uses raw index values as tree leaf slots, so the
+    # index column must be EXACTLY the dense rank 0..V-1 (build_vocabulary's
+    # contract) — a gapped or offset index (e.g. a filtered subset) would
+    # still pass the descending check but silently map words to the wrong
+    # leaves; fail loudly instead
+    if not np.array_equal(
+        pdf["index"].to_numpy(dtype=np.int64), np.arange(v, dtype=np.int64)
+    ):
+        raise ValueError(
+            "huffman_codes: vocab index must be the dense rank 0..V-1 "
+            "(build_vocabulary output); re-rank filtered vocabularies "
+            "before building codes"
+        )
     parent, binary = _build_tree(counts)
     # driver-side depth probe: O(tree height) scalar hops up the LAST leaf
     # (ties break toward earlier merges, so the rarest word is on a deepest
@@ -190,7 +208,19 @@ def huffman_codes(
                 f"(reference MAX_CODE_LENGTH, ngram_encoder.py:15); "
                 f"vocabulary counts are pathologically skewed"
             )
+    # the broadcast must outlive the returned LAZY DataFrame, so it can't
+    # be destroyed here — instead release the PREVIOUS call's tree (same
+    # pattern as the corpus_filter cache holder), bounding retention to one
+    # ~100 MB-at-10^7-vocab copy per SparkContext however many times a
+    # long-lived session rebuilds the vocabulary
+    prev = _TREE_BROADCAST.pop("tree", None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # previous context already torn down
     bc = spark.sparkContext.broadcast((parent, binary))
+    _TREE_BROADCAST["tree"] = bc
 
     def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tree_parent, tree_binary = bc.value

@@ -235,6 +235,7 @@ def materialize_triples(
     table: str,
     todo: list[tuple[int, str, int]],
     removed: list[int] | tuple = (),
+    ensure_table: bool = True,
 ) -> None:
     """Write recomputed buckets into the Iceberg triples table.
 
@@ -261,9 +262,13 @@ def materialize_triples(
     `stale_buckets`, and delete-stranded orphans (voided lineage, rows
     still present) are re-listed by diffing `table_buckets` against the
     current input's buckets (`mirror_triples` does both).
+
+    `ensure_table=False` skips the availability probe + CREATE IF NOT
+    EXISTS when the caller (mirror_triples) already ran them this call.
     """
-    require_iceberg(spark)
-    spark.sql(plan_for_dataframe(table, triples))
+    if ensure_table:
+        require_iceberg(spark)
+        spark.sql(plan_for_dataframe(table, triples))
     todo_buckets = [int(b) for b, _, _ in todo]
     from pyspark.sql import functions as F
 
@@ -320,7 +325,9 @@ def mirror_triples(
     current = {int(b) for b, _, _ in bucket_lineage}
     orphans = sorted((set(done) | table_buckets(spark, table)) - current)
     if todo or orphans:
-        materialize_triples(spark, triples, table, todo, removed=orphans)
+        materialize_triples(
+            spark, triples, table, todo, removed=orphans, ensure_table=False
+        )
     return todo, orphans
 
 

@@ -148,6 +148,17 @@ def test_distributed_walk_matches_driver_build_codes(spark):
     assert [list(r.points) for r in rows] == points
 
 
+def test_gapped_index_rejected(spark):
+    """Executors use raw index values as tree leaf slots, so a filtered
+    (gapped) or offset index must fail loudly, not silently mis-map."""
+    vocab = spark.createDataFrame(
+        [("aaa", 9, 0), ("bbb", 5, 2), ("ccc", 3, 3)],
+        "ngram string, count bigint, index bigint",
+    )
+    with pytest.raises(ValueError, match="dense rank"):
+        huffman_codes(vocab)
+
+
 def test_empty_vocab_returns_schema_stable_empty(spark):
     from bioner_spark.functions.ngrams import build_vocabulary
 
