@@ -709,7 +709,8 @@ class TrainResult:
 
     def model(self, name: str | None = None) -> SequenceModel:
         return model_from_flat(
-            self.flat, self.spec, name=name or self.name,
+            self.flat, self.spec,
+            name=name if name is not None else self.name,
             bn_buffers=self.bn_buffers,
         )
 
@@ -1113,19 +1114,23 @@ def train_distributed(
         # law in the function docstring); the driver folds n_shards partial
         # tuples — no executor-side tree, fine at n_shards ≤ ~32
         out = zero
-        for part in sc.runJob(train_rdd, shard_grad, _step_parts(step)):
-            out = _add3(out, part)
-        if bs is not None:
-            bs.unpersist()
+        try:
+            for part in sc.runJob(train_rdd, shard_grad, _step_parts(step)):
+                out = _add3(out, part)
+        finally:
+            if bs is not None:
+                bs.unpersist()
         return out
 
-    def _bn_step_stats(bw_w, lo, hi, step):
+    def _bn_step_stats(bw_w, flat, lo, hi, step):
         """Sync-BN forward schedule: one reduction per site, in forward
         order — each site's input depends on the global stats of the sites
         before it. Returns ({site: (mu, var)}, N_global). bw_w = the
-        step's shared (flat, buffers) broadcast; only the accumulated
-        stats dict ships per site."""
-        template = model_from_flat(bw_w.value[0], spec, bn_buffers=buffers)
+        step's shared (flat, buffers) broadcast (executor side); the
+        driver-side template is built from the in-scope flat — reading
+        bw_w.value on the driver would re-unpickle the whole ~weights-size
+        blob from the broadcast temp file once per step."""
+        template = model_from_flat(flat, spec, bn_buffers=buffers)
         stats: dict = {}
         meta = None  # (B_tot, len_tot, T_global) — from the first pass
         for site in sites:
@@ -1164,10 +1169,12 @@ def train_distributed(
                         max(a[4], b[4]))
 
             agg = z
-            for part in sc.runJob(train_rdd, stat_pass, _step_parts(step)):
-                agg = comb(agg, part)
+            try:
+                for part in sc.runJob(train_rdd, stat_pass, _step_parts(step)):
+                    agg = comb(agg, part)
+            finally:
+                bw.unpersist()
             s, s2, b_tot, len_tot, t_max = agg
-            bw.unpersist()
             if meta is None:
                 meta = (b_tot, len_tot, t_max)
             b_tot, len_tot, t_max = meta
@@ -1191,13 +1198,15 @@ def train_distributed(
             stats[site] = (mu.astype(dtype), var.astype(dtype))
         return stats, meta
 
-    def _bn_step_back(bw_w, stats, lo, hi, step, n_global):
+    def _bn_step_back(bw_w, flat, stats, lo, hi, step, n_global):
         """Sync-BN backward schedule: global Σdy / Σ(dy·x̂) per site,
         top-down — each site's dy depends on the corrections above it.
-        bw_w = the step's shared (flat, buffers) broadcast; only the
-        (stats, corrections-so-far) dicts ship per site."""
+        bw_w = the step's shared (flat, buffers) broadcast (executor
+        side); the driver-side template comes from the in-scope flat (see
+        _bn_step_stats); only the (stats, corrections-so-far) dicts ship
+        per site."""
         back: dict = {}
-        template = model_from_flat(bw_w.value[0], spec, bn_buffers=buffers)
+        template = model_from_flat(flat, spec, bn_buffers=buffers)
         for site in reversed(sites):
             dim = _bn_site_dim(template, site)
             bw = sc.broadcast((stats, dict(back)))
@@ -1225,10 +1234,14 @@ def train_distributed(
 
             s_dy = np.zeros(dim, dtype=dtype)
             s_dyx = np.zeros(dim, dtype=dtype)
-            for p_dy, p_dyx in sc.runJob(train_rdd, back_pass, _step_parts(step)):
-                s_dy = s_dy + p_dy
-                s_dyx = s_dyx + p_dyx
-            bw.unpersist()
+            try:
+                for p_dy, p_dyx in sc.runJob(
+                    train_rdd, back_pass, _step_parts(step)
+                ):
+                    s_dy = s_dy + p_dy
+                    s_dyx = s_dyx + p_dyx
+            finally:
+                bw.unpersist()
             back[site] = (s_dy, s_dyx, n_global)
         return back
 
@@ -1241,30 +1254,40 @@ def train_distributed(
             # step (2k+1 jobs at k BN sites); buffers mutate between steps
             # so the pair is re-broadcast each step, never each job
             bw_w = sc.broadcast((flat, buffers))
-            if sites:
-                stats, meta = _bn_step_stats(bw_w, lo, hi, step)
-                n_global = meta[0] * meta[2]
-                back = _bn_step_back(bw_w, stats, lo, hi, step, n_global)
-                grad, loss, n_valid = _grad_job(
-                    bw_w, lo, hi, step, bn_stats=stats, bn_back=back
-                )
-                if "ff" in stats:
-                    # global ff pad term excluded shard-side (backward_model):
-                    # every pad row of the padded ff output is the bias, so
-                    # its BN-backward grad is one constant vector × n_pad
-                    t = model_from_flat(flat, spec, bn_buffers=buffers)
-                    gamma, eps = t.ff_bn[0], t.ff_bn[4]
-                    mu, var = stats["ff"]
-                    inv = 1.0 / np.sqrt(var + eps)
-                    s_dy, s_dyx, n = back["ff"]
-                    xhat_pad = (t.ff_b - mu) * inv
-                    dx_pad = gamma * inv * (-s_dy / n - xhat_pad * (s_dyx / n))
-                    n_pad = n_global - meta[1]
-                    grad[param_slices["ff_b"]] += n_pad * dx_pad
-                _update_running_stats(buffers, stats, n_global)
-            else:
-                grad, loss, n_valid = _grad_job(bw_w, lo, hi, step)
-            bw_w.unpersist()
+            try:
+                if sites:
+                    stats, meta = _bn_step_stats(bw_w, flat, lo, hi, step)
+                    n_global = meta[0] * meta[2]
+                    back = _bn_step_back(
+                        bw_w, flat, stats, lo, hi, step, n_global
+                    )
+                    grad, loss, n_valid = _grad_job(
+                        bw_w, lo, hi, step, bn_stats=stats, bn_back=back
+                    )
+                    if "ff" in stats:
+                        # global ff pad term excluded shard-side
+                        # (backward_model): every pad row of the padded ff
+                        # output is the bias, so its BN-backward grad is one
+                        # constant vector × n_pad
+                        t = model_from_flat(flat, spec, bn_buffers=buffers)
+                        gamma, eps = t.ff_bn[0], t.ff_bn[4]
+                        mu, var = stats["ff"]
+                        inv = 1.0 / np.sqrt(var + eps)
+                        s_dy, s_dyx, n = back["ff"]
+                        xhat_pad = (t.ff_b - mu) * inv
+                        dx_pad = gamma * inv * (
+                            -s_dy / n - xhat_pad * (s_dyx / n)
+                        )
+                        n_pad = n_global - meta[1]
+                        grad[param_slices["ff_b"]] += n_pad * dx_pad
+                    _update_running_stats(buffers, stats, n_global)
+                else:
+                    grad, loss, n_valid = _grad_job(bw_w, lo, hi, step)
+            finally:
+                # a failed step job (e.g. the BN 1-value-batch refusal) must
+                # not strand a weights-sized broadcast — callers that catch
+                # and continue (grid_search trials) would accumulate them
+                bw_w.unpersist()
             flat = adam.step(flat, grad / max(n_valid, 1), lr)
             losses.append(loss / max(n_valid, 1))
         return flat, float(np.mean(losses))
@@ -1290,13 +1313,15 @@ def train_distributed(
             a, b, c = _eval_rows(m, chunk, dtype)
             yield tp + a, fp + b, fn + c
 
-        tp, fp, fn = val_rdd.mapPartitions(shard_eval).treeAggregate(
-            (0, 0, 0),
-            lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
-            lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
-            depth=2,
-        )
-        bw.unpersist()
+        try:
+            tp, fp, fn = val_rdd.mapPartitions(shard_eval).treeAggregate(
+                (0, 0, 0),
+                lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+                lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+                depth=2,
+            )
+        finally:
+            bw.unpersist()
         return _prf1(tp, fp, fn)
 
     try:
