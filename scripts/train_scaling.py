@@ -5,6 +5,13 @@ broadcast/codepath warmup) give sentences/sec at each level and
 efficiency = (thr_4N / thr_N) / 4.
 
 Usage: python scripts/train_scaling.py [--cores 2 8] [--n-sentences 8192]
+           [--batch-norm]
+
+`--batch-norm` measures the sync-BN trainer instead of the plain model
+(BatchNorm sites at ff/encoder/out; 2k+1 step-pruned reduction jobs per
+Adam step at k sites vs 1 plain) — the mode behind BENCH.md's sync-BN
+scaling rows. Throughputs are NOT comparable across modes: BN steps do
+more work and more jobs per step.
 """
 
 from __future__ import annotations
