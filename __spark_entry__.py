@@ -2020,7 +2020,10 @@ WITH hits AS (
 ),
 guess AS (
   SELECT CASE
-    WHEN greatest(h_en, h_de, h_fr) <= 0 THEN 'und'
+    -- IS NULL mirrors the engine's NULL-text guard (NULL hits would
+    -- otherwise fall through every WHEN into the ELSE 'fr' branch)
+    WHEN greatest(h_en, h_de, h_fr) IS NULL
+      OR greatest(h_en, h_de, h_fr) <= 0 THEN 'und'
     WHEN h_en = greatest(h_en, h_de, h_fr) THEN 'en'
     WHEN h_de = greatest(h_en, h_de, h_fr) THEN 'de'
     ELSE 'fr' END AS lang_guess
@@ -2032,14 +2035,14 @@ SELECT lang_guess, COUNT(*)::BIGINT AS n_docs FROM guess GROUP BY lang_guess
     o["quality_features"] = rf"""
 WITH base AS (
   SELECT doc_id, text,
-    len(string_split_regex(trim(lower(text)), '\s+'))::INT AS n_words,
+    len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0))::INT AS n_words,
     length(text)::INT AS n_chars,
     {_HITS.format(words=_STOP_EN)} AS h_en
   FROM documents
 ),
 feats AS (
   SELECT doc_id, n_words, n_chars,
-    ROUND((n_chars - n_words + 1) / greatest(n_words, 1), 6) AS mean_word_len,
+    ROUND(length(regexp_replace(text, '\s+', '', 'g')) / greatest(n_words, 1), 6) AS mean_word_len,
     ROUND(length(regexp_replace(text, '[^\p{{P}}]', '', 'g')) / greatest(n_chars, 1), 6) AS punct_ratio,
     ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(n_chars, 1), 6) AS digit_ratio,
     ROUND(h_en / greatest(n_words, 1), 6) AS stopword_ratio,
@@ -2059,7 +2062,7 @@ FROM feats
 
     o["token_counts"] = r"""
 SELECT doc_id,
-  len(string_split_regex(trim(text), '\s+'))::INT AS ws_tokens,
+  len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0))::INT AS ws_tokens,
   len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))::INT AS subword_est
 FROM documents
 """
@@ -2313,7 +2316,7 @@ feats AS (
     {_HITS.format(words=_STOP_EN)} AS h_en,
     {_HITS.format(words=_STOP_DE)} AS h_de,
     {_HITS.format(words=_STOP_FR)} AS h_fr,
-    len(string_split_regex(trim(text), '\s+'))::INT AS ws_tokens,
+    len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0))::INT AS ws_tokens,
     MIN(doc_id) OVER (
       PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
     ) AS rep_id
@@ -2321,7 +2324,8 @@ feats AS (
 ),
 lang AS (
   SELECT doc_id, ws_tokens, rep_id,
-    CASE WHEN greatest(h_en, h_de, h_fr) <= 0 THEN 'und'
+    CASE WHEN greatest(h_en, h_de, h_fr) IS NULL
+           OR greatest(h_en, h_de, h_fr) <= 0 THEN 'und'
          WHEN h_en = greatest(h_en, h_de, h_fr) THEN 'en'
          WHEN h_de = greatest(h_en, h_de, h_fr) THEN 'de'
          ELSE 'fr' END AS lang_guess

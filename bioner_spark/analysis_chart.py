@@ -51,7 +51,9 @@ def human_format(num) -> str:
     exactly (the SQL version keeps fixed 2-decimal output)."""
     num = float("{:.3g}".format(num))
     magnitude = 0
-    while abs(num) >= 1000:
+    while abs(num) >= 1000 and magnitude < 4:
+        # cap at 'T' — unbounded, a >=1e15 total would walk past the
+        # 5-entry suffix list (IndexError); values below 1e15 unchanged
         magnitude += 1
         num /= 1000.0
     return "{}{}".format(

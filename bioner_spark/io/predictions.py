@@ -7,15 +7,21 @@ dataset, asserting token-text equality at every position
 (postprocess_predictions.py:21-38).
 
 Engine version: the prediction file has no (doc, sentence, token) key — its
-only key IS the position. Both sides get a global position via
-`row_number()` over their natural order, are joined on it, and the token
-texts are checked with `raise_error` (the distributed analogue of the
-reference's assert — one mismatched row fails the job, not silently
-misaligns the corpus).
+only key IS the position. The reader therefore materializes an explicit
+(_file, _line) order key: files are read whole (`wholetext`) and split into
+lines executor-side, so line order is exact by construction rather than
+inferred from scan-partition order (Spark packs file splits into partitions
+sorted by SIZE, not by file/offset, so `monotonically_increasing_id()` over
+a multi-file or multi-split scan does NOT follow line order). Both sides
+get a global position via `row_number()`, are FULL-OUTER joined on it, and
+strict mode `raise_error`s on any text mismatch *or length mismatch* — a
+shorter/longer prediction file fails the job instead of silently truncating
+the corpus (the distributed analogue of the reference's assert).
 
-Scale note: a global row_number is a single-partition sort — fine for the
-(small, single-file) prediction imports this models; corpus-scale alignment
-keys on (doc_id, sentence_id, token_id) instead and never needs this.
+Scale note: a global row_number is a single-partition sort, and `wholetext`
+holds one file per task in memory — both fine for the (small, single-file)
+prediction imports this models; corpus-scale alignment keys on
+(doc_id, sentence_id, token_id) instead and never needs this.
 """
 
 from __future__ import annotations
@@ -23,16 +29,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+#: order-key columns the reader attaches; align_predictions consumes them
+ORDER_COLS = ("_file", "_line")
+
 
 def read_prediction_tsv(spark: SparkSession, path: str) -> DataFrame:
-    """2-col space-separated (token, tag) rows; blank lines are dropped
-    (sentence separators carry no alignment information — the positional
-    zip in the reference skips them the same way)."""
-    raw = spark.read.text(path)
+    """2-col space-separated (token, tag) rows with an exact (_file, _line)
+    order key; blank lines are dropped (sentence separators carry no
+    alignment information — the positional zip in the reference skips them
+    the same way). Multi-file globs order deterministically by file path."""
+    raw = spark.read.text(path, wholetext=True)
+    lines = raw.select(
+        F.input_file_name().alias("_file"),
+        # mirror Hadoop's LineReader terminators so a CRLF file parses the
+        # same as spark.read.text would have parsed it
+        F.posexplode(F.split(F.col("value"), r"\r\n|\r|\n")).alias("_line", "value"),
+    )
     parts = F.split(F.col("value"), " ")
     return (
-        raw.filter(F.length(F.trim(F.col("value"))) > 0)
+        lines.filter(F.length(F.trim(F.col("value"))) > 0)
         .select(
+            "_file",
+            "_line",
             parts.getItem(0).alias("pred_text"),
             parts.getItem(1).alias("pred_tag"),
         )
@@ -40,6 +58,10 @@ def read_prediction_tsv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def with_position(df: DataFrame, order_cols: list[str] | None, out: str) -> DataFrame:
+    """0-based global position by `order_cols`. The no-order-cols fallback
+    ranks by `monotonically_increasing_id()` — only safe when the upstream
+    is a single in-order partition (NOT a multi-file/multi-split scan);
+    `read_prediction_tsv` always provides real order columns instead."""
     if order_cols:
         w = Window.orderBy(*order_cols)
     else:
@@ -56,26 +78,38 @@ def align_predictions(
     tokens with `tag` overwritten by the external prediction.
 
     strict=True reproduces the reference assert: any position where the
-    prediction's token text differs from the dataset's raises at execution
-    time (postprocess_predictions.py:32-34).
+    prediction's token text differs from the dataset's — INCLUDING a
+    missing position on either side when the two inputs differ in length —
+    raises at execution time (postprocess_predictions.py:32-34). Without
+    the length check an inner join would silently drop the tail of the
+    longer side and report success on a truncated corpus.
     """
     t = with_position(tokens, ["doc_id", "sentence_id", "token_id"], "_pos")
-    p = with_position(predictions, None, "_pos")
-    joined = t.join(p, "_pos", "inner")
+    p_order = [c for c in ORDER_COLS if c in predictions.columns] or None
+    p = with_position(predictions, p_order, "_pos")
+    if p_order:
+        p = p.drop(*p_order)
     if strict:
+        joined = t.join(p, "_pos", "full_outer")
+        bad = (
+            F.col("text").isNull()
+            | F.col("pred_text").isNull()
+            | (F.col("text") != F.col("pred_text"))
+        )
         check = F.when(
-            F.col("text") != F.col("pred_text"),
+            bad,
             F.raise_error(
                 F.concat(
-                    F.lit("prediction/token text mismatch at position "),
+                    F.lit("prediction/token mismatch at position "),
                     F.col("_pos").cast("string"),
-                    F.lit(": "),
-                    F.col("text"),
-                    F.lit(" != "),
-                    F.col("pred_text"),
+                    F.lit(": token="),
+                    F.coalesce(F.col("text"), F.lit("<missing>")),
+                    F.lit(" != prediction="),
+                    F.coalesce(F.col("pred_text"), F.lit("<missing>")),
                 )
             ),
         ).otherwise(F.col("pred_tag"))
     else:
+        joined = t.join(p, "_pos", "inner")
         check = F.col("pred_tag")
     return joined.withColumn("tag", check).drop("_pos", "pred_text", "pred_tag")

@@ -23,12 +23,24 @@ SPAN_KEY = ["doc_id", "sentence_id", "start_tok", "end_tok"]
 
 
 def entity_level_prf1(pred: DataFrame, gold: DataFrame) -> DataFrame:
-    """1-row frame: (true_positives, predicted, gold, precision, recall, f1)."""
-    p = pred.select(*SPAN_KEY).distinct()
-    g = gold.select(*SPAN_KEY).distinct()
-    tp = p.join(g, SPAN_KEY, "inner").count()
-    n_pred = p.count()
-    n_gold = g.count()
+    """1-row frame: (true_positives, predicted, gold, precision, recall, f1).
+
+    One full-outer join + one aggregate = ONE Spark action: tp is the rows
+    present on both sides, predicted/gold the non-null counts per side.
+    (Three separate counts would execute pred's and gold's upstream plans
+    — possibly a whole tokenize→tag lineage — twice each.)"""
+    p = pred.select(*SPAN_KEY).distinct().withColumn("_p", F.lit(1))
+    g = gold.select(*SPAN_KEY).distinct().withColumn("_g", F.lit(1))
+    row = (
+        p.join(g, SPAN_KEY, "full_outer")
+        .agg(
+            F.count(F.when(F.col("_p").isNotNull() & F.col("_g").isNotNull(), 1)).alias("tp"),
+            F.count("_p").alias("n_pred"),
+            F.count("_g").alias("n_gold"),
+        )
+        .collect()[0]
+    )
+    tp, n_pred, n_gold = int(row["tp"]), int(row["n_pred"]), int(row["n_gold"])
     precision = tp / n_pred if n_pred else 0.0
     recall = tp / n_gold if n_gold else 0.0
     f1 = precision * recall * 2 / (precision + recall + 1e-20)
@@ -94,13 +106,12 @@ def sample_error_sentences(
     hits — so they differ only in which subset a FIXED seed maps to
     (different PRNGs), never in distribution; and when n >= |errors| both
     return the identical full error set."""
-    key = ["doc_id", "sentence_id", "start_tok", "end_tok"]
-    p = pred.select(*key).distinct()
-    g = gold.select(*key).distinct()
+    p = pred.select(*SPAN_KEY).distinct()
+    g = gold.select(*SPAN_KEY).distinct()
     errors = (
-        p.join(g, key, "left_anti")
+        p.join(g, SPAN_KEY, "left_anti")
         .select("doc_id", "sentence_id")
-        .union(g.join(p, key, "left_anti").select("doc_id", "sentence_id"))
+        .union(g.join(p, SPAN_KEY, "left_anti").select("doc_id", "sentence_id"))
         .distinct()
     )
     return errors.orderBy(F.rand(seed)).limit(n)
@@ -144,7 +155,12 @@ def error_analysis_csv_rows(
 def human_format(col):
     """1234 → '1.23K' (reference analysis.py:173-180) — cosmetic helper for
     report tables; native expression, no UDF."""
-    magnitude = F.floor(F.log10(F.greatest(F.abs(col), F.lit(1))) / 3)
+    # clamp at 'T': beyond 1e15 element_at would index past the suffix
+    # array — NULL suffix (value silently rendered scaled-by-1e15 with no
+    # unit) under non-ANSI, INVALID_ARRAY_INDEX under ANSI mode
+    magnitude = F.least(
+        F.floor(F.log10(F.greatest(F.abs(col), F.lit(1))) / 3), F.lit(4)
+    )
     scaled = col / F.pow(F.lit(1000.0), magnitude)
     suffix = F.element_at(
         F.array(F.lit(""), F.lit("K"), F.lit("M"), F.lit("B"), F.lit("T")),

@@ -20,7 +20,13 @@ STOPWORDS = {
 
 
 def _words(text_col):
-    return F.split(F.trim(F.lower(text_col)), r"\s+")
+    """Lower-cased word list with NO empty tokens: Java `split` keeps the
+    empty strings that leading/trailing whitespace produces (and "" splits
+    to [""]), so an unfiltered size() over-counts edge-whitespace docs and
+    reports 1 word for the empty document. The filter makes n_words the
+    true word count for any whitespace layout (tabs/newlines included —
+    `trim` alone only strips spaces)."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: F.length(w) > 0)
 
 
 def stopword_hits(text_col, lang: str):
@@ -30,12 +36,15 @@ def stopword_hits(text_col, lang: str):
 
 def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     """argmax of per-language stopword hit counts; 'und' (undetermined) when
-    no stopword matches. Deterministic tie-break: en > de > fr (hit order)."""
+    no stopword matches OR text is NULL. Deterministic tie-break:
+    en > de > fr (hit order). The explicit isNull guard matters: without it
+    every NULL-text row falls through the NULL-valued whens into the
+    `otherwise` branch and is silently classified 'fr'."""
     c = F.col(text_col)
     hits = {lang: stopword_hits(c, lang) for lang in STOPWORDS}
     best = F.greatest(*hits.values())
     guess = (
-        F.when(best <= 0, F.lit("und"))
+        F.when(c.isNull() | (best <= 0), F.lit("und"))
         .when(hits["en"] == best, F.lit("en"))
         .when(hits["de"] == best, F.lit("de"))
         .otherwise(F.lit("fr"))
@@ -50,8 +59,12 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     words = _words(c)
     n_words = F.size(words)
     n_chars = F.length(c)
+    # exact mean: sum(len(word)) == len(text with ALL whitespace removed) —
+    # correct for any separator layout (the old single-space-join closed
+    # form (n_chars - n_words + 1)/n_words over-counted doubled spaces and
+    # edge whitespace as word characters)
     mean_word_len = F.round(
-        (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1)), 6
+        F.length(F.regexp_replace(c, r"\s+", "")) / F.greatest(n_words, F.lit(1)), 6
     )
     punct_ratio = F.round(
         F.length(F.regexp_replace(c, r"[^\p{P}]", "")) / F.greatest(n_chars, F.lit(1)), 6
@@ -110,7 +123,10 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns(
         {
-            "ws_tokens": F.size(F.split(F.trim(c), r"\s+")),
+            # non-empty tokens only — same empty-token law as _words
+            "ws_tokens": F.size(
+                F.filter(F.split(c, r"\s+"), lambda w: F.length(w) > 0)
+            ),
             "subword_est": F.regexp_count(c, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")),
         }
     )
@@ -118,8 +134,12 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized md5 content fingerprint (exact-dedup key) + a 16-hex-char
-    prefix as a compact join key."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    return df.withColumn("fingerprint", F.md5(norm)).withColumn(
-        "fingerprint16", F.substring(F.md5(norm), 1, 16)
-    )
+    prefix as a compact join key. Normalization is `ops.dedup.normalized` —
+    the ONE definition batch dedup, streaming dedup and fingerprints all
+    share (and the DuckDB oracles hardcode), so the three paths cannot
+    drift apart."""
+    from bioner_spark.ops.dedup import normalized
+
+    return df.withColumn(
+        "fingerprint", F.md5(normalized(F.col(text_col)))
+    ).withColumn("fingerprint16", F.substring(F.col("fingerprint"), 1, 16))

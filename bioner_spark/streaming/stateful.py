@@ -98,10 +98,13 @@ def streaming_dedup(pages: DataFrame, ttl_minutes: int | None = None) -> DataFra
     `filter(is_first = 1)` for the deduplicated corpus and can aggregate
     the rest for dup-rate monitoring.
     """
+    from bioner_spark.ops.dedup import normalized
+
+    # ONE normalization definition shared with batch dedup + fingerprints
+    # (ops/dedup.py:normalized) — the cross-path dedup parity the contract
+    # queries assert depends on these staying bit-identical
     keyed = pages.select(
-        F.md5(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-        ).alias("fingerprint"),
+        F.md5(normalized(F.col("text"))).alias("fingerprint"),
         "url",
     )
     grouped = keyed.groupBy("fingerprint")

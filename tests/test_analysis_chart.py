@@ -72,6 +72,9 @@ def test_human_format_reference_parity():
     assert human_format(999999) == "1M"       # .3g rounds up a magnitude
     assert human_format(1500000) == "1.5M"
     assert human_format(2_000_000_000) == "2B"
+    assert human_format(3_000_000_000_000) == "3T"
+    # >=1e15 clamps at 'T' instead of indexing past the suffix list
+    assert human_format(10**15) == "1000T"
 
 
 def test_svg_structure_and_determinism(chart_rows, tmp_path):

@@ -49,6 +49,9 @@ def test_error_analysis_csv_rows(spark):
 
 
 def test_human_format(spark):
-    df = spark.createDataFrame([(1234,), (999,), (1_230_000,)], "n long")
+    df = spark.createDataFrame(
+        [(1234,), (999,), (1_230_000,), (10**15,)], "n long"
+    )
     got = [r.h for r in df.select(human_format(F.col("n")).alias("h")).collect()]
-    assert got == ["1.23K", "999.00", "1.23M"]
+    # >=1e15 clamps at 'T' (unclamped: NULL suffix / ANSI INVALID_ARRAY_INDEX)
+    assert got == ["1.23K", "999.00", "1.23M", "1,000.00T"]

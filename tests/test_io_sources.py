@@ -91,3 +91,47 @@ def test_prediction_alignment(spark, tmp_path_factory):
     bad.write_text("Aspirin B\nWRONG O\nfever B\n")
     with pytest.raises(Exception, match="mismatch"):
         align_predictions(toks, read_prediction_tsv(spark, str(bad))).collect()
+
+    # strict mode also fails on LENGTH mismatch — a truncated prediction
+    # file must not silently drop the token-table tail via the join
+    short = d / "short.txt"
+    short.write_text("Aspirin B\ntreats O\n")
+    with pytest.raises(Exception, match="mismatch"):
+        align_predictions(toks, read_prediction_tsv(spark, str(short))).collect()
+    long_f = d / "long.txt"
+    long_f.write_text("Aspirin B\ntreats O\nfever B\nextra O\n")
+    with pytest.raises(Exception, match="mismatch"):
+        align_predictions(toks, read_prediction_tsv(spark, str(long_f))).collect()
+    # non-strict keeps the old inner-join truncation semantics
+    assert align_predictions(
+        toks, read_prediction_tsv(spark, str(short)), strict=False
+    ).count() == 2
+
+    # CRLF terminators parse identically to LF
+    crlf = d / "crlf.txt"
+    crlf.write_bytes(b"Aspirin B\r\ntreats O\r\n\r\nfever B\r\n")
+    out2 = align_predictions(toks, read_prediction_tsv(spark, str(crlf))).orderBy(
+        "sentence_id", "token_id"
+    )
+    assert [r.tag for r in out2.collect()] == ["B", "O", "B"]
+
+
+def test_prediction_order_is_line_order_across_files(spark, tmp_path_factory):
+    """The (_file, _line) order key must reproduce exact line order even
+    when the input is a multi-file glob (scan-partition order follows file
+    SIZE, which a mono-id ranking would have inherited)."""
+    d = tmp_path_factory.mktemp("preds_multi")
+    # deliberately size-skewed: file 'a' is much larger than 'b'
+    n_a = 200
+    (d / "a.txt").write_text("".join(f"tok{i} T{i}\n" for i in range(n_a)))
+    (d / "b.txt").write_text("tokX TX\ntokY TY\n")
+    preds = read_prediction_tsv(spark, str(d))
+    rows = preds.orderBy("_file", "_line").collect()
+    texts = [r.pred_text for r in rows]
+    assert texts == [f"tok{i}" for i in range(n_a)] + ["tokX", "tokY"]
+    toks = spark.createDataFrame(
+        [("d1", 0, i, t) for i, t in enumerate(texts)],
+        "doc_id string, sentence_id int, token_id int, text string",
+    )
+    out = align_predictions(toks, preds).orderBy("token_id").collect()
+    assert [r.tag for r in out] == [f"T{i}" for i in range(n_a)] + ["TX", "TY"]

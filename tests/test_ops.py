@@ -143,6 +143,39 @@ def test_textstats(documents):
     assert row["lang_guess"] in ("en", "de", "fr", "und")
 
 
+def test_textstats_whitespace_and_null_edges(spark):
+    """Word-count law on hostile whitespace + NULL-text lang guard: empty
+    docs count 0 words (not 1), edge/doubled whitespace never inflates
+    n_words/ws_tokens or mean_word_len, and NULL text is 'und' (the
+    unguarded CASE used to fall through to 'fr')."""
+    df = spark.createDataFrame(
+        [
+            (0, "\nthe cat\n"),   # edge newlines: 2 words, mean len 3.0
+            (1, "a  b"),           # doubled space: 2 words, mean len 1.0
+            (2, ""),               # empty: 0 words
+            (3, "   "),            # all-whitespace: 0 words
+            (4, None),             # NULL text
+            (5, "word\tthe\tword"),  # tabs (trim() would not strip these)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in with_token_counts(
+            with_quality_features(with_lang_guess(df))
+        ).collect()
+    }
+    assert out[0]["n_words"] == 2 and out[0]["ws_tokens"] == 2
+    assert out[0]["mean_word_len"] == pytest.approx(3.0)  # "the","cat"
+    assert out[1]["n_words"] == 2
+    assert out[1]["mean_word_len"] == pytest.approx(1.0)
+    assert out[2]["n_words"] == 0 and out[2]["ws_tokens"] == 0
+    assert out[3]["n_words"] == 0 and out[3]["ws_tokens"] == 0
+    assert out[4]["lang_guess"] == "und"
+    assert out[5]["n_words"] == 3
+    assert out[0]["lang_guess"] == "en"  # "the" hit survives the filter
+
+
 def test_multimodal_features(spark):
     from bioner_spark.ops.multimodal import MEDIA_SCHEMA, extract_features, frame_sample_plan
 
