@@ -19,7 +19,6 @@ batch (never per-row Python at the Spark API level).
 from __future__ import annotations
 
 import re
-from html import unescape
 from html.parser import HTMLParser
 
 import pandas as pd

@@ -41,7 +41,12 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
         F.input_file_name().alias("file"), F.col("value")
     )
     lines = raw.select(
-        "file", F.posexplode(F.split(F.col("value"), "\n")).alias("line_no", "line")
+        # mirror universal-newline reading (the reference parses in Python
+        # text mode): with a bare '\n' split, a CRLF file would leave '\r'
+        # on every line — blank separators become 1-char token rows and
+        # sentence boundaries silently vanish
+        "file",
+        F.posexplode(F.split(F.col("value"), r"\r\n|\r|\n")).alias("line_no", "line"),
     )
     w = Window.partitionBy("file").orderBy("line_no")
     is_doc_sep = F.col("line").startswith(DOC_START)
@@ -78,7 +83,7 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def conll_document_strings(tokens: DataFrame, doc_order_col: str = "doc_id") -> DataFrame:
+def conll_document_strings(tokens: DataFrame) -> DataFrame:
     """tokens → one row per document with the exact reference serialization
     (conll_dataset.py:110-120): '-DOCSTART-\\t0\\t0\\tO\\n\\n' then per
     sentence all token rows + blank line."""
@@ -185,11 +190,31 @@ def write_eval_conll(
     held-out test sets by construction, so small — guarded by max_sentences
     to fail loudly instead of OOMing if misused on a full corpus."""
     key = ["doc_id", "sentence_id", "token_id"]
-    joined = (
-        tokens_gold.select(*key, "text", F.col("tag").alias("gold"))
-        .join(tokens_pred.select(*key, F.col("tag").alias("pred")), key)
-        .withColumn("_line", F.concat_ws(" ", "text", "gold", "pred"))
+    # FULL OUTER + raise_error: a token present on only one side must fail
+    # the export loudly — an inner join would silently write sentences with
+    # holes and conlleval.pl would score the truncated sequences
+    joined = tokens_gold.select(*key, "text", F.col("tag").alias("gold")).join(
+        tokens_pred.select(*key, F.col("tag").alias("pred")), key, "full_outer"
     )
+    line = F.when(
+        F.col("gold").isNull() | F.col("pred").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("write_eval_conll: token present on only one side at ("),
+                F.concat_ws(
+                    ", ",
+                    F.col("doc_id"),
+                    F.col("sentence_id").cast("string"),
+                    F.col("token_id").cast("string"),
+                ),
+                F.lit("): gold="),
+                F.coalesce(F.col("gold"), F.lit("<missing>")),
+                F.lit(" pred="),
+                F.coalesce(F.col("pred"), F.lit("<missing>")),
+            )
+        ),
+    ).otherwise(F.concat_ws(" ", "text", "gold", "pred"))
+    joined = joined.withColumn("_line", line)
     per_sentence = (
         joined.groupBy("doc_id", "sentence_id")
         .agg(

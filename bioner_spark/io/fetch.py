@@ -24,6 +24,7 @@ On a cluster the fetched artifact is then shipped to executors via
 from __future__ import annotations
 
 import os
+import tempfile
 import urllib.request
 
 
@@ -46,17 +47,34 @@ def fetch_artifact(
     if not force and os.path.isfile(dest_path):
         return 0
     os.makedirs(os.path.dirname(dest_path) or ".", exist_ok=True)
-    part = dest_path + ".part"
+    # UNIQUE temp name in the same directory: a fixed '<dest>.part' would
+    # let two concurrent fetchers of the same artifact interleave writes
+    # into one file and atomically install corrupt bytes (which every later
+    # run then treats as a valid cache hit); mkstemp keeps the final
+    # os.replace atomic while making the races last-complete-writer-wins
     written = 0
     with urllib.request.urlopen(url, timeout=timeout) as resp:
-        with open(part, "wb") as out:
-            while True:
-                chunk = resp.read(chunk_size)
-                if not chunk:
-                    break
-                out.write(chunk)
-                written += len(chunk)
-    os.replace(part, dest_path)
+        # temp file created only once the source is reachable
+        fd, part = tempfile.mkstemp(
+            prefix=os.path.basename(dest_path) + ".", suffix=".part",
+            dir=os.path.dirname(dest_path) or ".",
+        )
+        try:
+            with os.fdopen(fd, "wb") as out:
+                while True:
+                    chunk = resp.read(chunk_size)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+                    written += len(chunk)
+            os.replace(part, dest_path)
+        except BaseException:
+            # never strand a temp file on a failed/interrupted fetch
+            try:
+                os.unlink(part)
+            except OSError:
+                pass
+            raise
     return written
 
 

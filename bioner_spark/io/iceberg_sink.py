@@ -72,12 +72,32 @@ class IcebergUnavailable(RuntimeError):
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True iff the Iceberg Spark runtime is on this JVM's classpath."""
-    try:
-        spark._jvm.java.lang.Class.forName(ICEBERG_CATALOG_CLASS)  # type: ignore[union-attr]
-        return True
-    except Exception:
-        return False
+    """True iff the Iceberg Spark runtime is loadable by SPARK's
+    classloader. The probe must go through Spark's Utils.classForName
+    (context classloader): a bare `java.lang.Class.forName` resolves
+    against py4j's system classloader, which cannot see jars added by
+    `--packages`/`--jars` — i.e. it would report Iceberg missing on
+    exactly the launch config require_iceberg prescribes."""
+    jvm = spark._jvm  # type: ignore[union-attr]
+    probes = (
+        # Spark's own loader-aware probe (what DataSource lookup uses)
+        lambda: jvm.org.apache.spark.util.Utils.classForName(
+            ICEBERG_CATALOG_CLASS, False, False
+        ),
+        # thread context classloader (MutableURLClassLoader-backed)
+        lambda: jvm.java.lang.Thread.currentThread()
+        .getContextClassLoader()
+        .loadClass(ICEBERG_CATALOG_CLASS),
+        # system classpath (jar baked into the distribution)
+        lambda: jvm.java.lang.Class.forName(ICEBERG_CATALOG_CLASS),
+    )
+    for probe in probes:
+        try:
+            probe()
+            return True
+        except Exception:
+            continue
+    return False
 
 
 def require_iceberg(spark: SparkSession) -> None:

@@ -68,11 +68,17 @@ def candidate_mentions(
     # magnitude (memory-bandwidth relief measured in BENCH.md). One hash
     # probe of a small first-word set per token replaces 3 phrase probes +
     # 2 concats + 3 generated rows per non-matching token.
-    first_words = (
-        alias_dict.select(
-            F.element_at(F.split(F.col("alias"), " "), 1).alias("w0")
-        ).distinct()
+    al = (
+        _aliases_by_len(alias_dict)
+        .filter(F.col("n_words") <= max_alias_len)
+        .select(F.col("alias").alias("phrase"), "n_words", "canonical_id")
     )
+    # derived from the LENGTH-FILTERED aliases: a token that only starts
+    # aliases longer than max_alias_len can never match, so letting it
+    # through would build/explode/probe phrases that are guaranteed misses
+    first_words = al.select(
+        F.element_at(F.split(F.col("phrase"), " "), 1).alias("w0")
+    ).distinct()
     base = base.join(F.broadcast(first_words), "w0", "left_semi")
     leads = [F.col(f"w{i}") for i in range(max_alias_len)]
     phrase_cols = [F.col("w0")]
@@ -90,11 +96,6 @@ def candidate_mentions(
             F.explode(F.array(*phrase_cols)).alias("phrase"),
         )
         .filter(F.col("phrase").isNotNull())
-    )
-    al = (
-        _aliases_by_len(alias_dict)
-        .filter(F.col("n_words") <= max_alias_len)
-        .select(F.col("alias").alias("phrase"), "n_words", "canonical_id")
     )
     cands = cand.join(F.broadcast(al), "phrase", "inner").select(
         "doc_id",

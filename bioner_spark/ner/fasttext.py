@@ -222,28 +222,11 @@ def ship_fasttext(spark, model: FastTextModel, name: str | None = None) -> str:
     task's serialized function is a scale-killer; as a file it ships to
     each executor once and loads once per Python worker).
 
-    Default name is unique per call — addFile ignores filename
-    re-registration and workers cache by name, so a reused name would
-    silently serve the previously shipped matrix (see infer.ship_model)."""
-    import os
-    import tempfile
+    Unique-name and source-lifetime rules live in `shipping.ship_npz`
+    (shared with infer.ship_model)."""
+    from bioner_spark.ner.shipping import ship_npz
 
-    if name is None:
-        import uuid
-
-        name = f"ft_model_{uuid.uuid4().hex[:12]}"
-    d = tempfile.mkdtemp(prefix="bioner_ft_")
-    fname = f"{name}.npz"
-    path = os.path.join(d, fname)
-    model.save(path)
-    spark.sparkContext.addFile(path)
-    # source must outlive the app (executors re-validate against it per
-    # task in local mode) — clean up at interpreter exit, not immediately
-    import atexit
-    import shutil
-
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return fname
+    return ship_npz(spark, model.save, name, "ft_model")
 
 
 def _resolve_ft(model) -> FastTextModel:

@@ -67,22 +67,50 @@ class FastTextBinError(ValueError):
     (quantized input matrix, pruned vocabulary)."""
 
 
-def _read_exact(f, n: int) -> bytes:
-    b = f.read(n)
-    if len(b) != n:
-        raise FastTextBinError(f"truncated .bin: wanted {n} bytes, got {len(b)}")
-    return b
+class _Cursor:
+    """Buffered read cursor. NUL-terminated vocab words are parsed with one
+    ``bytes.find`` per word over chunk-sized buffers — the naive one
+    ``f.read(1)`` per byte is tens of millions of Python-level calls on a
+    real ~2M-word artifact (minutes of pure overhead before the matrix
+    even loads). Large exact reads (the GB-scale matrix) bypass the buffer
+    and go straight to the file."""
 
+    __slots__ = ("_f", "_buf", "_pos", "_chunk")
 
-def _read_cstr(f) -> str:
-    out = bytearray()
-    while True:
-        c = f.read(1)
-        if not c:
-            raise FastTextBinError("truncated .bin inside a vocab word")
-        if c == b"\x00":
-            return out.decode("utf-8")
-        out += c
+    def __init__(self, f, chunk: int = 1 << 20):
+        self._f = f
+        self._buf = b""
+        self._pos = 0
+        self._chunk = chunk
+
+    def read_exact(self, n: int) -> bytes:
+        avail = len(self._buf) - self._pos
+        if avail >= n:
+            out = self._buf[self._pos : self._pos + n]
+            self._pos += n
+            return out
+        head = self._buf[self._pos :]
+        self._buf = b""
+        self._pos = 0
+        rest = self._f.read(n - avail)
+        if avail + len(rest) != n:
+            raise FastTextBinError(
+                f"truncated .bin: wanted {n} bytes, got {avail + len(rest)}"
+            )
+        return head + rest if head else rest
+
+    def read_cstr(self) -> str:
+        while True:
+            nul = self._buf.find(b"\x00", self._pos)
+            if nul >= 0:
+                out = self._buf[self._pos : nul]
+                self._pos = nul + 1
+                return out.decode("utf-8")
+            more = self._f.read(self._chunk)
+            if not more:
+                raise FastTextBinError("truncated .bin inside a vocab word")
+            self._buf = self._buf[self._pos :] + more
+            self._pos = 0
 
 
 def load_bin(path: str):
@@ -93,8 +121,9 @@ def load_bin(path: str):
     input matrix is read — the output (context) matrix used for training
     is skipped, halving load I/O for the word-vector use case.
     """
-    with open(path, "rb") as f:
-        magic, version = struct.unpack("<ii", _read_exact(f, 8))
+    with open(path, "rb") as fh:
+        f = _Cursor(fh)
+        magic, version = struct.unpack("<ii", f.read_exact(8))
         if magic != FASTTEXT_MAGIC:
             raise FastTextBinError(
                 f"not a fastText .bin (magic {magic} != {FASTTEXT_MAGIC})"
@@ -102,33 +131,33 @@ def load_bin(path: str):
         if version > FASTTEXT_VERSION:
             raise FastTextBinError(f"unsupported .bin version {version}")
 
-        ints = struct.unpack("<12i", _read_exact(f, 48))
+        ints = struct.unpack("<12i", f.read_exact(48))
         args = dict(zip(_ARGS_INT_FIELDS, ints))
-        (args["t"],) = struct.unpack("<d", _read_exact(f, 8))
+        (args["t"],) = struct.unpack("<d", f.read_exact(8))
 
-        size, nwords, nlabels = struct.unpack("<3i", _read_exact(f, 12))
-        ntokens, pruneidx_size = struct.unpack("<2q", _read_exact(f, 16))
+        size, nwords, nlabels = struct.unpack("<3i", f.read_exact(12))
+        ntokens, pruneidx_size = struct.unpack("<2q", f.read_exact(16))
         words: list[str] = []
         counts = np.empty(size, dtype=np.int64)
         types = np.empty(size, dtype=np.int8)
         for i in range(size):
-            words.append(_read_cstr(f))
-            counts[i], types[i] = struct.unpack("<qb", _read_exact(f, 9))
+            words.append(f.read_cstr())
+            counts[i], types[i] = struct.unpack("<qb", f.read_exact(9))
         if pruneidx_size > 0:
             # pruned dictionaries only occur in quantized models; the
             # reference's released embeddings are unquantized skipgram
             raise FastTextBinError("pruned-vocabulary .bin not supported")
 
-        (quant,) = struct.unpack("<b", _read_exact(f, 1))
+        (quant,) = struct.unpack("<b", f.read_exact(1))
         if quant:
             raise FastTextBinError("quantized input matrix not supported")
-        m, n = struct.unpack("<2q", _read_exact(f, 16))
+        m, n = struct.unpack("<2q", f.read_exact(16))
         if m != nwords + args["bucket"]:
             raise FastTextBinError(
                 f"input matrix rows {m} != nwords {nwords} + bucket {args['bucket']}"
             )
         matrix = np.frombuffer(
-            _read_exact(f, 4 * m * n), dtype="<f4", count=m * n
+            f.read_exact(4 * m * n), dtype="<f4", count=m * n
         ).reshape(m, n)
         # output matrix + qout flag intentionally unread
 

@@ -33,8 +33,6 @@ string) regardless of model size.
 
 from __future__ import annotations
 
-import os
-import tempfile
 from typing import Iterator, Union
 
 import numpy as np
@@ -74,29 +72,12 @@ def ship_model(
     BioNER-sized weights (the closure then carries ~40 bytes, not ~240 MB;
     the executors fetch the file once and cache the loaded matrices).
 
-    The default name is UNIQUE per call: SparkContext.addFile silently
-    ignores a re-registration under an existing filename AND warm Python
-    workers cache the loaded weights by name, so shipping a retrained
-    model under a reused name would silently keep running the old weights.
-    Pass an explicit name only if you ship that name once per application."""
-    if name is None:
-        import uuid
+    Unique-name and source-lifetime rules live in `shipping.ship_npz`
+    (shared with ship_fasttext). Pass an explicit name only if you ship
+    that name once per application."""
+    from bioner_spark.ner.shipping import ship_npz
 
-        name = f"ner_model_{uuid.uuid4().hex[:12]}"
-    d = tempfile.mkdtemp(prefix="bioner_model_")
-    fname = f"{name}.npz"
-    path = os.path.join(d, fname)
-    model.save(path)
-    spark.sparkContext.addFile(path)
-    # the source file must OUTLIVE the app: local-mode executors re-validate
-    # fetched files against the original path per task (deleting it fails
-    # jobs with 'does not match contents of file:...'), so clean up at
-    # interpreter exit instead of immediately
-    import atexit
-    import shutil
-
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return fname
+    return ship_npz(spark, model.save, name, "ner_model")
 
 
 def _resolve_model(model: ModelRef) -> SequenceModel:

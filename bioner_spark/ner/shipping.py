@@ -1,0 +1,46 @@
+"""Ship a model artifact to executors via SparkContext.addFile.
+
+One implementation of the ship-an-npz pattern shared by `infer.ship_model`
+(NER weights) and `fasttext.ship_fasttext` (embedding matrices) — the two
+copies previously had to keep two subtle rules in sync by hand:
+
+* the default name is UNIQUE per call: addFile silently ignores a
+  re-registration under an existing filename AND warm Python workers cache
+  loaded weights by name, so shipping retrained weights under a reused name
+  would silently keep serving the old ones;
+* the source file must OUTLIVE the app: local-mode executors re-validate
+  fetched files against the original path per task (deleting it fails jobs
+  with 'does not match contents of file:...'), so cleanup happens at
+  interpreter exit, not immediately.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Callable
+
+from pyspark.sql import SparkSession
+
+
+def ship_npz(
+    spark: SparkSession,
+    save_fn: Callable[[str], None],
+    name: str | None,
+    default_prefix: str,
+) -> str:
+    """Save via `save_fn(path)` into a fresh temp dir, addFile it, return
+    the SparkFiles name. Pass an explicit `name` only if you ship that name
+    once per application (see module docstring for why)."""
+    if name is None:
+        name = f"{default_prefix}_{uuid.uuid4().hex[:12]}"
+    d = tempfile.mkdtemp(prefix="bioner_ship_")
+    fname = f"{name}.npz"
+    path = os.path.join(d, fname)
+    save_fn(path)
+    spark.sparkContext.addFile(path)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return fname

@@ -63,6 +63,40 @@ def _rows(df):
     ]
 
 
+def test_read_crlf_terminators(spark, tmp_path):
+    """CRLF files parse identically to LF (the reference reads in Python
+    text mode = universal newlines; a bare '\\n' split would turn blank
+    separators into 1-char '\\r' token rows and lose sentence bounds)."""
+    p = tmp_path / "crlf.txt"
+    p.write_bytes(TYPED_CONTENT.replace("\n", "\r\n").encode("utf8"))
+    df = read_conll(spark, str(p)).orderBy("doc_id", "sentence_id", "token_id")
+    assert _rows(df) == _expected()
+
+
+def test_eval_export_mismatch_raises(spark, tmp_path):
+    """A token present on only one side fails the export loudly instead of
+    writing a sentence with holes for conlleval.pl to mis-score."""
+    import pytest
+
+    from bioner_spark.io.conll import write_eval_conll
+
+    gold = spark.createDataFrame(
+        [("d", 0, 0, "a", "B"), ("d", 0, 1, "b", "O")],
+        "doc_id string, sentence_id int, token_id int, text string, tag string",
+    )
+    pred_short = gold.filter("token_id = 0")
+    with pytest.raises(Exception, match="only one side"):
+        write_eval_conll(gold, pred_short, str(tmp_path / "e1.txt"))
+    pred_extra = gold.union(
+        spark.createDataFrame(
+            [("d", 0, 2, "c", "O")],
+            "doc_id string, sentence_id int, token_id int, text string, tag string",
+        )
+    )
+    with pytest.raises(Exception, match="only one side"):
+        write_eval_conll(gold, pred_extra, str(tmp_path / "e2.txt"))
+
+
 def test_read_typed_tags_collapse(spark, tmp_path):
     df = _parse(spark, tmp_path, TYPED_CONTENT)
     assert _rows(df) == _expected()

@@ -39,8 +39,9 @@ def test_failed_fetch_leaves_no_artifact(source, tmp_path):
     dest = tmp_path / "model.bin"
     with pytest.raises((urllib.error.URLError, FileNotFoundError)):
         fetch_artifact(_url(tmp_path / "missing.bin"), str(dest))
-    # neither the final path nor a truncated .part may exist
+    # neither the final path nor a stranded temp file may exist
     assert not dest.exists()
+    assert [p.name for p in tmp_path.iterdir() if ".part" in p.name] == []
 
 
 def test_ensure_embeddings_naming(source, tmp_path):
