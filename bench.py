@@ -63,13 +63,26 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     # --- kg_pipeline: the north-star end-to-end job -------------------------
+    kg_res: list = []
+
     def run_kg():
         from bioner_spark.pipeline import build_triples
 
         res = build_triples(pages, alias, tagger="dict")
         res.triples.count()
+        kg_res.append(res)
 
     timed("kg_pipeline", run_kg)
+    # release the pipeline's token/tag caches OUTSIDE the timed window —
+    # PipelineResult's contract (pipeline.py) says callers unpersist, and a
+    # dead MEMORY_AND_DISK hub over the full corpus would pressure executor
+    # storage during every later timed query (same reason kg_job.py
+    # unpersists its pilot)
+    for res in kg_res:
+        try:
+            res.unpersist()
+        except Exception:
+            pass
 
     # --- neural_ner: Arrow/numpy kernel -------------------------------------
     def run_neural():
@@ -79,11 +92,15 @@ def main() -> None:
         from bioner_spark.ner.kernel import load_model_config
         from bioner_spark.tokenizer import tokenize
 
+        from bioner_spark.functions.ngrams import vocab_size
+
         sub = pages.limit(max(100, n_docs // 4))
         toks = tokenize(with_extracted_text(sub.select("url", "html")))
         vocab = build_vocabulary(toks, min_word_frequency=10)
-        vocab_size = vocab.count()
-        model = load_model_config("DATEXIS-NER", input_dim=15 + vocab_size)
+        # stashed size — no second count() job over the vocab lineage
+        # (same pattern as kg_job.py)
+        v = vocab_size(vocab)
+        model = load_model_config("DATEXIS-NER", input_dim=15 + v)
         annotate_tokens(toks, vocab, model).count()
 
     timed("neural_ner", run_neural)

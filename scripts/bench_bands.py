@@ -55,6 +55,12 @@ def main() -> None:
         totals.append(float(r["value"]))
         for q, sec in r["queries"].items():
             per_query.setdefault(q, []).append(float(sec))
+        # corpus_filter is reported under extra (kept out of the headline
+        # total for round-1/2 comparability) but still needs its band —
+        # it's the query the per-query instrument was built to track
+        cf = r.get("extra", {}).get("corpus_filter_sec")
+        if cf is not None:
+            per_query.setdefault("corpus_filter", []).append(float(cf))
     bands = {
         q: {
             "min": round(min(v), 3),

@@ -15,6 +15,7 @@ from __future__ import annotations
 import contextlib
 import io
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -75,8 +76,11 @@ def main() -> None:
                 name,
                 "Broadcast" in txt,
                 cg,
-                txt.count("ShuffleExchange") + txt.count("Exchange (")
-                + txt.count("+- Exchange"),
+                # SHUFFLE exchanges only: '\bExchange' has a word boundary
+                # before 'E' in '+- Exchange (4)' but not inside
+                # 'BroadcastExchange (3)'/'ReusedExchange (3)', so broadcasts
+                # and reuses are excluded and nothing double-counts
+                len(re.findall(r"\bExchange ", txt)),
             )
         )
     out += ["## Summary", "", "| query | broadcast | codegen | exchanges |", "|---|---|---|---|"]

@@ -102,9 +102,13 @@ def gen_embeddings() -> pa.Table:
     k = np.arange(DIM, dtype=np.int64)[None, :]
     m = (((i * 131 + k * 31 + 17) % 2000) - 1000).astype(np.float32) / 1000.0
     fam = (np.arange(N_VECS) % 13) == 12
-    m[fam] = m[np.where(fam)[0] - 1] + ((np.where(fam)[0][:, None] % 7 - 3) / 997.0).astype(
-        np.float32
-    )
+    # perturbation must NEVER be exactly 0 (idx % 7 == 3 would yield a
+    # byte-exact duplicate instead of the near-duplicate the docstring
+    # promises, weakening the banded near-dup recall stress) — remap the
+    # zero step to +4/997
+    step = np.where(fam)[0][:, None] % 7 - 3
+    step = np.where(step == 0, 4, step)
+    m[fam] = m[np.where(fam)[0] - 1] + (step / 997.0).astype(np.float32)
     emb = pa.array(list(m), type=pa.list_(pa.float32()))
     return pa.table(
         {

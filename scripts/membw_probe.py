@@ -60,10 +60,12 @@ def _level_once(kind: str, procs: int, mb: int, reps: int) -> float:
     ]
     for p in ps:
         p.start()
+    # bounded join with ONE shared deadline: a worker OOM-killed BEFORE
+    # barrier.wait() leaves the others blocked in the barrier forever —
+    # per-process timeouts would stack to procs x 600 s before detection
+    deadline = time.time() + 600
     for p in ps:
-        # bounded join: a worker OOM-killed BEFORE barrier.wait() leaves the
-        # others blocked in the barrier forever — don't hang the probe
-        p.join(timeout=600)
+        p.join(timeout=max(0.0, deadline - time.time()))
     if any(p.is_alive() for p in ps):
         for p in ps:
             p.terminate()

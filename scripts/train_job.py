@@ -71,6 +71,22 @@ def main() -> None:
     from bioner_spark.ner.train import train_distributed
 
     spark = SparkSession.builder.appName("train_scaling").getOrCreate()
+    if not args.n_shards:
+        # read parallelism only AFTER executors register: on local-cluster
+        # masters they register asynchronously and defaultParallelism reads
+        # low (often 2) until they do — the same trap kg_job.py documents;
+        # an early read would silently train with too few shards and report
+        # pessimistic sentences/sec. One warmup job, then poll briefly
+        # until the number stops growing.
+        spark.range(1000).count()
+        seen = spark.sparkContext.defaultParallelism
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            time.sleep(0.5)
+            cur = spark.sparkContext.defaultParallelism
+            if cur <= seen:
+                break
+            seen = cur
     n_shards = args.n_shards or spark.sparkContext.defaultParallelism
 
     train_df = synth_rows(spark, args.n_sentences, args.input_dim, args.sent_len, args.seed)

@@ -28,10 +28,28 @@ TABLES = [
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    sort_keys = []
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+            sort_keys.append(c)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            # primary-sort on ROUNDED floats: noise below the 1e-9
+            # comparison tolerance must not permute the two engines' rows
+            # differently (that would mis-align rows and fail on some OTHER
+            # column); the raw column is appended as a FINAL tie-break key
+            # below so rows tying on every rounded key still order
+            # deterministically on both engines
+            df[f"_sort_{c}"] = df[c].round(6)
+            sort_keys.append(f"_sort_{c}")
+        else:
+            sort_keys.append(c)
+    raw_floats = [
+        c for c in df.columns
+        if not c.startswith("_sort_") and np.issubdtype(df[c].dtype, np.floating)
+    ]
+    out = df.sort_values(sort_keys + raw_floats, kind="stable").reset_index(drop=True)
+    return out[[c for c in out.columns if not c.startswith("_sort_")]]
 
 
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
