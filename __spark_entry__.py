@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -385,12 +385,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "sentence_id", "start_tok", "end_tok"
         ).persist()
         key = ["doc_id", "sentence_id", "start_tok", "end_tok"]
-        tp = pred.join(gold, key, "inner").count()
-        n_p, n_g = pred.count(), gold.count()
-        # the result below is a literal DF — safe to release the span caches
-        # now (3 counts shared one tokenize+decode materialization each)
-        gold.unpersist()
-        pred.unpersist()
+        try:
+            tp = pred.join(gold, key, "inner").count()
+            n_p, n_g = pred.count(), gold.count()
+        finally:
+            # the result below is a literal DF — release the span caches even
+            # if a counting job dies, or harness retries would accumulate
+            # dead persisted entries for the session lifetime
+            gold.unpersist()
+            pred.unpersist()
         precision = tp / n_p if n_p else 0.0
         recall = tp / n_g if n_g else 0.0
         f1 = 2 * precision * recall / (precision + recall + 1e-20)
@@ -547,15 +550,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         tp1, fp1, fn1 = sets(p1)
         tp2, fp2, fn2 = sets(p2)
-        counts = (
-            tp1.join(tp2, key, "inner").count(),
-            fp1.join(fp2, key, "inner").count(),
-            fn1.join(fn2, key, "inner").count(),
-            tp1.count(), fp1.count(), fn1.count(),
-            tp2.count(), fp2.count(), fn2.count(),
-        )
-        for df in (gold, p1, p2):
-            df.unpersist()
+        try:
+            counts = (
+                tp1.join(tp2, key, "inner").count(),
+                fp1.join(fp2, key, "inner").count(),
+                fn1.join(fn2, key, "inner").count(),
+                tp1.count(), fp1.count(), fn1.count(),
+                tp2.count(), fp2.count(), fn2.count(),
+            )
+        finally:
+            # release even on a failed count — retries must not accumulate
+            # dead caches
+            for df in (gold, p1, p2):
+                df.unpersist()
         return spark.createDataFrame(
             [counts],
             "tp_overlap bigint, fp_overlap bigint, fn_overlap bigint, "
@@ -807,16 +814,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ingest (Parquet partitioned by bucket), probes read only matching
         # partition dirs (plan-time pruning). Same planes → identical
         # results to lsh_topk, so it shares that oracle's semantics.
+        import atexit
         import os
+        import shutil
         import tempfile
+        import uuid
 
         from bioner_spark.ops.similarity import lsh_topk_indexed, write_ann_index
 
         emb = _emb(spark, sf_dir)
+        # UNIQUE path per call: a fixed path keyed on basename(sf_dir) let a
+        # concurrent harness process (or a second sf_dir sharing the
+        # basename) overwrite the index underneath THIS call's still-lazy
+        # result DataFrame — FileNotFoundException mid-collect, or top-k
+        # silently computed against the wrong corpus. Rebuild cost at
+        # contract scale is trivial; cleanup at interpreter exit.
         idx = os.path.join(
-            tempfile.gettempdir(), f"bioner_ann_index_{os.path.basename(sf_dir.rstrip('/'))}"
+            tempfile.gettempdir(), f"bioner_ann_index_{uuid.uuid4().hex[:12]}"
         )
         write_ann_index(emb, idx, dim=64, n_planes=8)
+        atexit.register(shutil.rmtree, idx, ignore_errors=True)
         out = lsh_topk_indexed(
             spark, idx, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8, dim=64
         )
@@ -1252,8 +1269,10 @@ tok0 AS (
          unnest(string_split(sentence, ' ')) AS text
   FROM raw
 ),
-toks AS (
-  SELECT doc_id, sentence_id, token_id, text,
+tokc AS (
+  -- offsets over the ORIGINAL split positions (empties included), so char
+  -- offsets stay exact under doubled/edge spaces — mirrors the engine
+  SELECT doc_id, sentence_id, token_id AS pos, text,
          COALESCE(SUM(length(text) + 1) OVER (
              PARTITION BY doc_id, sentence_id ORDER BY token_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INT AS start,
@@ -1262,6 +1281,16 @@ toks AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           + length(text))::INT AS "end"
   FROM tok0
+),
+toks AS (
+  -- token_id is the DENSE rank among non-empty tokens (tokenizer.py law);
+  -- downstream `WHERE length(text) > 0` guards are now no-ops, kept only
+  -- where dropping them would churn unrelated queries
+  SELECT doc_id, sentence_id,
+         (ROW_NUMBER() OVER (PARTITION BY doc_id, sentence_id ORDER BY pos)
+          - 1)::INT AS token_id,
+         text, start, "end"
+  FROM tokc WHERE length(text) > 0
 )
 """
 
@@ -1275,12 +1304,6 @@ def _tag_case(b_words, i_words) -> str:
         f"CASE WHEN text IN ({_sql_in(b_words)}) THEN 'B' "
         f"WHEN text IN ({_sql_in(i_words)}) THEN 'I' ELSE 'O' END"
     )
-
-
-def _spans_cte_pref(b_words, i_words, pref: str) -> str:
-    """`_spans_cte` with every CTE name prefixed — lets one query hold span
-    pipelines for several tag rules (gold + model1 + model2)."""
-    return _spans_cte(b_words, i_words, pref=pref)
 
 
 def _spans_cte(b_words, i_words, pref: str = "") -> str:
@@ -1477,16 +1500,12 @@ vocab AS (
 # derived from the engine constants (NOT re-typed literals): editing
 # textstats.STOPWORDS must change the oracle in lockstep, same policy as
 # MINHASH_COEFFS / hyperplanes below
-def _sql_str_in(words) -> str:
-    return ",".join(f"'{w}'" for w in words)
-
-
 from bioner_spark.ops.textstats import STOPWORDS as _STOPWORDS  # noqa: E402
 from bioner_spark.triples import DEFAULT_PREDICATES as _VERBS  # noqa: E402
 
-_STOP_EN = _sql_str_in(_STOPWORDS["en"])
-_STOP_DE = _sql_str_in(_STOPWORDS["de"])
-_STOP_FR = _sql_str_in(_STOPWORDS["fr"])
+_STOP_EN = _sql_in(_STOPWORDS["en"])
+_STOP_DE = _sql_in(_STOPWORDS["de"])
+_STOP_FR = _sql_in(_STOPWORDS["fr"])
 
 _HITS = (
     "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
@@ -1678,9 +1697,9 @@ FROM totals t LEFT JOIN errors e ON t.len = e.len
 
     o["error_chart_data"] = f"""
 WITH {_TOKS_CTE},
-{_spans_cte_pref(GOLD_B, GOLD_I, 'g')},
-{_spans_cte_pref(PRED_B, PRED_I, 'p')},
-{_spans_cte_pref(PRED2_B, PRED2_I, 'q')},
+{_spans_cte(GOLD_B, GOLD_I, pref='g')},
+{_spans_cte(PRED_B, PRED_I, pref='p')},
+{_spans_cte(PRED2_B, PRED2_I, pref='q')},
 -- DISTINCT mirrors the engine's set semantics (analysis_chart dedups span
 -- keys; decode emits unique spans today, so this is parity armor only)
 g AS (SELECT DISTINCT doc_id, sentence_id, start_tok, end_tok,
@@ -1763,8 +1782,8 @@ LEFT JOIN tp USING (doc_id, sentence_id)
 
     o["ensemble_spans"] = f"""
 WITH {_TOKS_CTE},
-{_spans_cte_pref(PRED_B, PRED_I, 'p')},
-{_spans_cte_pref(PRED2_B, PRED2_I, 'q')}
+{_spans_cte(PRED_B, PRED_I, pref='p')},
+{_spans_cte(PRED2_B, PRED2_I, pref='q')}
 SELECT p.doc_id, p.sentence_id, p.start_tok, p.end_tok, p.mention_text
 FROM p_spans p JOIN q_spans q
   ON q.doc_id = p.doc_id AND q.sentence_id = p.sentence_id
@@ -1773,9 +1792,9 @@ FROM p_spans p JOIN q_spans q
 
     o["overlap_stats"] = f"""
 WITH {_TOKS_CTE},
-{_spans_cte_pref(GOLD_B, GOLD_I, 'g')},
-{_spans_cte_pref(PRED_B, PRED_I, 'p')},
-{_spans_cte_pref(PRED2_B, PRED2_I, 'q')},
+{_spans_cte(GOLD_B, GOLD_I, pref='g')},
+{_spans_cte(PRED_B, PRED_I, pref='p')},
+{_spans_cte(PRED2_B, PRED2_I, pref='q')},
 tp1 AS (SELECT p.* FROM p_spans p JOIN g_spans g USING (doc_id, sentence_id, start_tok, end_tok)),
 fp1 AS (SELECT p.* FROM p_spans p ANTI JOIN g_spans g USING (doc_id, sentence_id, start_tok, end_tok)),
 fn1 AS (SELECT g.* FROM g_spans g ANTI JOIN p_spans p USING (doc_id, sentence_id, start_tok, end_tok)),
@@ -2457,7 +2476,7 @@ linked AS (
 verbs AS (
   SELECT doc_id, sentence_id, token_id AS verb_tok, lower(text) AS verb
   FROM gt
-  WHERE lower(text) IN ({_sql_str_in(_VERBS)})
+  WHERE lower(text) IN ({_sql_in(_VERBS)})
 ),
 pairs AS (
   SELECT m1.doc_id, m1.sentence_id,

@@ -271,15 +271,24 @@ def canonical_map(alias_dict: DataFrame, driver_threshold: int = 2_000_000) -> D
     jobs (refreshed parquet dir, non-deterministic upstream) can never move
     more than driver_threshold+1 rows to the driver — growth past the gate
     is detected and falls through to the distributed path."""
+    # persist the limited DF so the count gate and the collect share ONE
+    # computation of the upstream alias pipeline (same pattern as
+    # connected_components' gate above) — the cache holds at most
+    # threshold+1 two-column rows, and the limit bound means a source that
+    # grows between jobs can never move more than that to the driver
     rows = None
-    if alias_dict.limit(driver_threshold + 1).count() <= driver_threshold:
-        rows = (
-            alias_dict.select("alias", "canonical_id")
-            .limit(driver_threshold + 1)
-            .collect()
-        )
-        if len(rows) > driver_threshold:
-            rows = None  # grew past the gate between jobs: go distributed
+    limited = (
+        alias_dict.select("alias", "canonical_id")
+        .limit(driver_threshold + 1)
+        .persist()
+    )
+    try:
+        if limited.count() <= driver_threshold:
+            rows = limited.collect()
+            if len(rows) > driver_threshold:
+                rows = None  # grew past the gate between jobs: go distributed
+    finally:
+        limited.unpersist()
     if rows is not None:
         by_alias: dict = {}
         ids: set = set()

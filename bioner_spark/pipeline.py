@@ -90,11 +90,6 @@ def build_triples(
         ["doc_key"]
     )
 
-    if use_extractor:
-        pages = with_extracted_text(pages.select("url", "html"), "html", "text")
-    else:
-        pages = pages.select("url", "text")
-
     # Spread pages evenly BEFORE the heavy per-token stages. Hashing the full
     # url (not the host) already de-skews crawl hot-hosts — a host owning 30%
     # of the crawl still spreads over all partitions because no downstream
@@ -105,7 +100,20 @@ def build_triples(
     # work, but every keyed stage after tokenize re-shuffles on
     # (doc, sentence), so a 10^5-sentence page spreads right after explode;
     # Arrow batching bounds UDF memory per batch.
-    pages = pages.repartition(F.col("url"))
+    payload = "html" if use_extractor else "text"
+    pages = pages.select("url", payload).repartition(F.col("url"))
+
+    # EXACTLY ONE document per url, chosen deterministically (max payload
+    # bytes): crawls commonly contain recrawled urls, and without this both
+    # copies would share doc_key with colliding (sentence_id, token_id)
+    # token keys — tied window orderings downstream would then interleave
+    # the copies nondeterministically per run/retry. The groupBy reuses the
+    # url hash partitioning above (no extra exchange), and deduping BEFORE
+    # the extractor also avoids paying the extract UDF per duplicate copy.
+    pages = pages.groupBy("url").agg(F.max(payload).alias(payload))
+
+    if use_extractor:
+        pages = with_extracted_text(pages, "html", "text")
 
     # Slim spine: every keyed stage between here and the final output
     # shuffles/sorts the token table, so its key is an 8-byte
@@ -478,9 +486,16 @@ def run_checkpointed(
         )
         triples = _read_triples(spark, triples_path, schema)
     else:
-        triples = None
+        # empty input, no prior manifest: nothing was written, but the
+        # result schema must not depend on run history — callers that loop
+        # run_checkpointed and union results would hit AnalysisException
+        # when the first call returned 5 columns and later ones 6. Attach
+        # the same bucket column the written paths carry.
+        triples = aux.triples.withColumn(
+            "bucket", _bucket_col(n_buckets, "doc_id")
+        )
     return PipelineResult(
-        triples=triples if triples is not None else aux.triples,
+        triples=triples,
         mentions=aux.mentions,
         tokens=aux.tokens,
         n_buckets_processed=len(todo_buckets),

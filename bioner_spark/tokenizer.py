@@ -9,8 +9,11 @@ map-side throughput.
 
 The output matches the reference's token model (text, start, end) —
 reference bioner/model/token.py:6-32 — except start/end are int, not str
-(see schemas.py). Offsets are char offsets within the sentence; `start` of
-token i = sum(len(tok_j)+1 for j<i), i.e. single-space joining.
+(see schemas.py). Offsets are char offsets within the sentence, computed
+over the ORIGINAL split positions (so they stay exact under doubled/edge
+spaces); `token_id` is the DENSE rank among non-empty tokens (no gaps —
+downstream id arithmetic like the gazetteer's `end_tok = start_tok +
+n_words - 1` is exact by construction).
 """
 
 from __future__ import annotations
@@ -62,9 +65,18 @@ def tokenize(
                 "doc_id",
                 *[F.col(c) for c in carry_cols],
                 F.col("sentence_id").cast("int").alias("sentence_id"),
-                F.posexplode(F.split(F.col("sentence"), " ")).alias("token_id", "text"),
+                # filter empties BEFORE posexplode: token_id is the DENSE
+                # rank among non-empty tokens (doubled/edge spaces leave no
+                # gaps), so id arithmetic like `end_tok = start_tok +
+                # n_words - 1` in the gazetteer is exact — still a narrow
+                # array op, zero shuffle
+                F.posexplode(
+                    F.filter(
+                        F.split(F.col("sentence"), " "),
+                        lambda t: F.length(t) > 0,
+                    )
+                ).alias("token_id", "text"),
             )
-            .filter(F.length("text") > 0)
             .select(
                 "doc_id",
                 *[F.col(c) for c in carry_cols],
@@ -76,7 +88,9 @@ def tokenize(
             )
         )
     toks = F.split(F.col("sentence"), " ")
-    # offsets[i] = cumulative (length + 1) of tokens before i
+    # offsets[i] = cumulative (length + 1) of tokens before i — computed
+    # over the ORIGINAL split positions (empties included), so char offsets
+    # stay exact however many separator spaces the sentence has
     offsets = F.aggregate(
         toks,
         F.struct(
@@ -88,7 +102,13 @@ def tokenize(
         ),
         lambda acc: acc["acc"],
     )
-    zipped = F.arrays_zip(toks.alias("text"), offsets.alias("start"))
+    # drop empty tokens from the ZIPPED array before posexplode: token_id
+    # becomes the dense non-empty rank while each surviving token keeps its
+    # original-position offset — zero shuffle, same single narrow stage
+    zipped = F.filter(
+        F.arrays_zip(toks.alias("text"), offsets.alias("start")),
+        lambda z: F.length(z["text"]) > 0,
+    )
     return (
         sents.select(
             "doc_id",
@@ -105,5 +125,4 @@ def tokenize(
             F.col("tok.start").cast("int").alias("start"),
             (F.col("tok.start") + F.length("tok.text")).cast("int").alias("end"),
         )
-        .filter(F.length("text") > 0)
     )

@@ -34,6 +34,28 @@ def test_end_to_end_mention_parity(spark, corpus):
     assert row["f1"] >= 0.95, row
 
 
+def test_duplicate_urls_collapse_to_one_document(spark, corpus):
+    """Recrawled urls must not conflate: duplicated input pages yield
+    byte-identical triples/mentions to the single-copy run (one document
+    per url, deterministically chosen), never interleaved token tables."""
+    pages = corpus_mod.pages_spark_df(spark, corpus)
+    alias = corpus_mod.alias_dict_spark_df(spark, corpus)
+    doubled = pages.union(pages)  # exact recrawl of every url
+    base = build_triples(pages, alias, tagger="dict")
+    dup = build_triples(doubled, alias, tagger="dict")
+    try:
+        t_base = {tuple(r) for r in base.triples.collect()}
+        t_dup = {tuple(r) for r in dup.triples.collect()}
+        assert t_dup == t_base
+        # token table is NOT doubled and has unique keys
+        keys = dup.tokens.groupBy("doc_id", "sentence_id", "token_id").count()
+        assert keys.filter(F.col("count") > 1).count() == 0
+        assert dup.tokens.count() == base.tokens.count()
+    finally:
+        base.unpersist()
+        dup.unpersist()
+
+
 def test_checkpointed_resume(spark, corpus, tmp_path):
     pages = corpus_mod.pages_spark_df(spark, corpus)
     alias = corpus_mod.alias_dict_spark_df(spark, corpus)

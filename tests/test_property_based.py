@@ -227,8 +227,24 @@ _token = st.text(
     min_size=1,
     max_size=6,
 )
-_sentence = st.lists(_token, min_size=1, max_size=8).map(" ".join)
-_doc = st.lists(_sentence, min_size=1, max_size=5).map("\n".join)
+# hostile separators: 1-3 spaces between tokens, optional edge spaces —
+# offsets must stay exact and token ids dense regardless
+_sep = st.integers(min_value=1, max_value=3).map(lambda n: " " * n)
+
+
+@st.composite
+def _sentence(draw):
+    toks = draw(st.lists(_token, min_size=1, max_size=8))
+    seps = [draw(_sep) for _ in range(len(toks) - 1)]
+    body = toks[0] + "".join(s + t for s, t in zip(seps, toks[1:]))
+    lead = draw(_sep) if draw(st.booleans()) else ""
+    trail = draw(_sep) if draw(st.booleans()) else ""
+    return lead + body + trail
+
+
+_sentence_simple = st.lists(_token, min_size=1, max_size=8).map(" ".join)
+_sentence_any = st.one_of(_sentence_simple, _sentence())
+_doc = st.lists(_sentence_any, min_size=1, max_size=5).map("\n".join)
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
@@ -253,5 +269,5 @@ def test_tokenize_offsets_substring_law(spark, docs):
         sent = sent_by_key[(r["doc_id"], r["sentence_id"])]
         assert sent[r["start"] : r["end"]] == r["text"]
         assert r["end"] - r["start"] == len(r["text"])
-        # token_id is the position in the single-space split
-        assert sent.split(" ")[r["token_id"]] == r["text"]
+        # token_id is the DENSE rank among non-empty tokens
+        assert [t for t in sent.split(" ") if t][r["token_id"]] == r["text"]
