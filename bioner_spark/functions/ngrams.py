@@ -71,7 +71,11 @@ def build_vocabulary(
       2. per-partition row_number — a PARTITIONED window, runs parallel;
       3. global index = partition offset (driver-side cumulative sum of the
          tiny per-partition size table) + local rank.
-    The counts are persisted so phase 3 doesn't recompute the corpus agg.
+    The counts are persisted across phases 2-3, then the result is
+    localCheckpointed (vocab-sized) and the counts cache released — the
+    corpus agg never recomputes, no cache entry outlives the call, and a
+    post-collect re-sample of the range partitioner can never silently
+    shift indices (a lost checkpoint block fails loudly instead).
     """
     spark = tokens.sparkSession
     counts = (
@@ -109,6 +113,17 @@ def build_vocabulary(
         ranged.withColumn("index", F.row_number().over(w) - 1 + offset_expr)
         .drop("_pid")
     )
+    # Cut the lineage and release the counts cache NOW (same discipline as
+    # train.assign_doc_shuffled_order's identical two-phase rank):
+    # otherwise every build_vocabulary call pins a MEMORY_AND_DISK entry for
+    # the session lifetime (one leak per grid-search trial), and —
+    # localCheckpoint DELIBERATELY, not persist — repartitionByRange picks
+    # boundaries by sampling, so a lineage recompute after cache eviction /
+    # executor loss could re-sample different _pid assignments while the
+    # collected `offsets` map still encodes the old ones: silently wrong
+    # vocab indices. A lost checkpoint block fails LOUDLY instead.
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist()
     # The two-phase rank already computed the total vocab size on the driver
     # (sum of the per-partition size table). Stash it on the DataFrame so
     # downstream consumers (annotate_tokens' multi-hot scatter width) don't
@@ -154,7 +169,10 @@ def encode_multihot_indices(
     """
     distinct = tokens.select(F.col(token_col).alias("_enc_tok")).distinct()
     grams = distinct.select(
-        "_enc_tok", F.explode_outer(char_ngrams(F.col("_enc_tok"), n)).alias("ngram")
+        # plain explode: a NULL row from an empty gram array would only be
+        # dropped by the inner join below anyway — the empty-array encoding
+        # comes from the left join + coalesce, not from outer rows
+        "_enc_tok", F.explode(char_ngrams(F.col("_enc_tok"), n)).alias("ngram")
     )
     hit = (
         grams.join(F.broadcast(vocab.select("ngram", "index")), "ngram", "inner")

@@ -61,7 +61,8 @@ def _reverse_by_length(x: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """rev[i, :L] = x[i, L-1::-1]; pads stay in place (packed-seq semantics)."""
     out = x.copy()
     for i, L in enumerate(lengths):
-        out[i, :L] = x[i, L - 1 :: -1]
+        if L:  # L=0: x[i, -1::-1] is the FULL reversed row → broadcast crash
+            out[i, :L] = x[i, L - 1 :: -1]
     return out
 
 
@@ -179,6 +180,9 @@ class SequenceModel:
             "out_w": self.out_w,
             "out_b": self.out_b,
             "n_bilstms": np.array(len(self.bilstms)),
+            # unicode array, no pickle needed — without it load() would
+            # silently relabel every architecture 'DATEXIS-NER'
+            "name": np.array(self.name),
         }
         for i, (fwd, bwd) in enumerate(self.bilstms):
             for d, (w_ih, w_hh, b) in (("f", fwd), ("b", bwd)):
@@ -224,6 +228,7 @@ class SequenceModel:
             out_w=z["out_w"], out_b=z["out_b"],
             ff_bn=_unpack_bn("ff"), enc_bn=_unpack_bn("enc"),
             bilstm_bns=bilstm_bns if any(b is not None for b in bilstm_bns) else None,
+            name=str(z["name"]) if "name" in z else "DATEXIS-NER",
         )
 
 

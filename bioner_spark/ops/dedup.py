@@ -160,6 +160,14 @@ def lsh_candidate_pairs(
     """
     sig = minhash_signatures(df, id_col, text_col, n, words_col)
     k = len(MINHASH_COEFFS)
+    if rows_per_band < 1 or k % rows_per_band != 0:
+        # loud, like similarity.banded_buckets: k=8, r=3 would silently use
+        # only mh0..mh5 (quietly lower recall than configured) and r>=9
+        # would band NOTHING — zero candidates, every doc its own cluster
+        raise ValueError(
+            f"rows_per_band must divide the signature width {k}; "
+            f"got {rows_per_band}"
+        )
     n_bands = k // rows_per_band
     bands = sig.select(
         "doc_id",
@@ -323,21 +331,33 @@ def contamination_flags(
     text_col: str = "text",
     n: int = 8,
     words_col: str | None = None,
+    benchmark_words_col: str | None = "auto",
 ) -> DataFrame:
     """Train/test decontamination: (doc_id, contaminated) — 1 iff the doc
     shares any word n-gram with the benchmark corpus (the standard
     n-gram-overlap decontamination rule for LLM training data).
+
+    `words_col` names a pre-split word array on the CORPUS side;
+    `benchmark_words_col` the same for the benchmark frame — they are
+    independent inputs, so the default ("auto") uses `words_col` only when
+    the benchmark actually carries that column and otherwise splits its
+    `text_col` raw (a corpus pre-split for the single-scan filter chain
+    must not force the benchmark set to be pre-split too).
 
     The benchmark n-gram set is small by construction (eval sets, not
     crawls) → broadcast, so the docs side avoids any JOIN shuffle: the semi
     join is map-side. The doc-side cost that remains is ONE shuffle — the
     distinct on doc_id (partial-aggregated map-side first, so only surviving
     distinct ids move) — plus the final left join back to df."""
+    if benchmark_words_col == "auto":
+        benchmark_words_col = (
+            words_col if (words_col and words_col in benchmark.columns) else None
+        )
     doc_sh = shingle_table(df, id_col, text_col, n, words_col)
     bench_sh = (
         benchmark.select(
             F.explode(
-                shingles_from_words(_words_src(text_col, words_col), n)
+                shingles_from_words(_words_src(text_col, benchmark_words_col), n)
             ).alias("shingle")
         ).distinct()
     )

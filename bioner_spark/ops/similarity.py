@@ -101,8 +101,25 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 1234) -> list[list[floa
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
     """Sign-pattern bucket id from seeded hyperplanes — native SQL only
-    (the plane constants are literal arrays in the plan)."""
-    v = vec_col.cast("array<double>")
+    (the plane constants are literal arrays in the plan).
+
+    Width-checked per row (one cheap size() against the plane width): with
+    a wrong caller-supplied dim, zip_with pads with NULLs, the dot goes
+    NULL, and `when(NULL >= 0)` would silently send EVERY vector to
+    bucket 0 — no pruning, all-pairs candidates, the exact scale failure
+    this module exists to prevent. Fail loudly instead."""
+    v = F.when(
+        F.size(vec_col) == len(planes[0]), vec_col.cast("array<double>")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_bucket: dim mismatch — planes expect {len(planes[0])}, "),
+                F.lit("embedding has "),
+                F.size(vec_col).cast("string"),
+                F.lit(" elements"),
+            )
+        )
+    )
     bits = [
         F.when(_dot(v, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i, p in enumerate(planes)

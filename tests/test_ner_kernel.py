@@ -297,3 +297,21 @@ def test_spark_inference_matches_single_node(spark, corpus):
         (r.doc_id, r.sentence_id, r.token_id): r.tag for r in got.itertuples()
     }
     assert got_map == expected
+
+
+def test_save_load_preserves_model_name(tmp_path):
+    """Without the name entry in the npz, load() silently relabels every
+    architecture 'DATEXIS-NER' — name drives BN placement elsewhere."""
+    m = init_model(input_dim=12, seed=7, name="BioNER")
+    p = str(tmp_path / "w.npz")
+    m.save(p)
+    assert SequenceModel.load(p).name == "BioNER"
+
+
+def test_reverse_by_length_zero_length_row():
+    from bioner_spark.ner.kernel import _reverse_by_length
+
+    x = np.arange(12, dtype=np.float32).reshape(2, 3, 2)
+    out = _reverse_by_length(x, np.array([0, 3]))
+    np.testing.assert_array_equal(out[0], x[0])  # untouched, not broadcast-crashed
+    np.testing.assert_array_equal(out[1], x[1, ::-1])

@@ -479,3 +479,61 @@ def test_lsh_indexed_matches_unindexed_and_prunes(spark, embeddings, tmp_path):
         got.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_lsh_rows_per_band_must_divide_signature_width(documents):
+    """k=8 signature: r=3 would silently band only mh0..mh5 (lower recall
+    than configured) and r=9 would band nothing (zero candidates). Both must
+    fail loudly instead."""
+    from bioner_spark.ops.dedup import lsh_candidate_pairs
+
+    for bad in (3, 9, 0):
+        with pytest.raises(ValueError, match="rows_per_band"):
+            lsh_candidate_pairs(documents, rows_per_band=bad)
+
+
+def test_contamination_benchmark_side_ignores_corpus_words_col(spark):
+    """words_col names a pre-split array on the CORPUS side only; a
+    benchmark frame without that column must still work (raw text split),
+    and one WITH it must use it."""
+    from bioner_spark.ops.dedup import contamination_flags
+
+    bench_raw = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id bigint, text string"
+    )
+    train = spark.createDataFrame(
+        [(10, "xx alpha beta gamma delta yy"), (11, "unrelated words entirely here")],
+        "doc_id bigint, text string",
+    ).withColumn("words", F.split(F.col("text"), " "))
+
+    out = {
+        r.doc_id: r.contaminated
+        for r in contamination_flags(train, bench_raw, n=4, words_col="words").collect()
+    }
+    assert out == {10: 1, 11: 0}
+
+    bench_split = bench_raw.withColumn("words", F.split(F.col("text"), " "))
+    out2 = {
+        r.doc_id: r.contaminated
+        for r in contamination_flags(train, bench_split, n=4, words_col="words").collect()
+    }
+    assert out2 == out
+
+
+def test_lsh_bucket_dim_mismatch_fails_loudly(spark):
+    """A wrong caller dim must not silently send every vector to bucket 0
+    (which would disable pruning → all-pairs candidates)."""
+    from pyspark.errors import PySparkException
+
+    from bioner_spark.ops.similarity import hyperplanes, lsh_bucket
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3])], "vec_id bigint, embedding array<double>"
+    )
+    planes = hyperplanes(dim=4, n_planes=2)
+    with pytest.raises(PySparkException, match="dim mismatch"):
+        df.select(lsh_bucket(F.col("embedding"), planes).alias("b")).collect()
+    ok = df.select(
+        lsh_bucket(F.col("embedding"), hyperplanes(dim=3, n_planes=2)).alias("b")
+    ).collect()
+    assert len(ok) == 1 and ok[0].b is not None
