@@ -193,24 +193,52 @@ def write_eval_conll(
     # FULL OUTER + raise_error: a token present on only one side must fail
     # the export loudly — an inner join would silently write sentences with
     # holes and conlleval.pl would score the truncated sequences
-    joined = tokens_gold.select(*key, "text", F.col("tag").alias("gold")).join(
-        tokens_pred.select(*key, F.col("tag").alias("pred")), key, "full_outer"
+    # Presence markers, NOT tag nullability: a malformed gold file can
+    # yield a row that EXISTS with tag=NULL — blaming that on "only one
+    # side" would send the operator hunting a nonexistent alignment hole.
+    # The lit(1) marker is NULL exactly when the full-outer join found no
+    # row on that side, so the two failure modes get distinct messages.
+    joined = tokens_gold.select(
+        *key, "text", F.col("tag").alias("gold"), F.lit(1).alias("_g_row")
+    ).join(
+        tokens_pred.select(
+            *key, F.col("tag").alias("pred"), F.lit(1).alias("_p_row")
+        ),
+        key,
+        "full_outer",
+    )
+    at = F.concat_ws(
+        ", ",
+        F.col("doc_id"),
+        F.col("sentence_id").cast("string"),
+        F.col("token_id").cast("string"),
     )
     line = F.when(
-        F.col("gold").isNull() | F.col("pred").isNull(),
+        F.col("_g_row").isNull() | F.col("_p_row").isNull(),
         F.raise_error(
             F.concat(
                 F.lit("write_eval_conll: token present on only one side at ("),
-                F.concat_ws(
-                    ", ",
-                    F.col("doc_id"),
-                    F.col("sentence_id").cast("string"),
-                    F.col("token_id").cast("string"),
-                ),
+                at,
                 F.lit("): gold="),
-                F.coalesce(F.col("gold"), F.lit("<missing>")),
+                F.when(F.col("_g_row").isNull(), F.lit("<missing>")).otherwise(
+                    F.coalesce(F.col("gold"), F.lit("<null tag>"))
+                ),
                 F.lit(" pred="),
-                F.coalesce(F.col("pred"), F.lit("<missing>")),
+                F.when(F.col("_p_row").isNull(), F.lit("<missing>")).otherwise(
+                    F.coalesce(F.col("pred"), F.lit("<null tag>"))
+                ),
+            )
+        ),
+    ).when(
+        F.col("gold").isNull() | F.col("pred").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("write_eval_conll: NULL tag (malformed input) at ("),
+                at,
+                F.lit("): gold="),
+                F.coalesce(F.col("gold"), F.lit("<null>")),
+                F.lit(" pred="),
+                F.coalesce(F.col("pred"), F.lit("<null>")),
             )
         ),
     ).otherwise(F.concat_ws(" ", "text", "gold", "pred"))

@@ -67,6 +67,14 @@ def fetch_artifact(
                         break
                     out.write(chunk)
                     written += len(chunk)
+            # mkstemp creates 0600 and os.replace preserves it — a shared
+            # model-cache dir (one account fetches, others read) would then
+            # hit PermissionError forever, because the cache-hit check above
+            # sees the file exists and never re-downloads. Restore the
+            # umask-honoring mode a plain open() would have produced.
+            umask = os.umask(0)
+            os.umask(umask)
+            os.chmod(part, 0o666 & ~umask)
             os.replace(part, dest_path)
         except BaseException:
             # never strand a temp file on a failed/interrupted fetch

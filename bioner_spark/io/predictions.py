@@ -90,9 +90,21 @@ def align_predictions(
     if p_order:
         p = p.drop(*p_order)
     if strict:
+        # Presence markers, not text nullability: a present row with NULL
+        # text (malformed TSV) must read "NULL text", not "<missing>" —
+        # "<missing>" points the operator at a length mismatch that isn't
+        # there. The lit(1) is NULL exactly when the full outer join found
+        # no row on that side.
+        t = t.withColumn("_t_row", F.lit(1))
+        p = p.withColumn("_p_row", F.lit(1))
         joined = t.join(p, "_pos", "full_outer")
+        side = lambda row_marker, col: F.when(
+            F.col(row_marker).isNull(), F.lit("<missing — inputs differ in length>")
+        ).otherwise(F.coalesce(F.col(col), F.lit("<null text>")))
         bad = (
-            F.col("text").isNull()
+            F.col("_t_row").isNull()
+            | F.col("_p_row").isNull()
+            | F.col("text").isNull()
             | F.col("pred_text").isNull()
             | (F.col("text") != F.col("pred_text"))
         )
@@ -103,13 +115,13 @@ def align_predictions(
                     F.lit("prediction/token mismatch at position "),
                     F.col("_pos").cast("string"),
                     F.lit(": token="),
-                    F.coalesce(F.col("text"), F.lit("<missing>")),
+                    side("_t_row", "text"),
                     F.lit(" != prediction="),
-                    F.coalesce(F.col("pred_text"), F.lit("<missing>")),
+                    side("_p_row", "pred_text"),
                 )
             ),
         ).otherwise(F.col("pred_tag"))
+        joined = joined.withColumn("tag", check).drop("_t_row", "_p_row")
     else:
-        joined = t.join(p, "_pos", "inner")
-        check = F.col("pred_tag")
-    return joined.withColumn("tag", check).drop("_pos", "pred_text", "pred_tag")
+        joined = t.join(p, "_pos", "inner").withColumn("tag", F.col("pred_tag"))
+    return joined.drop("_pos", "pred_text", "pred_tag")

@@ -22,17 +22,21 @@ from pyspark.sql import functions as F
 SPAN_KEY = ["doc_id", "sentence_id", "start_tok", "end_tok"]
 
 
-def entity_level_prf1(pred: DataFrame, gold: DataFrame) -> DataFrame:
-    """1-row frame: (true_positives, predicted, gold, precision, recall, f1).
+def exact_match_prf1(pred: DataFrame, gold: DataFrame, key: list[str]) -> DataFrame:
+    """Shared exact-match PRF1 core → 1-row frame
+    (true_positives, predicted, gold, precision, recall, f1).
 
     One full-outer join + one aggregate = ONE Spark action: tp is the rows
     present on both sides, predicted/gold the non-null counts per side.
     (Three separate counts would execute pred's and gold's upstream plans
-    — possibly a whole tokenize→tag lineage — twice each.)"""
-    p = pred.select(*SPAN_KEY).distinct().withColumn("_p", F.lit(1))
-    g = gold.select(*SPAN_KEY).distinct().withColumn("_g", F.lit(1))
+    — possibly a whole tokenize→tag lineage — twice each.) The single
+    authority for the tp condition and the 1e-20-epsilon F1 formula
+    (reference bioner/model/annotator.py:108-110) — entity_level_prf1 and
+    triples.triple_prf1 differ only in `key`."""
+    p = pred.select(*key).distinct().withColumn("_p", F.lit(1))
+    g = gold.select(*key).distinct().withColumn("_g", F.lit(1))
     row = (
-        p.join(g, SPAN_KEY, "full_outer")
+        p.join(g, key, "full_outer")
         .agg(
             F.count(F.when(F.col("_p").isNotNull() & F.col("_g").isNotNull(), 1)).alias("tp"),
             F.count("_p").alias("n_pred"),
@@ -43,12 +47,17 @@ def entity_level_prf1(pred: DataFrame, gold: DataFrame) -> DataFrame:
     tp, n_pred, n_gold = int(row["tp"]), int(row["n_pred"]), int(row["n_gold"])
     precision = tp / n_pred if n_pred else 0.0
     recall = tp / n_gold if n_gold else 0.0
-    f1 = precision * recall * 2 / (precision + recall + 1e-20)
+    f1 = 2 * precision * recall / (precision + recall + 1e-20)
     spark = pred.sparkSession
     return spark.createDataFrame(
         [(tp, n_pred, n_gold, float(precision), float(recall), float(f1))],
         "true_positives long, predicted long, gold long, precision double, recall double, f1 double",
     )
+
+
+def entity_level_prf1(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Span-exact entity PRF1 on (doc, sentence, start, end) equality."""
+    return exact_match_prf1(pred, gold, SPAN_KEY)
 
 
 def error_sets(pred: DataFrame, gold: DataFrame) -> dict[str, DataFrame]:

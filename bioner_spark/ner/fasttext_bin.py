@@ -83,7 +83,7 @@ class _Cursor:
         self._pos = 0
         self._chunk = chunk
 
-    def read_exact(self, n: int) -> bytes:
+    def read_exact(self, n: int) -> "bytes | bytearray":
         avail = len(self._buf) - self._pos
         if avail >= n:
             out = self._buf[self._pos : self._pos + n]
@@ -92,12 +92,30 @@ class _Cursor:
         head = self._buf[self._pos :]
         self._buf = b""
         self._pos = 0
-        rest = self._f.read(n - avail)
-        if avail + len(rest) != n:
-            raise FastTextBinError(
-                f"truncated .bin: wanted {n} bytes, got {avail + len(rest)}"
-            )
-        return head + rest if head else rest
+        if not head:
+            rest = self._f.read(n)
+            if len(rest) != n:
+                raise FastTextBinError(
+                    f"truncated .bin: wanted {n} bytes, got {len(rest)}"
+                )
+            return rest
+        # Leftover buffered bytes (the vocab loop almost always leaves some
+        # before the GB-scale matrix read): drain them into ONE preallocated
+        # destination and readinto the remainder. `head + rest` would hold
+        # TWO full-size copies transiently — a ~2× peak-memory spike on a
+        # multi-GB input matrix. np.frombuffer/struct.unpack both accept the
+        # bytearray without copying.
+        out = bytearray(n)
+        out[:avail] = head
+        view, filled = memoryview(out), avail
+        while filled < n:
+            got = self._f.readinto(view[filled:])
+            if not got:
+                raise FastTextBinError(
+                    f"truncated .bin: wanted {n} bytes, got {filled}"
+                )
+            filled += got
+        return out
 
     def read_cstr(self) -> str:
         while True:

@@ -344,6 +344,14 @@ def contamination_flags(
     `text_col` raw (a corpus pre-split for the single-scan filter chain
     must not force the benchmark set to be pre-split too).
 
+    INVARIANT: any pre-split column MUST hold exactly
+    `split(normalized(text), " ")` — the engine's own tokenization, the one
+    the raw-text fallback applies (`_words_src`). A custom split (e.g.
+    case-preserving) on one side while the other falls back silently
+    produces shingles that can never match: contaminated docs flagged
+    clean, no error. If you tokenize differently, pass BOTH columns
+    explicitly so both sides diverge together.
+
     The benchmark n-gram set is small by construction (eval sets, not
     crawls) → broadcast, so the docs side avoids any JOIN shuffle: the semi
     join is map-side. The doc-side cost that remains is ONE shuffle — the

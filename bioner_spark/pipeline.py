@@ -104,13 +104,21 @@ def build_triples(
     pages = pages.select("url", payload).repartition(F.col("url"))
 
     # EXACTLY ONE document per url, chosen deterministically (max payload
-    # bytes): crawls commonly contain recrawled urls, and without this both
-    # copies would share doc_key with colliding (sentence_id, token_id)
-    # token keys — tied window orderings downstream would then interleave
-    # the copies nondeterministically per run/retry. The groupBy reuses the
-    # url hash partitioning above (no extra exchange), and deduping BEFORE
-    # the extractor also avoids paying the extract UDF per duplicate copy.
-    pages = pages.groupBy("url").agg(F.max(payload).alias(payload))
+    # BYTES — a recrawl that caught a truncated error page must not beat
+    # the complete copy, so the ordering key is length first; ties broken
+    # by payload bytes, so equal-length copies still pick one copy
+    # deterministically): crawls commonly contain recrawled urls, and
+    # without this both copies would share doc_key with colliding
+    # (sentence_id, token_id) token keys — tied window orderings downstream
+    # would then interleave the copies nondeterministically per run/retry.
+    # The groupBy reuses the url hash partitioning above (no extra
+    # exchange), and deduping BEFORE the extractor also avoids paying the
+    # extract UDF per duplicate copy.
+    pages = pages.groupBy("url").agg(
+        F.max_by(
+            F.col(payload), F.struct(F.length(payload), F.col(payload))
+        ).alias(payload)
+    )
 
     if use_extractor:
         pages = with_extracted_text(pages, "html", "text")
@@ -227,7 +235,14 @@ def bucket_fingerprints(
     fingerprint and the bucket is recomputed; url-only fingerprinting is
     blind to content changes at a stable url. Pass an explicit tuple to
     override (e.g. include a content hash column if the source provides
-    one)."""
+    one).
+
+    n_docs counts INPUT rows — including every recrawled copy of a url —
+    because the fingerprint must change whenever the input multiset does
+    (a second crawl of an unchanged url is new input even though
+    build_triples will process only one copy). Read it as "input rows",
+    not "documents processed"; the processed count is lower whenever the
+    bucket contains recrawls."""
     if fingerprint_cols is None:
         fingerprint_cols = (
             ("url", "warc_ts") if "warc_ts" in pages.columns else ("url",)

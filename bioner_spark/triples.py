@@ -108,29 +108,11 @@ def extract_triples(
 
 def triple_prf1(pred_triples: DataFrame, gold_triples: DataFrame) -> DataFrame:
     """Exact-match triple precision/recall/F1 (the P/R ≥ 0.95 gate,
-    BASELINE.json north_rule)."""
-    key = ["subj", "pred", "obj", "doc_id", "sentence_id"]
-    # one full-outer join + one aggregate = ONE action: pred_triples is the
-    # end of the whole extract→tag→link→triples DAG, and three separate
-    # counts would execute that upstream plan twice per side
-    p = pred_triples.select(*key).distinct().withColumn("_p", F.lit(1))
-    g = gold_triples.select(*key).distinct().withColumn("_g", F.lit(1))
-    row = (
-        p.join(g, key, "full_outer")
-        .agg(
-            F.count(
-                F.when(F.col("_p").isNotNull() & F.col("_g").isNotNull(), 1)
-            ).alias("tp"),
-            F.count("_p").alias("n_p"),
-            F.count("_g").alias("n_g"),
-        )
-        .collect()[0]
-    )
-    tp, n_p, n_g = int(row["tp"]), int(row["n_p"]), int(row["n_g"])
-    precision = tp / n_p if n_p else 0.0
-    recall = tp / n_g if n_g else 0.0
-    f1 = 2 * precision * recall / (precision + recall + 1e-20)
-    return pred_triples.sparkSession.createDataFrame(
-        [(tp, n_p, n_g, float(precision), float(recall), float(f1))],
-        "true_positives long, predicted long, gold long, precision double, recall double, f1 double",
+    BASELINE.json north_rule). Join/aggregate core is the shared
+    metrics.exact_match_prf1 — ONE action, because pred_triples is the end
+    of the whole extract→tag→link→triples DAG."""
+    from bioner_spark.metrics import exact_match_prf1
+
+    return exact_match_prf1(
+        pred_triples, gold_triples, ["subj", "pred", "obj", "doc_id", "sentence_id"]
     )

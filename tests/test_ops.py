@@ -495,8 +495,10 @@ def test_lsh_rows_per_band_must_divide_signature_width(documents):
 def test_contamination_benchmark_side_ignores_corpus_words_col(spark):
     """words_col names a pre-split array on the CORPUS side only; a
     benchmark frame without that column must still work (raw text split),
-    and one WITH it must use it."""
-    from bioner_spark.ops.dedup import contamination_flags
+    and one WITH it must use it. The pre-split column holds the engine's
+    own tokenization split(normalized(text)) — the documented invariant;
+    a custom split would silently miss cross-side shingle matches."""
+    from bioner_spark.ops.dedup import contamination_flags, normalized
 
     bench_raw = spark.createDataFrame(
         [(1, "alpha beta gamma delta")], "doc_id bigint, text string"
@@ -504,7 +506,7 @@ def test_contamination_benchmark_side_ignores_corpus_words_col(spark):
     train = spark.createDataFrame(
         [(10, "xx alpha beta gamma delta yy"), (11, "unrelated words entirely here")],
         "doc_id bigint, text string",
-    ).withColumn("words", F.split(F.col("text"), " "))
+    ).withColumn("words", F.split(normalized(F.col("text")), " "))
 
     out = {
         r.doc_id: r.contaminated

@@ -56,6 +56,27 @@ def test_duplicate_urls_collapse_to_one_document(spark, corpus):
         dup.unpersist()
 
 
+def test_recrawl_keeps_longest_copy_not_lexicographic_max(spark, corpus):
+    """A recrawl that caught a truncated error page must lose to the
+    complete copy even when it sorts lexicographically later ('<p' > '<h'):
+    the dedup rule is max payload BYTES, not string max."""
+    pages = corpus_mod.pages_spark_df(spark, corpus).orderBy("url").limit(3)
+    truncated = pages.withColumn("text", F.lit("zzz error page"))
+    base = build_triples(pages, corpus_mod.alias_dict_spark_df(spark, corpus), tagger="dict")
+    both = build_triples(
+        pages.union(truncated),
+        corpus_mod.alias_dict_spark_df(spark, corpus),
+        tagger="dict",
+    )
+    try:
+        assert {tuple(r) for r in both.triples.collect()} == {
+            tuple(r) for r in base.triples.collect()
+        }
+    finally:
+        base.unpersist()
+        both.unpersist()
+
+
 def test_checkpointed_resume(spark, corpus, tmp_path):
     pages = corpus_mod.pages_spark_df(spark, corpus)
     alias = corpus_mod.alias_dict_spark_df(spark, corpus)
