@@ -230,12 +230,16 @@ def write_eval_conll(
             )
         ),
     ).when(
-        F.col("gold").isNull() | F.col("pred").isNull(),
+        # text too: concat_ws SKIPS NULLs, so a NULL-text row would silently
+        # emit a 2-column line that conlleval.pl misparses (tag as token)
+        F.col("text").isNull() | F.col("gold").isNull() | F.col("pred").isNull(),
         F.raise_error(
             F.concat(
-                F.lit("write_eval_conll: NULL tag (malformed input) at ("),
+                F.lit("write_eval_conll: NULL field (malformed input) at ("),
                 at,
-                F.lit("): gold="),
+                F.lit("): text="),
+                F.coalesce(F.col("text"), F.lit("<null>")),
+                F.lit(" gold="),
                 F.coalesce(F.col("gold"), F.lit("<null>")),
                 F.lit(" pred="),
                 F.coalesce(F.col("pred"), F.lit("<null>")),

@@ -27,6 +27,13 @@ import os
 import tempfile
 import urllib.request
 
+# Read once at import: os.umask can only READ by writing, which mutates
+# process-global state — toggling it per fetch would race concurrent
+# fetchers (one could observe umask 0 and chmod an artifact world-writable,
+# or leave the process umask permanently 0).
+_UMASK = os.umask(0)
+os.umask(_UMASK)
+
 
 def artifact_cache_path(root: str, ngram_range: str) -> str:
     """Naming parity with the reference cache (fasttext_encoder.py:33)."""
@@ -72,9 +79,7 @@ def fetch_artifact(
             # hit PermissionError forever, because the cache-hit check above
             # sees the file exists and never re-downloads. Restore the
             # umask-honoring mode a plain open() would have produced.
-            umask = os.umask(0)
-            os.umask(umask)
-            os.chmod(part, 0o666 & ~umask)
+            os.chmod(part, 0o666 & ~_UMASK)
             os.replace(part, dest_path)
         except BaseException:
             # never strand a temp file on a failed/interrupted fetch

@@ -114,9 +114,12 @@ def build_triples(
     # The groupBy reuses the url hash partitioning above (no extra
     # exchange), and deduping BEFORE the extractor also avoids paying the
     # extract UDF per duplicate copy.
+    # octet_length, not length: length() counts CHARACTERS on a string
+    # payload, and a 999-char multibyte copy can carry more bytes than a
+    # 1000-char ASCII one — the rule is bytes for string and binary alike.
     pages = pages.groupBy("url").agg(
         F.max_by(
-            F.col(payload), F.struct(F.length(payload), F.col(payload))
+            F.col(payload), F.struct(F.octet_length(payload), F.col(payload))
         ).alias(payload)
     )
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bioner_spark.metrics import exact_match_prf1
+
 DEFAULT_PREDICATES = ["treats", "causes", "inhibits", "prevents", "reduces"]
 CO_OCCURS = "co_occurs_with"
 
@@ -111,8 +113,6 @@ def triple_prf1(pred_triples: DataFrame, gold_triples: DataFrame) -> DataFrame:
     BASELINE.json north_rule). Join/aggregate core is the shared
     metrics.exact_match_prf1 — ONE action, because pred_triples is the end
     of the whole extract→tag→link→triples DAG."""
-    from bioner_spark.metrics import exact_match_prf1
-
     return exact_match_prf1(
         pred_triples, gold_triples, ["subj", "pred", "obj", "doc_id", "sentence_id"]
     )

@@ -58,10 +58,15 @@ def test_duplicate_urls_collapse_to_one_document(spark, corpus):
 
 def test_recrawl_keeps_longest_copy_not_lexicographic_max(spark, corpus):
     """A recrawl that caught a truncated error page must lose to the
-    complete copy even when it sorts lexicographically later ('<p' > '<h'):
-    the dedup rule is max payload BYTES, not string max."""
+    complete copy even when it sorts lexicographically later ('z' > '<'):
+    the dedup rule is max payload BYTES, not string/binary max. Mutates the
+    HTML payload — the column the default use_extractor=True path actually
+    dedups on (a text-column mutation would be silently dropped by the
+    payload select and test nothing)."""
     pages = corpus_mod.pages_spark_df(spark, corpus).orderBy("url").limit(3)
-    truncated = pages.withColumn("text", F.lit("zzz error page"))
+    truncated = pages.withColumn(
+        "html", F.lit("zzz error page").cast("binary")
+    )
     base = build_triples(pages, corpus_mod.alias_dict_spark_df(spark, corpus), tagger="dict")
     both = build_triples(
         pages.union(truncated),
