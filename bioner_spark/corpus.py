@@ -170,8 +170,11 @@ def generate(
     bound (~240 M tuples / tens of GB at 400 k docs)."""
     rng = np.random.default_rng(seed)
     concept_ids = sorted(CONCEPTS)
-    alias_lookup = {a: sorted(cids := [c for x, c, _ in alias_dict_rows() if x == a])[0]
-                    for a in {r[0] for r in alias_dict_rows()}}
+    # one linear pass: min canonical_id per alias (ambiguity rule)
+    alias_lookup: dict[str, str] = {}
+    for a, cid, _ in alias_dict_rows():
+        if a not in alias_lookup or cid < alias_lookup[a]:
+            alias_lookup[a] = cid
     components = _canonical_components()
 
     pages_rows, token_rows, mention_rows, triple_rows = [], [], [], []
@@ -212,9 +215,10 @@ def generate(
             sentences[-1] = sentences[-1] + " " + TRUNCATION_MARKER
         text = "\n".join(sentences)
         if d == 2:
-            # gold text has the marker stripped (extractor contract)
-            text = text[: -len(" " + TRUNCATION_MARKER)] + " "
-            text = text.rstrip()
+            # gold text has the marker stripped (extractor contract); the
+            # trailing space left by the strip is rstripped like the
+            # extractor does
+            text = text[: -len(TRUNCATION_MARKER)].rstrip()
         html = b"" if d == 3 else _wrap_html(sentences)
         if d == 3:
             text = ""

@@ -112,11 +112,17 @@ def connected_components(
         try:
             if limited.count() <= driver_threshold:
                 sample = limited.collect()
-                return _driver_union_find(
-                    [(r[src], r[dst]) for r in sample],
-                    edges.sparkSession,
-                    node_type,
-                )
+                # re-check AFTER the collect (same growth guard as
+                # canonical_map): if the cache block was lost and the edge
+                # source grew/re-sampled between the count job and the
+                # collect job, union-find on the re-limited subset would
+                # silently return split components — go distributed instead
+                if len(sample) <= driver_threshold:
+                    return _driver_union_find(
+                        [(r[src], r[dst]) for r in sample],
+                        edges.sparkSession,
+                        node_type,
+                    )
         finally:
             limited.unpersist()
     return connected_components_star(
@@ -320,8 +326,12 @@ def canonical_map(alias_dict: DataFrame, driver_threshold: int = 2_000_000) -> D
 
     from bioner_spark.linking import alias_edges
 
+    # default driver gate, NOT forced-distributed: the alias TABLE being
+    # over-threshold says nothing about the EDGE count (mostly-unique
+    # aliases yield few shared-alias edges), and the gate costs one cheap
+    # count against skipping the whole O(log d)-round star iteration
     edges = alias_edges(alias_dict)
-    comp = connected_components(edges, driver_threshold=0)
+    comp = connected_components(edges)
     all_ids = alias_dict.select(F.col("canonical_id").alias("node")).distinct()
     return (
         all_ids.join(comp, "node", "left")

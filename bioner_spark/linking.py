@@ -116,6 +116,16 @@ def resolve_overlaps(cands: DataFrame) -> DataFrame:
     """Keep a candidate iff no overlapping candidate dominates it
     (longer, or same length and earlier start).
 
+    DELIBERATE one-shot rule, NOT greedy longest-match: dominance is
+    checked against ALL candidates, including ones that are themselves
+    dropped. On chained equal-length overlaps — aliases 'a b', 'b c',
+    'c d' over tokens `a b c d` → candidates (0,1),(1,2),(2,3) — this
+    keeps only (0,1): (2,3) is dominated by the dropped (1,2) and dies
+    with it, where greedy would keep (0,1) and (2,3). The trade is a
+    single vectorized pass (no iterative re-scan per sentence) for a
+    recall tail on pathological alias chains; the DuckDB oracle mirrors
+    the same rule, so parity holds by construction.
+
     Formulation: ONE groupBy per sentence (candidates per sentence are few),
     dominance checked with an in-array `exists` lambda, survivors re-exploded
     with `inline`. An earlier version did a (doc, sentence)-keyed self-join
@@ -165,11 +175,21 @@ def dict_mentions(
 
 
 def dict_tag_tokens(
-    tokens: DataFrame, alias_dict: DataFrame, max_alias_len: int = 3
+    tokens: DataFrame,
+    alias_dict: DataFrame,
+    max_alias_len: int = 3,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """tokens → tokens + BIO `tag` from dictionary matches (B at span start,
-    I inside, O elsewhere)."""
-    spans = resolve_overlaps(candidate_mentions(tokens, alias_dict, max_alias_len))
+    I inside, O elsewhere).
+
+    spans: optional precomputed dict_mentions result. A caller that already
+    built mentions (pipeline.build_triples does) passes them here so the
+    gazetteer candidate chain — window leads + broadcast alias join +
+    overlap resolution over the full token table — is planned once and
+    shared, instead of re-derived independently for the tag view."""
+    if spans is None:
+        spans = dict_mentions(tokens, alias_dict, max_alias_len)
     per_token = spans.select(
         "doc_id",
         "sentence_id",

@@ -161,7 +161,9 @@ def build_triples(
         # already linked: gazetteer matches carry canonical_id (min-id
         # ambiguity rule — same rule link_mentions applies)
         mentions = dict_mentions(tokens, alias_dict)
-        tagged = dict_tag_tokens(tokens, alias_dict)
+        # share the already-built mention spans: the parity tag view must
+        # not re-plan the whole gazetteer chain over the token table
+        tagged = dict_tag_tokens(tokens, alias_dict, spans=mentions)
         linked = mentions
     elif tagger == "neural":
         from bioner_spark.ner.infer import annotate_tokens, annotate_tokens_fasttext

@@ -108,7 +108,9 @@ def test_over_threshold_gate_never_collects_rows(spark, monkeypatch):
     count-only gate: no driver union-find, and no collect() that moves more
     than the gate's bound in rows (the star path's checksum/limit collects
     are 1-row)."""
-    from pyspark.sql import DataFrame
+    # patch the CLASSIC class: pyspark.sql.DataFrame is the abstract base
+    # and classic overrides collect, so a base-class patch never dispatches
+    from pyspark.sql.classic.dataframe import DataFrame
 
     import bioner_spark.graph as G
 
@@ -151,3 +153,32 @@ def test_star_reliable_checkpoint_dir(spark, tmp_path):
         os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
     ]
     assert written, "reliable checkpoint dir is empty — localCheckpoint used?"
+
+
+def test_gate_recollect_growth_falls_back_to_distributed(spark, monkeypatch):
+    """If the edge source grows (or re-samples) between the gate's count job
+    and its collect job — lost cache block + non-deterministic upstream —
+    union-find must NOT run on the re-limited subset: the gate re-checks the
+    collected size and falls through to the star path."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    import bioner_spark.graph as G
+
+    pairs = [("a", "b"), ("b", "c")]
+    df = _edges_df(spark, pairs)
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver union-find ran on a grown edge sample")
+
+    monkeypatch.setattr(G, "_driver_union_find", boom)
+    orig_collect = DataFrame.collect
+
+    def grown_once(self):
+        # restore immediately: only the GATE collect is inflated; the star
+        # path's internal 1-row checksum collects run normally
+        monkeypatch.setattr(DataFrame, "collect", orig_collect)
+        return orig_collect(self) * 50  # simulates a grown source
+
+    monkeypatch.setattr(DataFrame, "collect", grown_once)
+    got = _as_map(G.connected_components(df, driver_threshold=10))
+    assert got == {"a": "a", "b": "a", "c": "a"}
