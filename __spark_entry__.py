@@ -2234,7 +2234,10 @@ words AS (
   SELECT DISTINCT text AS token FROM toks WHERE length(text) > 0
 ),
 sub AS (
-  SELECT token, '<' || token || '>' AS w FROM words
+  -- EOS special case mirrors production subword_rows: fastText's '</s>'
+  -- gets NO character n-grams, so it is excluded here and re-added below
+  -- with zero subwords/sums
+  SELECT token, '<' || token || '>' AS w FROM words WHERE token <> '</s>'
 ),
 grams AS (
   SELECT token, substring(w, i, n) AS sw
@@ -2256,6 +2259,10 @@ SELECT token, COUNT(*)::INT AS n_subwords,
   SUM(((r * 2654435761 + 1 * 40503 + 17) % 2001) - 1000)::BIGINT AS s1,
   SUM(((r * 2654435761 + 2 * 40503 + 17) % 2001) - 1000)::BIGINT AS s2
 FROM hashed GROUP BY token
+UNION ALL
+SELECT token, 0::INT AS n_subwords, 0::BIGINT AS s0, 0::BIGINT AS s1,
+  0::BIGINT AS s2
+FROM words WHERE token = '</s>'
 """
 
     # neural north-star path: the oracle is the committed output of the

@@ -200,7 +200,13 @@ class _VectorCache:
         miss = [w for w in uniq if w not in self.data]
         if miss:
             if len(self.data) + len(miss) > self.max_size:
-                self.data.clear()  # simple epoch eviction; rebuild is cheap
+                # epoch eviction drops CURRENT-batch hits too — recompute
+                # the misses against the post-clear dict, or the return
+                # lookup below KeyErrors on a word that was cached a moment
+                # ago (task-killing; bites exactly in the >max_size
+                # distinct-words regime the bound exists for)
+                self.data.clear()
+                miss = [w for w in uniq if w not in self.data]
             for w in miss:
                 self.data[w] = self.model.word_vector(w)
         d = self.data
@@ -291,6 +297,12 @@ def int_subword_check(
     `n_dims_out` matrix columns over the token's subword rows — the same
     subwords()/fnv1a() code the float path uses, with the un-scaled integer
     lattice, so the DuckDB oracle can reproduce every value exactly.
+
+    EOS ("</s>") mirrors production subword_rows: fastText's EOS gets NO
+    character n-grams (src/dictionary.cc computeSubwords skips it), so the
+    check reports 0 subwords / zero sums for it — otherwise this projection
+    would validate semantics the inference path never executes. The oracle
+    SQL applies the same special case.
     """
     mat = fixture_matrix_int(bucket, dim)[:, :n_dims_out]
     cols = [f"s{k}" for k in range(n_dims_out)]
@@ -302,7 +314,7 @@ def int_subword_check(
                 continue
             rows = []
             for w in pdf[token_col]:
-                sws = subwords(w, minn, maxn)
+                sws = [] if w == EOS else subwords(w, minn, maxn)
                 idx = np.array([fnv1a(s) % bucket for s in sws], dtype=np.int64)
                 sums = (
                     mat[idx].sum(axis=0)

@@ -122,10 +122,19 @@ def encoded_sentences(tokens: DataFrame, vocab: DataFrame) -> DataFrame:
     enc = enc.withColumn(
         "feat_dense", F.concat(position_vector(), surface_vector(F.col("text")))
     )
-    return (
+    return _assemble_sentences(
         enc.select("doc_id", "sentence_id", "token_id", "feat_dense",
                    F.col("ngram_indices").alias("feat_sparse"))
-        .groupBy("doc_id", "sentence_id")
+    )
+
+
+def _assemble_sentences(per_token: DataFrame) -> DataFrame:
+    """(doc_id, sentence_id, token_id, feat_dense, feat_sparse) → one row
+    per sentence with token-parallel arrays, sorted by token_id. THE
+    sentence-assembly contract, shared by the DATEXIS and fastText encoders
+    — sort key / column set / null handling live here once."""
+    return (
+        per_token.groupBy("doc_id", "sentence_id")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("token_id", "feat_dense", "feat_sparse"))
@@ -274,26 +283,13 @@ def encoded_sentences_fasttext(tokens: DataFrame, ft_model) -> DataFrame:
     from bioner_spark.ner.fasttext import fasttext_token_vectors
 
     enc = fasttext_token_vectors(tokens, ft_model, out_col="_ft_vec")
-    return (
+    return _assemble_sentences(
         enc.select(
             "doc_id",
             "sentence_id",
             "token_id",
             F.col("_ft_vec").alias("feat_dense"),
             F.array().cast("array<int>").alias("feat_sparse"),
-        )
-        .groupBy("doc_id", "sentence_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("token_id", "feat_dense", "feat_sparse"))
-            ).alias("toks")
-        )
-        .select(
-            "doc_id",
-            "sentence_id",
-            F.transform("toks", lambda s: s["token_id"]).alias("token_ids"),
-            F.transform("toks", lambda s: s["feat_dense"]).alias("feat_dense"),
-            F.transform("toks", lambda s: s["feat_sparse"]).alias("feat_sparse"),
         )
     )
 

@@ -216,55 +216,62 @@ def decode_real(payload: bytes, modality: str) -> dict:
     )
 
 
+def _budget_subbatches(
+    pdf: pd.DataFrame, byte_budget: int, row_fn, finalize
+) -> "Iterator[pd.DataFrame]":
+    """THE byte-budget sub-batching scaffolding, shared by extract_features
+    and extract_decoded_histograms — a partition of 4K-video rows cannot
+    blow executor memory even if Arrow hands us 2048 rows at once.
+
+    Iterates the batch column-wise (iterrows materializes a pandas Series
+    per row, ~10-50× slower than tuple iteration; the per-item decode is
+    inherent, the iterator overhead is not). row_fn(media_id, modality,
+    payload) returns a dict of output values, or None to skip the row.
+    `finalize` stamps schema-exact dtypes on EVERY flush — not just the
+    tail — so a mid-loop flush emits the same Arrow dtype as the declared
+    schema instead of leaning on a silent narrowing cast."""
+    ids = pdf["media_id"].to_numpy()
+    mods = pdf["modality"].to_numpy()
+    payloads = pdf["payload"].to_numpy()
+    out: list[dict] = []
+    acc = 0
+    for mid, mod, payload in zip(ids, mods, payloads):
+        vals = row_fn(mid, mod, payload)
+        if vals is not None:
+            out.append(vals)
+        acc += len(payload) if payload is not None else 0
+        if acc >= byte_budget:
+            if out:
+                yield finalize(pd.DataFrame(out))
+            out, acc = [], 0
+    if out:
+        yield finalize(pd.DataFrame(out))
+
+
 def extract_features(
     media: DataFrame, byte_budget: int = 64 << 20, normalize: bool = True
 ) -> DataFrame:
     """media table → per-item feature vectors via mapInPandas.
 
-    Sub-batches by cumulative payload bytes so a partition of 4K-video rows
-    cannot blow executor memory even if Arrow hands us 2048 rows at once.
+    Byte-budget sub-batching via _budget_subbatches.
     normalize=False → integer histogram counts (oracle-exact output).
     """
 
+    def row_fn(media_id, modality, payload) -> dict:
+        return {
+            "media_id": media_id,
+            "modality": modality,
+            "n_bytes": len(payload) if payload is not None else 0,
+            "feature": _decode_stub(payload, modality, normalize=normalize).tolist(),
+        }
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_bytes"] = df["n_bytes"].astype(np.int32)
+        return df
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # column-wise zip, not iterrows: iterrows materializes a pandas
-            # Series per row (~10-50× slower than tuple iteration); the
-            # per-item decode is inherent, the iterator overhead is not
-            ids = pdf["media_id"].to_numpy()
-            modalities = pdf["modality"].to_numpy()
-            payloads = pdf["payload"].to_numpy()
-            out_ids: list = []
-            out_mods: list = []
-            out_nbytes: list[int] = []
-            out_feats: list[list[float]] = []
-            acc = 0
-
-            def flush() -> pd.DataFrame:
-                return pd.DataFrame(
-                    {
-                        "media_id": out_ids,
-                        "modality": out_mods,
-                        "n_bytes": np.asarray(out_nbytes, dtype=np.int32),
-                        "feature": out_feats,
-                    }
-                )
-
-            for media_id, modality, payload in zip(ids, modalities, payloads):
-                n = len(payload) if payload is not None else 0
-                acc += n
-                out_ids.append(media_id)
-                out_mods.append(modality)
-                out_nbytes.append(n)
-                out_feats.append(
-                    _decode_stub(payload, modality, normalize=normalize).tolist()
-                )
-                if acc >= byte_budget:
-                    yield flush()
-                    out_ids, out_mods, out_nbytes, out_feats = [], [], [], []
-                    acc = 0
-            if out_ids:
-                yield flush()
+            yield from _budget_subbatches(pdf, byte_budget, row_fn, finalize)
 
     return media.mapInPandas(
         run, schema=FEATURES_SCHEMA if normalize else HIST_SCHEMA
@@ -276,7 +283,9 @@ DECODED_HIST_SCHEMA = (
 )
 
 
-def extract_decoded_histograms(media: DataFrame, byte_budget: int = 64 << 20) -> DataFrame:
+def extract_decoded_histograms(
+    media: DataFrame, byte_budget: int = 64 << 20, on_error: str = "raise"
+) -> DataFrame:
     """REAL-decode feature extraction: parse each payload with decode_real
     (WAV-PCM samples / netpbm pixels) and emit an exact 16-bin integer
     histogram of the decoded values — PCM samples normalized to the int16
@@ -284,7 +293,18 @@ def extract_decoded_histograms(media: DataFrame, byte_budget: int = 64 << 20) ->
     uint8 pixels by b >> 4, so every supported bit depth lands in exactly
     16 bins. Integer output ⇒ the DuckDB oracle can verify the decode
     end-to-end with zero float tolerance. Same byte-budget sub-batching as
-    extract_features."""
+    extract_features.
+
+    on_error: "raise" (default) fails the job on the first undecodable row
+    — right for the contract fixtures, where any decode error is a bug.
+    "skip" drops rows whose payload is NULL or not a decodable WAV/netpbm
+    container (MediaDecodeError / NotImplementedError) and keeps going —
+    the 100 TB setting, where corrupt/foreign payloads are certain and one
+    bad row must not kill a thousand-executor stage; pair it with an
+    anti-join against the output to quarantine the skipped rows."""
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def _hist(payload) -> tuple[int, list[int]]:
         d = decode_real(payload, "")
@@ -300,36 +320,23 @@ def extract_decoded_histograms(media: DataFrame, byte_budget: int = 64 << 20) ->
             vals = d["pixels"].ravel().astype(np.int64) >> 4
         return len(vals), np.bincount(vals, minlength=16).astype(np.int32).tolist()
 
+    def row_fn(mid, mod, payload) -> dict | None:
+        if on_error == "skip":
+            try:
+                n, hist = _hist(payload)
+            except (MediaDecodeError, NotImplementedError):
+                return None
+        else:
+            n, hist = _hist(payload)
+        return {"media_id": mid, "modality": mod, "n_values": n, "feature": hist}
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_values"] = df["n_values"].astype(np.int32)
+        return df
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = pdf["media_id"].to_numpy()
-            mods = pdf["modality"].to_numpy()
-            payloads = pdf["payload"].to_numpy()
-            out: dict = {"media_id": [], "modality": [], "n_values": [], "feature": []}
-            acc = 0
-
-            def flush() -> pd.DataFrame:
-                # int32 on EVERY flush (not just the tail): a mid-loop
-                # byte-budget flush must emit the same Arrow dtype as the
-                # declared schema instead of leaning on a silent int64→
-                # int32 narrowing cast
-                df = pd.DataFrame(out)
-                df["n_values"] = df["n_values"].astype(np.int32)
-                return df
-
-            for mid, mod, payload in zip(ids, mods, payloads):
-                n, hist = _hist(payload)
-                out["media_id"].append(mid)
-                out["modality"].append(mod)
-                out["n_values"].append(n)
-                out["feature"].append(hist)
-                acc += len(payload) if payload is not None else 0
-                if acc >= byte_budget:
-                    yield flush()
-                    out = {k: [] for k in out}
-                    acc = 0
-            if out["media_id"]:
-                yield flush()
+            yield from _budget_subbatches(pdf, byte_budget, row_fn, finalize)
 
     return media.mapInPandas(run, schema=DECODED_HIST_SCHEMA)
 

@@ -123,10 +123,10 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns(
         {
-            # non-empty tokens only — same empty-token law as _words
-            "ws_tokens": F.size(
-                F.filter(F.split(c, r"\s+"), lambda w: F.length(w) > 0)
-            ),
+            # REUSE _words, don't restate its law: lower() can't change a
+            # count, and an inline copy of the split+filter rule can drift
+            # from the quality/lang-ID features next time the law moves
+            "ws_tokens": F.size(_words(c)),
             "subword_est": F.regexp_count(c, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")),
         }
     )

@@ -205,3 +205,33 @@ def test_ship_fasttext_sparkfiles_path(spark):
     }
     assert via_file == via_closure
     assert len(via_file) == 3 and len(via_file[0]) == 8
+
+
+def test_vector_cache_eviction_keeps_current_batch_hits():
+    """Epoch eviction clears words that are HITS in the current batch; the
+    final lookup must not KeyError on them (previously task-killing in the
+    >max_size distinct-words regime the bound exists for)."""
+    import pandas as pd
+
+    from bioner_spark.ner.fasttext import FastTextModel, _VectorCache
+
+    cache = _VectorCache(FastTextModel.fixture(), max_size=3)
+    cache.get_many(pd.Series(["a", "b", "c"]))  # fill to the bound
+    out = cache.get_many(pd.Series(["a", "d"]))  # hit + miss -> eviction
+    assert len(out) == 2
+    import numpy as np
+
+    np.testing.assert_array_equal(out[0], cache.model.word_vector("a"))
+
+
+def test_int_subword_check_eos_matches_production(spark):
+    """The verification projection must mirror subword_rows' EOS rule (no
+    n-grams for '</s>') — otherwise the oracle validates semantics the
+    inference path never executes."""
+    from bioner_spark.ner.fasttext import int_subword_check
+
+    df = spark.createDataFrame([("</s>",), ("cell",)], "text string")
+    rows = {r.token: r for r in int_subword_check(df).collect()}
+    assert rows["</s>"].n_subwords == 0
+    assert (rows["</s>"].s0, rows["</s>"].s1, rows["</s>"].s2) == (0, 0, 0)
+    assert rows["cell"].n_subwords > 0

@@ -539,3 +539,62 @@ def test_lsh_bucket_dim_mismatch_fails_loudly(spark):
         lsh_bucket(F.col("embedding"), hyperplanes(dim=3, n_planes=2)).alias("b")
     ).collect()
     assert len(ok) == 1 and ok[0].b is not None
+
+
+def test_decoded_histograms_on_error_containment(spark):
+    """At web scale corrupt/NULL/foreign payloads are certain: on_error
+    ='skip' drops them and keeps the stage alive; the default stays loud
+    for the contract fixtures, where any decode error is a bug."""
+    from bioner_spark.ops.multimodal import extract_decoded_histograms
+
+    media = spark.createDataFrame(
+        [
+            ("ok", "audio", _wav_container(8, bytes([0, 128, 255]))),
+            ("nul", "audio", None),
+            ("junk", "video", b"\x00\x01not-a-container"),
+        ],
+        "media_id string, modality string, payload binary",
+    )
+    got = extract_decoded_histograms(media, on_error="skip").collect()
+    assert [r["media_id"] for r in got] == ["ok"]
+
+    with pytest.raises(Exception):
+        extract_decoded_histograms(media).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        extract_decoded_histograms(media, on_error="quarantine")
+
+
+def test_budget_subbatching_mid_loop_flush_matches_single_flush(spark):
+    """byte_budget=1 forces a flush after every row — output must be
+    identical (rows, dtypes) to the one-flush default, proving the shared
+    scaffolding's mid-loop path emits schema-exact frames."""
+    from bioner_spark.ops.multimodal import (
+        extract_decoded_histograms,
+        extract_features,
+    )
+
+    rows = [
+        ("m1", "image", b"\x00\x01\x02\xff" * 10, {"w": "4"}),
+        ("m2", "audio", b"", {}),
+        ("m3", "video", b"\x10" * 100, {"n_frames": "90"}),
+    ]
+    from bioner_spark.ops.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(extract_features(media, byte_budget=1)) == key(extract_features(media))
+
+    wav_media = spark.createDataFrame(
+        [
+            ("ok", "audio", _wav_container(8, bytes([0, 128, 255]))),
+            ("junk", "video", b"\x00\x01not-a-container"),
+            ("ok2", "audio", _wav_container(8, bytes([7, 9]))),
+        ],
+        "media_id string, modality string, payload binary",
+    )
+    got = extract_decoded_histograms(wav_media, byte_budget=1, on_error="skip")
+    assert key(got) == key(
+        extract_decoded_histograms(
+            wav_media.filter(F.col("media_id") != "junk")
+        )
+    )
