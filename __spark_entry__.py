@@ -945,10 +945,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["neural_ner_tags"] = neural_ner_tags
 
-    def multimodal_features(spark, sf_dir):
-        from bioner_spark.ops.multimodal import extract_features
-
-        media = _docs(spark, sf_dir).select(
+    def _media_table(spark, sf_dir):
+        """THE synthetic media derivation (media_id cast, doc_id%2 modality
+        rule, utf-8 payload, n_frames meta) — one definition for
+        multimodal_features AND multimodal_hist; both oracles mirror it, so
+        an edit here must update both oracle CTEs in lockstep."""
+        return _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("media_id"),
             F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
             .otherwise(F.lit("audio"))
@@ -958,7 +960,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("n_frames"), (F.col("n_chars") % 100).cast("string")
             ).alias("meta"),
         )
-        feats = extract_features(media)
+
+    def multimodal_features(spark, sf_dir):
+        from bioner_spark.ops.multimodal import extract_features
+
+        feats = extract_features(_media_table(spark, sf_dir))
         # f0 = hist[0]/sum(hist), computed in float32 inside the UDF. No
         # rounding: IEEE single-precision division is bit-reproducible, so
         # the DuckDB oracle recomputes the exact same double (FLOAT/FLOAT
@@ -979,17 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tolerance); one row per (item, bin)
         from bioner_spark.ops.multimodal import extract_features
 
-        media = _docs(spark, sf_dir).select(
-            F.col("doc_id").cast("string").alias("media_id"),
-            F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
-            .otherwise(F.lit("audio"))
-            .alias("modality"),
-            F.encode(F.col("text"), "utf-8").alias("payload"),
-            F.create_map(
-                F.lit("n_frames"), (F.col("n_chars") % 100).cast("string")
-            ).alias("meta"),
-        )
-        feats = extract_features(media, normalize=False)
+        feats = extract_features(_media_table(spark, sf_dir), normalize=False)
         return feats.select(
             "media_id", "modality", "n_bytes",
             F.posexplode("feature").alias("bin", "n"),
@@ -1138,6 +1134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         and `max_dup` must be n_docs - 1 (the last arrival saw every earlier
         one via state).
         """
+        import atexit
+        import shutil
         import tempfile
 
         from bioner_spark.streaming.stateful import streaming_dedup
@@ -1146,6 +1144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").cast("string").alias("url"), "text"
         )
         base = tempfile.mkdtemp(prefix="stream_dedup_q_")
+        # full corpus copy + checkpoint state per invocation: without
+        # cleanup, repeated harness runs accumulate them until /tmp fills
+        # (same rule as lsh_topk_indexed's index dir)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
         in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
         # 4 deterministic micro-batches by doc_id mod 4 — duplicate groups
         # have scattered doc_ids, so fingerprints genuinely span batches
@@ -1190,6 +1192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the expected token/tag rows straight from `documents` in SQL, so the
         render→write→read→parse→tokenize→project chain is hash-verified
         end to end."""
+        import atexit
+        import shutil
         import tempfile
 
         from bioner_spark.io.pubtator import (
@@ -1230,6 +1234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
         tmp = tempfile.mkdtemp(prefix="pubtator_q_")
+        # rendered-corpus copy per invocation — clean up like the
+        # streaming/lsh-index temp dirs or repeated runs fill /tmp
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
         render_pubtator(docs, mentions).coalesce(4).write.mode("overwrite").text(tmp)
         pdocs, anns = read_pubtator(spark, tmp)
         ptoks = tokenize(pdocs, doc_col="doc_id", text_col="text")
@@ -1250,6 +1257,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, ANSI where possible)
 # ---------------------------------------------------------------------------
+
+# THE dedup-normalization law in SQL — ONE definition, mirroring
+# ops.dedup.normalized. EXPLICIT ASCII whitespace class, not \\s: Java
+# regex (Spark) counts U+000B vertical tab as \\s, RE2 (DuckDB) does not
+# (measured), so '\\s+' here would silently diverge from the engine on VT
+# and fail every fingerprint/minhash oracle downstream.
+_NORM_SQL = r"trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
 
 _TOKS_CTE = """
 raw AS (
@@ -1513,6 +1527,31 @@ _HITS = (
 )
 
 
+def _norm_words_cte(src: str = "documents") -> str:
+    """norm→words CTE pair: THE normalization+word-split law, stated once
+    for the whole dedup oracle family (minhash, jaccard, near-dup,
+    decontamination, corpus_filter) so the law cannot desync per-oracle."""
+    return rf"""norm AS (
+  SELECT doc_id, {_NORM_SQL} AS t
+  FROM {src}
+),
+words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm)"""
+
+
+def _shingle_cte(n: int = 3, alias: str = "shingles") -> str:
+    """Word n-gram shingle CTE over `words` — distinct n-grams, whole-doc
+    fallback shingle for docs shorter than n (mirrors
+    ops.dedup.shingles_from_words)."""
+    return rf"""{alias} AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= {n} THEN
+      list_distinct(list_transform(range(0, len(ws) - {n - 1}),
+        i -> array_to_string(list_slice(ws, (i + 1)::INT, (i + {n})::INT), ' ')))
+    ELSE [array_to_string(ws, ' ')] END) AS shingle
+  FROM words
+)"""
+
+
 def _minhash_cte() -> str:
     from bioner_spark.ops.dedup import LSH_PRIME, MINHASH_COEFFS
 
@@ -1521,19 +1560,8 @@ def _minhash_cte() -> str:
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     )
     return rf"""
-norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-  FROM documents
-),
-words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
-shingles AS (
-  SELECT doc_id, unnest(
-    CASE WHEN len(ws) >= 3 THEN
-      list_distinct(list_transform(range(0, len(ws) - 2),
-        i -> array_to_string(list_slice(ws, (i + 1)::INT, (i + 3)::INT), ' ')))
-    ELSE [array_to_string(ws, ' ')] END) AS shingle
-  FROM words
-),
+{_norm_words_cte()},
+{_shingle_cte()},
 hashed AS (
   SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM shingles
 ),
@@ -1562,7 +1590,7 @@ def _simhash_sql() -> str:
     sig = " + ".join(f"(CASE WHEN b{k} > 0 THEN {2**k} ELSE 0 END)" for k in range(32))
     return rf"""
 WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  SELECT doc_id, {_NORM_SQL} AS t
   FROM documents
 ),
 words AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
@@ -1901,8 +1929,8 @@ LEFT JOIN documents d ON s.split = CASE
 GROUP BY s.split
 """
 
-    o["dedup_exact"] = r"""
-SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+    o["dedup_exact"] = rf"""
+SELECT md5({_NORM_SQL}) AS fingerprint,
        COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS min_doc_id
 FROM documents GROUP BY 1
 """
@@ -1920,20 +1948,9 @@ FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
-    o["jaccard_pairs"] = r"""
-WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-  FROM documents
-),
-words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
-shingles AS (
-  SELECT doc_id, unnest(
-    CASE WHEN len(ws) >= 3 THEN
-      list_distinct(list_transform(range(0, len(ws) - 2),
-        i -> array_to_string(list_slice(ws, (i + 1)::INT, (i + 3)::INT), ' ')))
-    ELSE [array_to_string(ws, ' ')] END) AS shingle
-  FROM words
-),
+    o["jaccard_pairs"] = rf"""
+WITH {_norm_words_cte()},
+{_shingle_cte()},
 sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM shingles GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_common
@@ -1955,20 +1972,9 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.05
     # this corpus (a >=0.8 pair missed by the banded candidates would split
     # a cluster and hash-mismatch; at jaccard >=0.9 — all pairs here — band
     # recall is ~0.999 and the deterministic hashes do collide).
-    o["near_dup_clusters"] = r"""
-WITH RECURSIVE norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-  FROM documents
-),
-words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
-shingles AS (
-  SELECT doc_id, unnest(
-    CASE WHEN len(ws) >= 3 THEN
-      list_distinct(list_transform(range(0, len(ws) - 2),
-        i -> array_to_string(list_slice(ws, (i + 1)::INT, (i + 3)::INT), ' ')))
-    ELSE [array_to_string(ws, ' ')] END) AS shingle
-  FROM words
-),
+    o["near_dup_clusters"] = rf"""
+WITH RECURSIVE {_norm_words_cte()},
+{_shingle_cte()},
 sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM shingles GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_common
@@ -2002,20 +2008,9 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 
     # decontamination: 8-gram overlap vs the doc_id%41 benchmark split,
     # recomputed with DuckDB list ops
-    o["decontamination"] = r"""
-WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-  FROM documents
-),
-words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
-sh AS (
-  SELECT doc_id, unnest(
-    CASE WHEN len(ws) >= 8 THEN
-      list_distinct(list_transform(range(0, len(ws) - 7),
-        i -> array_to_string(list_slice(ws, (i + 1)::INT, (i + 8)::INT), ' ')))
-    ELSE [array_to_string(ws, ' ')] END) AS shingle
-  FROM words
-),
+    o["decontamination"] = rf"""
+WITH {_norm_words_cte()},
+{_shingle_cte(8, "sh")},
 bench_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0),
 hits AS (
   SELECT DISTINCT doc_id FROM sh
@@ -2086,10 +2081,10 @@ SELECT doc_id,
 FROM documents
 """
 
-    o["fingerprints"] = r"""
+    o["fingerprints"] = rf"""
 SELECT doc_id,
-  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
-  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fingerprint16
+  md5({_NORM_SQL}) AS fingerprint,
+  substr(md5({_NORM_SQL}), 1, 16) AS fingerprint16
 FROM documents
 """
 
@@ -2240,9 +2235,13 @@ sub AS (
   SELECT token, '<' || token || '>' AS w FROM words WHERE token <> '</s>'
 ),
 grams AS (
+  -- position table sized from the actual longest padded token, NOT a
+  -- fixed cap: a 350-char unbroken token (URL/hash) would otherwise lose
+  -- its tail subwords here while the engine computes all of them
   SELECT token, substring(w, i, n) AS sw
   FROM sub, (SELECT unnest(generate_series(3, 4)) AS n) ns,
-       (SELECT unnest(generate_series(1, 300)) AS i) pos
+       (SELECT unnest(generate_series(1,
+          (SELECT COALESCE(MAX(length(w)), 1) FROM sub))) AS i) pos
   WHERE i <= length(w) - n + 1
 ),
 hashed AS (
@@ -2287,19 +2286,8 @@ FROM (VALUES
     # recursive-CTE near-dup closure at 0.8, 8-gram decontamination) with
     # the same fixed reject precedence
     o["corpus_filter"] = rf"""
-WITH RECURSIVE norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-  FROM documents
-),
-words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
-shingles AS (
-  SELECT doc_id, unnest(
-    CASE WHEN len(ws) >= 3 THEN
-      list_distinct(list_transform(range(0, len(ws) - 2),
-        i -> array_to_string(list_slice(ws, (i + 1)::INT, (i + 3)::INT), ' ')))
-    ELSE [array_to_string(ws, ' ')] END) AS shingle
-  FROM words
-),
+WITH RECURSIVE {_norm_words_cte()},
+{_shingle_cte()},
 sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM shingles GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_common
@@ -2324,14 +2312,7 @@ reach(node, reached) AS (
   SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.reached
 ),
 comp AS (SELECT node, MIN(reached) AS cluster_id FROM reach GROUP BY node),
-sh8 AS (
-  SELECT doc_id, unnest(
-    CASE WHEN len(ws) >= 8 THEN
-      list_distinct(list_transform(range(0, len(ws) - 7),
-        i -> array_to_string(list_slice(ws, (i + 1)::INT, (i + 8)::INT), ' ')))
-    ELSE [array_to_string(ws, ' ')] END) AS shingle
-  FROM words
-),
+{_shingle_cte(8, "sh8")},
 bench_sh AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 41 = 0),
 cont AS (
   SELECT DISTINCT doc_id FROM sh8
@@ -2344,7 +2325,7 @@ feats AS (
     {_HITS.format(words=_STOP_FR)} AS h_fr,
     len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0))::INT AS ws_tokens,
     MIN(doc_id) OVER (
-      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      PARTITION BY md5({_NORM_SQL})
     ) AS rep_id
   FROM documents
 ),
@@ -2544,10 +2525,10 @@ FROM media m LEFT JOIN bin0 b USING (media_id)
     # stateful streaming dedup is deterministic regardless of micro-batch
     # boundaries — n_firsts is 1 by the operator contract (state carries
     # across batches) and the max running-duplicate counter is n_docs - 1.
-    o["streaming_dedup_ledger"] = r"""
+    o["streaming_dedup_ledger"] = rf"""
 WITH fp AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc,
-         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+         md5({_NORM_SQL}) AS fingerprint
   FROM documents
 )
 SELECT fingerprint,

@@ -87,12 +87,10 @@ def main() -> None:
     # --- neural_ner: Arrow/numpy kernel -------------------------------------
     def run_neural():
         from bioner_spark.extract import with_extracted_text
-        from bioner_spark.functions.ngrams import build_vocabulary
+        from bioner_spark.functions.ngrams import build_vocabulary, vocab_size
         from bioner_spark.ner.infer import annotate_tokens
         from bioner_spark.ner.kernel import load_model_config
         from bioner_spark.tokenizer import tokenize
-
-        from bioner_spark.functions.ngrams import vocab_size
 
         sub = pages.limit(max(100, n_docs // 4))
         toks = tokenize(with_extracted_text(sub.select("url", "html")))

@@ -53,8 +53,15 @@ def _hash32(c):
 
 
 def normalized(text_col):
-    """Dedup normalization: lowercase, collapse whitespace, trim."""
-    return F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+    """Dedup normalization: lowercase, collapse whitespace, trim.
+
+    EXPLICIT ASCII whitespace class, not `\\s`: Java regex (Spark) counts
+    U+000B vertical tab as \\s, RE2 (the DuckDB oracles) does not —
+    measured divergence, so a VT in a document would normalize differently
+    per engine and every fingerprint/minhash oracle downstream would
+    mismatch. The explicit class is byte-identical semantics in both; the
+    oracle SQL (`__spark_entry__._NORM_SQL`) states the same class."""
+    return F.trim(F.regexp_replace(F.lower(text_col), r"[ \t\n\x0B\f\r]+", " "))
 
 
 def exact_duplicate_groups(

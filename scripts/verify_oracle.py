@@ -117,7 +117,13 @@ def main() -> None:
             print(f"FAIL {name}: duckdb error: {str(e)[:500]}")
             n_fail += 1
             continue
-        problems = compare(name, sdf, odf)
+        try:
+            problems = compare(name, sdf, odf)
+        except Exception as e:
+            # e.g. astype(float) on a string column one side returned as
+            # VARCHAR — a type-skew FAIL for THIS query, never a harness
+            # traceback that silently skips every remaining query
+            problems = [f"compare error (type skew?): {str(e)[:300]}"]
         if problems:
             n_fail += 1
             print(f"FAIL {name} [{time.time()-t0:.1f}s]")

@@ -598,3 +598,29 @@ def test_budget_subbatching_mid_loop_flush_matches_single_flush(spark):
             wav_media.filter(F.col("media_id") != "junk")
         )
     )
+
+
+def test_normalization_law_identical_across_engines(spark):
+    """The dedup normalization must agree byte-for-byte between Spark
+    (Java regex) and DuckDB (RE2) — Java's \\s includes U+000B vertical
+    tab, RE2's does not, so the law uses an explicit ASCII class. A VT doc
+    is the regression probe."""
+    import duckdb
+
+    from bioner_spark.ops.dedup import normalized
+
+    probes = ["a\x0bb", "A  b\tc\r\n", " x ", "mixed\x0b \t text"]
+    sdf = spark.createDataFrame([(p,) for p in probes], "text string")
+    got_spark = [r.n for r in sdf.select(normalized(F.col("text")).alias("n")).collect()]
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {entrymod._NORM_SQL} AS n FROM (SELECT ? AS text)", [p]
+        ).fetchone()[0]
+        for p in probes
+    ]
+    assert got_spark == got_duck
+    assert got_spark[0] == "a b"  # VT collapsed on BOTH engines
