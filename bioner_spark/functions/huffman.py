@@ -173,6 +173,22 @@ def huffman_codes(
     pathological vocabulary fails loudly before any job is launched.
     """
     spark = vocab.sparkSession
+    # the vocab plan executes twice (driver count collect + the executor
+    # walk below); build_vocabulary output is localCheckpointed so both
+    # reads are vocab-sized, but an arbitrary uncached input would re-run
+    # its full corpus lineage — persist it, populated by the toPandas scan,
+    # released on the NEXT call (holder pattern, same lifetime rule as the
+    # tree broadcast: the returned DataFrame is lazy)
+    prev_vocab = _TREE_BROADCAST.pop("vocab_cache", None)
+    if prev_vocab is not None:
+        try:
+            prev_vocab.unpersist()
+        except Exception:
+            pass  # previous context already torn down
+    if not vocab.storageLevel.useMemory and not vocab.storageLevel.useDisk:
+        # don't adopt (and later unpersist) a cache the CALLER manages
+        vocab = vocab.persist()
+        _TREE_BROADCAST["vocab_cache"] = vocab
     pdf = vocab.select("index", "count").orderBy("index").toPandas()
     v = len(pdf)
     if v == 0:

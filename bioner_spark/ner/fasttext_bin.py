@@ -45,7 +45,7 @@ import struct
 
 import numpy as np
 
-from bioner_spark.ner.fasttext import EOS, FastTextModel
+from bioner_spark.ner.fasttext import FastTextModel
 
 FASTTEXT_MAGIC = 793712314
 FASTTEXT_VERSION = 12
@@ -173,6 +173,13 @@ def load_bin(path: str):
         if m != nwords + args["bucket"]:
             raise FastTextBinError(
                 f"input matrix rows {m} != nwords {nwords} + bucket {args['bucket']}"
+            )
+        if n != args["dim"] or m < 0 or n <= 0:
+            # a dim-inconsistent file would otherwise load "fine" and
+            # surface later as an opaque shape mismatch when input_dim
+            # wiring trusts meta['dim'] over the actual vector width
+            raise FastTextBinError(
+                f"input matrix cols {n} != header dim {args['dim']}"
             )
         matrix = np.frombuffer(
             f.read_exact(4 * m * n), dtype="<f4", count=m * n

@@ -200,7 +200,12 @@ class SequenceModel:
         _pack_bn("enc", self.enc_bn)
         for i, bn in enumerate(self.bilstm_bns or []):
             _pack_bn(f"l{i}", bn)
-        np.savez_compressed(path, **arrays)
+        # write through a file handle: np.savez_compressed(str) silently
+        # APPENDS .npz to an extension-less path, so save('/m/best') +
+        # load('/m/best') — the same string — would FileNotFoundError;
+        # the handle form writes to exactly the path given
+        with open(path, "wb") as fh:
+            np.savez_compressed(fh, **arrays)
 
     @classmethod
     def load(cls, path: str) -> "SequenceModel":

@@ -195,12 +195,46 @@ def load_state_dict(path: str) -> "OrderedDict[str, np.ndarray]":
             )
         prefix = pkl_names[0][: -len("data.pkl")]
 
+        # _STORAGE_DTYPES are hard-coded little-endian; a checkpoint saved
+        # on a big-endian host declares it here — loading it anyway would
+        # silently byte-swap every weight (garbage predictions, no error)
+        bo_name = f"{prefix}byteorder"
+        if bo_name in zf.namelist():
+            bo = zf.read(bo_name).decode("ascii", "replace").strip()
+            if bo != "little":
+                raise TorchImportError(
+                    f"checkpoint byte order {bo!r} is not supported "
+                    "(little-endian storages only)"
+                )
+
         def read_storage(key: str, dtype: np.dtype, numel: int) -> np.ndarray:
-            raw = zf.read(f"{prefix}data/{key}")
+            try:
+                raw = zf.read(f"{prefix}data/{key}")
+            except KeyError as e:
+                raise TorchImportError(
+                    f"checkpoint references missing storage entry "
+                    f"{prefix}data/{key}"
+                ) from e
+            if len(raw) < numel * dtype.itemsize:
+                raise TorchImportError(
+                    f"storage {key}: {len(raw)} bytes < declared "
+                    f"{numel} x {dtype.itemsize}"
+                )
             return np.frombuffer(raw, dtype=dtype, count=numel)
 
         with zf.open(pkl_names[0]) as f:
-            obj = _RestrictedUnpickler(f, read_storage).load()
+            try:
+                obj = _RestrictedUnpickler(f, read_storage).load()
+            except TorchImportError:
+                raise
+            except Exception as e:
+                # the class contract is TorchImportError for ANY malformed
+                # .pt — never a raw KeyError/ValueError/AttributeError from
+                # pickle internals that an `except TorchImportError`
+                # caller would miss
+                raise TorchImportError(
+                    f"malformed checkpoint pickle: {type(e).__name__}: {e}"
+                ) from e
     if not isinstance(obj, (dict, OrderedDict)):
         raise TorchImportError(f"checkpoint holds {type(obj).__name__}, not a dict")
     return OrderedDict(

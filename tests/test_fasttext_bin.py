@@ -188,3 +188,24 @@ def test_spark_token_vectors_with_bin_model(spark):
     }
     for w in ("cancer", "carcinoma", EOS):
         np.testing.assert_array_equal(out[w], reference_vector(w))
+
+
+def test_dim_mismatch_rejected(tmp_path):
+    """A .bin whose DenseMatrix column count disagrees with the header dim
+    must fail at load, not later as an opaque shape mismatch."""
+    rng = np.random.default_rng(3)
+    words = ["</s>", "x"]
+    mat = rng.normal(size=(len(words) + 4, 4)).astype("float32")
+    p = str(tmp_path / "dm.bin")
+    write_bin(p, mat, words, minn=2, maxn=3)
+    raw = bytearray(open(p, "rb").read())
+    # header dim is the FIRST int32 of the args block (after magic+version)
+    import struct as _s
+
+    (dim,) = _s.unpack_from("<i", raw, 8)
+    assert dim == 4
+    _s.pack_into("<i", raw, 8, 300)
+    bad = tmp_path / "dm_bad.bin"
+    bad.write_bytes(bytes(raw))
+    with pytest.raises(FastTextBinError, match="dim"):
+        load_bin(str(bad))

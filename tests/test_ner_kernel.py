@@ -315,3 +315,20 @@ def test_reverse_by_length_zero_length_row():
     out = _reverse_by_length(x, np.array([0, 3]))
     np.testing.assert_array_equal(out[0], x[0])  # untouched, not broadcast-crashed
     np.testing.assert_array_equal(out[1], x[1, ::-1])
+
+
+def test_save_load_symmetric_without_npz_extension(tmp_path):
+    """save(path) must write to EXACTLY path: np.savez_compressed(str)
+    appends .npz to extension-less paths, so save('/m/best') +
+    load('/m/best') — the same configured string — used to
+    FileNotFoundError."""
+    import os
+
+    m = init_model(input_dim=8, seed=3)
+    p = str(tmp_path / "best")  # no extension, like a model_save_path knob
+    m.save(p)
+    assert os.path.isfile(p)
+    m2 = SequenceModel.load(p)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 3, 8)).astype(np.float32)
+    np.testing.assert_array_equal(m.forward(x, np.array([3])), m2.forward(x, np.array([3])))

@@ -346,3 +346,38 @@ def test_full_stacked_bn_checkpoint_name_set(tmp_path):
     np.testing.assert_array_equal(
         back["biLSTMBatchNorms.2.running_var"], sd["biLSTMBatchNorms.2.running_var"]
     )
+
+
+def test_big_endian_checkpoint_rejected(tmp_path):
+    """Storage dtypes are hard-coded little-endian; a big-endian-saved
+    checkpoint must fail loudly, not load byte-swapped garbage weights."""
+    import zipfile
+
+    src = str(tmp_path / "le.pt")
+    write_state_dict_pt(src, {"w": np.ones((2, 2), dtype=np.float32)})
+    dst = str(tmp_path / "be.pt")
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(dst, "w") as zout:
+        for n in zin.namelist():
+            data = zin.read(n)
+            if n.endswith("/byteorder"):
+                data = b"big"
+            zout.writestr(n, data)
+    with pytest.raises(TorchImportError, match="byte order"):
+        load_state_dict(dst)
+
+
+def test_missing_storage_entry_raises_import_error(tmp_path):
+    """A checkpoint whose pickle references an absent data/<key> entry must
+    raise TorchImportError (the class contract), not a raw KeyError."""
+    import zipfile
+
+    src = str(tmp_path / "ok.pt")
+    write_state_dict_pt(src, {"w": np.ones((2, 2), dtype=np.float32)})
+    dst = str(tmp_path / "hole.pt")
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(dst, "w") as zout:
+        for n in zin.namelist():
+            if "/data/" in n:
+                continue  # drop every storage payload
+            zout.writestr(n, zin.read(n))
+    with pytest.raises(TorchImportError):
+        load_state_dict(dst)
