@@ -298,8 +298,13 @@ def materialize_triples(
         for r in triples.filter(F.col("bucket").isin(todo_buckets))
         .select("bucket").distinct().collect()
     }
-    carrier = triples.select(F.min("bucket").alias("b")).collect()[0]["b"]
-    carrier = int(carrier) if carrier is not None else None
+    # carrier lazily: plan_commit consults it ONLY when no todo bucket has
+    # rows, so the routine incremental run (some row-bearing stale buckets)
+    # must not pay a full-output min() scan just to discard the value
+    carrier = None
+    if (todo or removed) and not present:
+        row = triples.select(F.min("bucket").alias("b")).collect()[0]["b"]
+        carrier = int(row) if row is not None else None
     pre_delete, write_buckets, props_todo, post_delete, reset = plan_commit(
         todo, removed, present, carrier
     )
@@ -351,9 +356,24 @@ def mirror_triples(
     return todo, orphans
 
 
-def table_buckets_sql(table: str) -> str:
+def table_buckets_sql(table: str, net_of_deletes: bool = False) -> str:
     """Distinct partition values from Iceberg's `.partitions` metadata
-    table — a metadata-only read (no data-file scan) even at 10^12 rows."""
+    table — a metadata-only read (no data-file scan) even at 10^12 rows.
+
+    net_of_deletes: subtract merge-on-read delete counts. Under
+    write.delete.mode=merge-on-read a DELETE writes delete files and
+    leaves the data files (and their record_count) in place, so a raw
+    `.partitions` read would re-list a fully-deleted orphan bucket as
+    row-bearing on EVERY mirror run until compaction — a carrier snapshot
+    plus a no-op DELETE per run, breaking the zero-commit-resume
+    invariant. Counting live rows = record_count − position/equality
+    delete counts restores convergence without a data scan."""
+    if net_of_deletes:
+        return (
+            f"SELECT partition.bucket AS bucket FROM {table}.partitions "
+            "WHERE record_count > COALESCE(position_delete_record_count, 0)"
+            " + COALESCE(equality_delete_record_count, 0)"
+        )
     return f"SELECT partition.bucket AS bucket FROM {table}.partitions"
 
 
@@ -361,11 +381,20 @@ def table_buckets(spark: SparkSession, table: str) -> set[int]:
     """Buckets that actually have rows in the table. Callers diff this
     against the current input's buckets (in addition to the recorded
     lineage) so an orphan whose lineage was voided but whose DELETE
-    crashed is re-listed and the delete retried."""
+    crashed is re-listed and the delete retried. Uses delete-aware
+    counting when this Iceberg version exposes per-partition delete
+    counts (see table_buckets_sql)."""
     require_iceberg(spark)
+    part_cols = {
+        f.name
+        for f in spark.sql(f"SELECT * FROM {table}.partitions LIMIT 0").schema.fields
+    }
+    sql = table_buckets_sql(
+        table, net_of_deletes="position_delete_record_count" in part_cols
+    )
     return {
         int(r["bucket"])
-        for r in spark.sql(table_buckets_sql(table)).collect()
+        for r in spark.sql(sql).collect()
         if r["bucket"] is not None
     }
 
@@ -392,9 +421,26 @@ def lineage_from_summaries(summaries: list[dict]) -> dict[int, str]:
 
 def read_lineage(spark: SparkSession, table: str) -> dict[int, str]:
     """Latest-commit-wins {bucket: fingerprint} from snapshot summaries —
-    the Iceberg equivalent of pipeline.read_manifest's max_by read."""
+    the Iceberg equivalent of pipeline.read_manifest's max_by read.
+
+    Restricted to the CURRENT snapshot's ancestry (`.history` rows with
+    is_current_ancestor): replaying ALL of `.snapshots` would keep
+    counting commits that a `rollback_to_snapshot` removed from the table
+    — their buckets would read as done while their rows are gone, and
+    stale_buckets would skip them forever (silent data loss in the
+    mirror). Rolled-back branches must not contribute lineage.
+
+    Durability caveat (unlike the append-only parquet manifest): routine
+    `expire_snapshots` maintenance deletes old summaries, so buckets whose
+    last write predates the retention window lose their recorded
+    fingerprint and are re-listed as stale — a CORRECT but wasteful
+    recompute. Keep snapshot retention longer than the mirror cadence, or
+    accept periodic full rewrites."""
     require_iceberg(spark)
     rows = spark.sql(
-        f"SELECT summary FROM {table}.snapshots ORDER BY committed_at"
+        f"SELECT s.summary FROM {table}.snapshots s "
+        f"WHERE s.snapshot_id IN (SELECT snapshot_id FROM {table}.history "
+        "WHERE is_current_ancestor) "
+        "ORDER BY s.committed_at"
     ).collect()
     return lineage_from_summaries([r["summary"] for r in rows])

@@ -76,7 +76,9 @@ def main(argv: list[str] | None = None) -> None:
                          "model (reference release format, loaded "
                          "torch-free by torch_import.load_state_dict)")
     ap.add_argument("--shuffle-partitions", type=int, default=None,
-                    help="override spark.sql.shuffle.partitions (default: 2x cores)")
+                    help="override spark.sql.shuffle.partitions (default: "
+                         "max(96, 2x cores; 4x cores for --tagger neural) "
+                         "— the 96 floor bounds per-task sort memory)")
     ap.add_argument("--iceberg-table", default=None,
                     help="also materialize the triples into this Iceberg "
                          "table (catalog.db.table) with per-partition "
@@ -151,7 +153,13 @@ def main(argv: list[str] | None = None) -> None:
             from bioner_spark.functions.ngrams import build_vocabulary
             from bioner_spark.tokenizer import tokenize
 
-            toks = tokenize(with_extracted_text(pages.select("url", "html")))
+            # with_offsets=False: the vocab build reads only token text,
+            # and the offset aggregate costs ~8x the split (same reason
+            # pipeline.build_triples disables it)
+            toks = tokenize(
+                with_extracted_text(pages.select("url", "html")),
+                with_offsets=False,
+            )
             vocab = build_vocabulary(toks, min_word_frequency=10).persist()
             # vocab_size reads the size build_vocabulary already computed —
             # no second count() job over the vocab here
@@ -223,7 +231,16 @@ def main(argv: list[str] | None = None) -> None:
                 "n_docs": n_docs,
                 "n_triples": n_triples,
                 "pipeline_sec": round(wall, 3),
-                "docs_per_sec": round(n_docs / wall, 2),
+                # honest on resume: a checkpointed re-run skips buckets, so
+                # n_docs/wall would report the manifest-diff speed as
+                # pipeline throughput; null it whenever any bucket was
+                # skipped (the processed-doc count per bucket is in
+                # bucket_lineage for consumers who want a partial rate)
+                "docs_per_sec": (
+                    round(n_docs / wall, 2)
+                    if result.n_buckets_skipped == 0
+                    else None
+                ),
                 "buckets_processed": result.n_buckets_processed,
                 "buckets_skipped": result.n_buckets_skipped,
                 "cores": cores,

@@ -81,12 +81,21 @@ def main() -> None:
         spark.range(1000).count()
         seen = spark.sparkContext.defaultParallelism
         deadline = time.time() + 10
+        stable = 0
         while time.time() < deadline:
             time.sleep(0.5)
             cur = spark.sparkContext.defaultParallelism
             if cur <= seen:
-                break
-            seen = cur
+                # require THREE consecutive stable reads: JVM spawn can
+                # stagger registrations >0.5 s apart, and breaking on the
+                # first quiet window undercounts shards — the exact
+                # slow-registration case this poll exists to handle
+                stable += 1
+                if stable >= 3:
+                    break
+            else:
+                stable = 0
+                seen = cur
     n_shards = args.n_shards or spark.sparkContext.defaultParallelism
 
     train_df = synth_rows(spark, args.n_sentences, args.input_dim, args.sent_len, args.seed)
