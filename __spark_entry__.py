@@ -1879,15 +1879,17 @@ t AS (
   FROM toks WHERE length(text) > 0
 )
 SELECT doc_id, sentence_id, 'text' AS row_kind,
-       string_agg(text, ',' ORDER BY token_id) AS line
+       -- COALESCE matches the engine's array_join null-replacement '' —
+       -- string_agg would otherwise skip NULLs and misalign columns
+       string_agg(COALESCE(text, ''), ',' ORDER BY token_id) AS line
 FROM t GROUP BY doc_id, sentence_id
 UNION ALL
 SELECT doc_id, sentence_id, 'gold' AS row_kind,
-       string_agg(gold, ',' ORDER BY token_id) AS line
+       string_agg(COALESCE(gold, ''), ',' ORDER BY token_id) AS line
 FROM t GROUP BY doc_id, sentence_id
 UNION ALL
 SELECT doc_id, sentence_id, 'model1' AS row_kind,
-       string_agg(pred, ',' ORDER BY token_id) AS line
+       string_agg(COALESCE(pred, ''), ',' ORDER BY token_id) AS line
 FROM t GROUP BY doc_id, sentence_id
 """
 

@@ -193,18 +193,34 @@ def encode_multihot_indices(
 
 
 def is_unknown(tokens: DataFrame, vocab: DataFrame, token_col: str = "text", n: int = 3) -> DataFrame:
-    """token has ≥1 n-gram missing from vocab (reference ngram_encoder.py:179-186)."""
-    key = ["doc_id", "sentence_id", "token_id"]
-    grams = tokens.select(*key, F.explode(char_ngrams(F.col(token_col), n)).alias("ngram"))
+    """token has ≥1 n-gram missing from vocab (reference ngram_encoder.py:179-186).
+
+    Computed per DISTINCT token string, then joined back — the flag depends
+    only on the string, and the per-OCCURRENCE explode this replaces was
+    exactly the shape encode_multihot_indices' distinct-token trick exists
+    to avoid (~5 gram rows per token over the full table plus two keyed
+    aggregations; Zipf makes distinct tokens orders of magnitude fewer)."""
+    distinct = tokens.select(F.col(token_col).alias("_iu_tok")).distinct()
+    grams = distinct.select(
+        "_iu_tok", F.explode(char_ngrams(F.col("_iu_tok"), n)).alias("ngram")
+    )
     known = grams.join(F.broadcast(vocab.select("ngram")), "ngram", "left_semi")
-    n_all = grams.groupBy(*key).agg(F.count(F.lit(1)).alias("n_grams"))
-    n_known = known.groupBy(*key).agg(F.count(F.lit(1)).alias("n_known"))
-    return (
-        tokens.join(n_all, key, "left")
-        .join(n_known, key, "left")
-        .withColumn(
-            "is_unknown",
-            F.coalesce(F.col("n_known"), F.lit(0)) < F.coalesce(F.col("n_grams"), F.lit(0)),
+    n_all = grams.groupBy("_iu_tok").agg(F.count(F.lit(1)).alias("n_grams"))
+    n_known = known.groupBy("_iu_tok").agg(F.count(F.lit(1)).alias("n_known"))
+    flags = (
+        n_all.join(n_known, "_iu_tok", "left")
+        .select(
+            "_iu_tok",
+            (
+                F.coalesce(F.col("n_known"), F.lit(0))
+                < F.coalesce(F.col("n_grams"), F.lit(0))
+            ).alias("is_unknown"),
         )
-        .drop("n_grams", "n_known")
+    )
+    return (
+        tokens.join(
+            flags, tokens[token_col].eqNullSafe(flags["_iu_tok"]), "left"
+        )
+        .drop("_iu_tok")
+        .withColumn("is_unknown", F.coalesce(F.col("is_unknown"), F.lit(False)))
     )

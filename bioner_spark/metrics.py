@@ -114,7 +114,13 @@ def sample_error_sentences(
     sentences, which does not change the law of the first n distinct error
     hits — so they differ only in which subset a FIXED seed maps to
     (different PRNGs), never in distribution; and when n >= |errors| both
-    return the identical full error set."""
+    return the identical full error set.
+
+    Deterministic by seeded HASH rank, not F.rand: rand(seed) is seeded
+    per (seed + partitionIndex) and assigned in intra-partition row order,
+    which is NOT stable coming out of the distinct() shuffle — two runs
+    (or a task retry) could draw different samples despite the seed. The
+    hash of (seed, sentence key) depends on nothing but the data."""
     p = pred.select(*SPAN_KEY).distinct()
     g = gold.select(*SPAN_KEY).distinct()
     errors = (
@@ -123,7 +129,11 @@ def sample_error_sentences(
         .union(g.join(p, SPAN_KEY, "left_anti").select("doc_id", "sentence_id"))
         .distinct()
     )
-    return errors.orderBy(F.rand(seed)).limit(n)
+    return errors.orderBy(
+        F.xxhash64(F.lit(seed), F.col("doc_id"), F.col("sentence_id")),
+        "doc_id",
+        "sentence_id",
+    ).limit(n)
 
 
 def error_analysis_csv_rows(
@@ -144,6 +154,10 @@ def error_analysis_csv_rows(
                         lambda s: s[col],
                     ),
                     ",",
+                    # null replacement: array_join otherwise FILTERS null
+                    # elements, leaving that row one comma-field short and
+                    # shifting every later column against the text row
+                    "",
                 ).alias("line")
             )
             .select(
@@ -181,9 +195,17 @@ def human_format(col):
 def token_level_confusion(tokens_pred: DataFrame, tokens_gold: DataFrame) -> DataFrame:
     """Token-level confusion counts (reference scibert_eval.py:80-90 computes
     micro/macro P/R/F1 via sklearn; the engine exposes the confusion matrix
-    as a groupBy and derives ratios in SQL)."""
+    as a groupBy and derives ratios in SQL).
+
+    FULL OUTER, not inner: a model that emits no row for some tokens must
+    show those gold tokens as '<missing>' errors — an inner join would
+    silently drop them, letting a 50%-coverage model score like a full
+    one."""
     key = ["doc_id", "sentence_id", "token_id"]
     joined = tokens_gold.select(*key, F.col("tag").alias("gold_tag")).join(
-        tokens_pred.select(*key, F.col("tag").alias("pred_tag")), key, "inner"
+        tokens_pred.select(*key, F.col("tag").alias("pred_tag")), key, "full_outer"
     )
-    return joined.groupBy("gold_tag", "pred_tag").agg(F.count(F.lit(1)).alias("n"))
+    return joined.groupBy(
+        F.coalesce("gold_tag", F.lit("<missing>")).alias("gold_tag"),
+        F.coalesce("pred_tag", F.lit("<missing>")).alias("pred_tag"),
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -53,6 +53,15 @@ def cosine_expr(a, b):
     return F.round(F.try_divide(_dot(a, b), _norm(a) * _norm(b)), ROUND_DIGITS)
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """THE per-query top-k tail — rank by cosine DESC with neighbor_id ASC
+    tie-break. One definition for every ANN variant (exact, LSH, indexed,
+    IVF) so the determinism contract the DuckDB oracles mirror cannot
+    drift between them."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -73,11 +82,7 @@ def cosine_topk(
         .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
         .select("query_id", "neighbor_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 def _require_dim(dim: int | None, op: str) -> int:
@@ -163,8 +168,7 @@ def lsh_topk(
         .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
         .select("query_id", "neighbor_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_per_query(scored, k)
 
 
 def write_ann_index(
@@ -228,6 +232,10 @@ def lsh_topk_indexed(
         F.col(vec_col).alias("q_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    # the probe collect AND the broadcast join below both read q — cut the
+    # lineage once (eager, query-sized) so a non-trivial upstream plan
+    # (e.g. model-computed query embeddings) doesn't execute twice
+    q = q.localCheckpoint(eager=True)
     probe = [r["bucket"] for r in q.select("bucket").distinct().collect()]
     corpus = spark.read.parquet(index_path).filter(F.col("bucket").isin(probe))
     scored = (
@@ -236,8 +244,7 @@ def lsh_topk_indexed(
         .withColumn("cosine", cosine_expr(F.col("q_vec"), F.col("c_vec")))
         .select("query_id", "neighbor_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_per_query(scored, k)
 
 
 def banded_buckets(vec_col, planes: list[list[float]], n_bands: int):
@@ -382,6 +389,25 @@ def kmeans_fit(
         src.unpersist()
         raise ValueError("kmeans_fit: no input vectors (empty source or sample)")
     dim = len(cents[0])
+    # loud per-row validation BEFORE the Lloyd's loop (one cheap scan of
+    # the persisted source): a wrong-width vector NULLs every distance —
+    # cell=None and an opaque driver TypeError far from the bad row — and
+    # a NaN element silently lands in cell 0 (NaN comparisons) and poisons
+    # that centroid's average with no error at all.
+    bad = (
+        src.filter(
+            (F.size("v") != dim)
+            | F.exists("v", lambda x: x.isNull() | F.isnan(x))
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        src.unpersist()
+        raise ValueError(
+            f"kmeans_fit: malformed vector for id {bad[0]['id']!r} — "
+            f"expected {dim} finite elements, got {bad[0]['v']}"
+        )
     for _ in range(max_iter):
         dists = F.array(
             *[
@@ -449,15 +475,30 @@ def ivf_topk(
     """
     spark = corpus.sparkSession
     if centroid_vecs is not None:
+        if not centroid_vecs:
+            raise ValueError("ivf_topk: centroid_vecs is empty")
         cents = spark.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(centroid_vecs)],
             "cent_id long, cent_vec array<double>",
         )
     else:
-        centroid_ids = centroid_ids or list(range(16))
+        # `is None`, not truthiness: an explicit centroid_ids=[] must fail
+        # loudly below, not silently become the range(16) default
+        centroid_ids = list(range(16)) if centroid_ids is None else centroid_ids
+        if not centroid_ids:
+            raise ValueError("ivf_topk: centroid_ids is empty")
         cents = corpus.filter(F.col(id_col).isin(centroid_ids)).select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
         )
+        if cents.limit(1).count() == 0:
+            # a corpus whose ids don't cover the centroid list would
+            # otherwise return an EMPTY result — every query silently
+            # neighbor-less — instead of an error
+            raise ValueError(
+                f"ivf_topk: no corpus rows match centroid_ids "
+                f"{centroid_ids[:8]}{'...' if len(centroid_ids) > 8 else ''}; "
+                "pass centroid_vecs (kmeans_fit) or ids present in the corpus"
+            )
 
     def nearest_cells(df: DataFrame, side_id: str, side_vec: str, n: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).withColumn(
@@ -481,5 +522,4 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "cosine")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_per_query(scored, k)

@@ -70,16 +70,26 @@ def _make_dedup_fn(ttl_minutes: int | None):
             first_url, n_seen = state.get
         else:
             first_url, n_seen = None, 0
+        # deterministic within-batch order: the pdf chunks arrive in
+        # shuffle-fetch order, so iterating them as-is would let a replayed
+        # batch crown a DIFFERENT url as first — the batch analog
+        # (exact_duplicate_groups) picks min_doc_id deterministically, and
+        # cross-path parity checks on the representative expect the same
+        # stability here. Sorting the batch's urls per key costs O(dups in
+        # batch · log) — tiny, dup groups are small per micro-batch.
+        urls = sorted(
+            (u for pdf in pdfs for u in pdf["url"]),
+            key=lambda u: (u is None, u),
+        )
         out = []
-        for pdf in pdfs:
-            for url in pdf["url"]:
-                # n_seen (not first_url-is-None) decides first-ness: a NULL
-                # url must not make the NEXT copy claim is_first again
-                is_first = 1 if n_seen == 0 else 0
-                if is_first:
-                    first_url = url
-                out.append((fingerprint, url, is_first, n_seen))
-                n_seen += 1
+        for url in urls:
+            # n_seen (not first_url-is-None) decides first-ness: a NULL
+            # url must not make the NEXT copy claim is_first again
+            is_first = 1 if n_seen == 0 else 0
+            if is_first:
+                first_url = url
+            out.append((fingerprint, url, is_first, n_seen))
+            n_seen += 1
         state.update((first_url, n_seen))
         if ttl_minutes:
             state.setTimeoutDuration(ttl_minutes * 60 * 1000)
@@ -102,9 +112,16 @@ def streaming_dedup(pages: DataFrame, ttl_minutes: int | None = None) -> DataFra
 
     # ONE normalization definition shared with batch dedup + fingerprints
     # (ops/dedup.py:normalized) — the cross-path dedup parity the contract
-    # queries assert depends on these staying bit-identical
+    # queries assert depends on these staying bit-identical.
+    # NULL text (fetch failures) gets a per-url sentinel key instead of a
+    # NULL fingerprint: groupBy treats NULL as ONE key, so every failed
+    # fetch after the first would be emitted as its "duplicate" and a
+    # downstream filter(is_first=1) would silently drop distinct urls.
     keyed = pages.select(
-        F.md5(normalized(F.col("text"))).alias("fingerprint"),
+        F.coalesce(
+            F.md5(normalized(F.col("text"))),
+            F.concat_ws(":", F.lit("null"), F.col("url")),
+        ).alias("fingerprint"),
         "url",
     )
     grouped = keyed.groupBy("fingerprint")
