@@ -24,19 +24,14 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 
 def one_run(sf_dir: str) -> dict:
+    from scaling_bench import parse_metrics_line  # noqa: E402
+
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
     )
-    for line in proc.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{") and '"queries"' in line:
-            return json.loads(line)
-    raise RuntimeError(
-        f"no bench JSON line:\nstdout:\n{proc.stdout[-2000:]}"
-        f"\nstderr:\n{proc.stderr[-2000:]}"
-    )
+    return parse_metrics_line(proc, '"queries"', "bench.py")
 
 
 def main() -> None:

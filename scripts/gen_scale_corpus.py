@@ -59,10 +59,18 @@ def _doc_words(i: int) -> list[str]:
     return words
 
 
+_MUTATE_STRIDES = (12, 27, 40, 80, 150)
+
+
 def _mutate(words: list[str], i: int) -> list[str]:
-    """Replace every k-th word with a fresh unique id; k cycles 3..12 so
-    the resulting Jaccard sweeps across the 0.8 threshold."""
-    k = 3 + (i % 10)
+    """Replace every k-th word with a fresh unique id. Each replaced word
+    breaks the ~3 shingles containing it, so 3-gram-shingle Jaccard ≈
+    (1-3/k)/(1+3/k): the stride cycle lands pairs at ≈0.60, 0.80, 0.86,
+    0.93, 0.96 — BELOW, AT, and ABOVE the 0.8 near-dup threshold. (An
+    earlier version computed k = 3 + (i % 10) at a call site where i % 10
+    was always 9 — constant k=12, every pair at ≈0.6, so the sweep never
+    exercised above-threshold banding recall at all.)"""
+    k = _MUTATE_STRIDES[(i // 10) % len(_MUTATE_STRIDES)]
     out = list(words)
     for j in range(0, len(out), k):
         out[j] = f"m{(i * 7919 + j * 31) % 100_000_000:08d}"
@@ -130,8 +138,12 @@ def main() -> None:
         "lineitem", "events",
     ):
         dst = os.path.join(out_dir, f"{name}.parquet")
-        if not os.path.exists(dst):
-            os.symlink(os.path.join(src_dir, f"{name}.parquet"), dst)
+        # lexists, not exists: exists() follows the link, so a DANGLING
+        # symlink from a prior run with a moved src_dir reads as absent and
+        # os.symlink then dies with FileExistsError; replace it instead
+        if os.path.lexists(dst):
+            os.unlink(dst)
+        os.symlink(os.path.join(src_dir, f"{name}.parquet"), dst)
     print(f"wrote {N_DOCS} docs + {N_VECS} embeddings to {out_dir}")
 
 

@@ -5,10 +5,14 @@ cluster sizes N and 4N executors. No real cluster exists in this sandbox, so
 (per the driver instruction) we run the SAME spark-submit job on the SAME
 input at two executor counts — local-cluster[N,1,m] vs local-cluster[4N,1,m]
 single-core executor JVMs — and report throughput at both plus
-efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4. Round-2 default
-comparison is 1→4 executors with --trials (min wall): this VM's vCPU
-scheduling is jittery beyond ~4 concurrent heavy processes (BENCH.md), so
-1→4 is the widest factor-4 pair the box measures cleanly.
+efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4.
+
+The argparse default pair is 2→8 (matching BENCH.md's recorded E-series);
+the HEADLINE pair in BENCH.md is 1→4 with --trials (min wall), because this
+VM's vCPU scheduling is jittery beyond ~4 concurrent heavy processes
+(BENCH.md) — 1→4 is the widest factor-4 pair the box measures cleanly. Pass
+--cores explicitly and read the generated section's header, which names the
+actual measured pair.
 
 Usage:
     python scripts/scaling_bench.py [--n-docs 200000] [--cores 2 8] [--update-md]
@@ -83,6 +87,22 @@ def make_zip() -> str:
     return zpath
 
 
+def parse_metrics_line(proc, marker: str, context: str) -> dict:
+    """Find the one JSON metrics line containing `marker` in a completed
+    subprocess's stdout — THE shared parser for scaling_bench /
+    train_scaling / bench_bands (three hand-rolled copies had already
+    drifted in error-tail size)."""
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and marker in line:
+            return json.loads(line)
+    raise RuntimeError(
+        f"no metrics line ({marker}) from {context} "
+        f"(returncode {proc.returncode}):\n"
+        f"stdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+
+
 def base_submit_cmd(n_exec: int) -> list[str]:
     """Shared spark-submit scaffolding for BOTH scaling harnesses (this one
     and train_scaling.py — one copy, so a harness fix like the BLAS pinning
@@ -146,13 +166,8 @@ def run_level(n_exec: int, pages: str, alias: str, zpath: str, tagger: str = "di
     if pilot_docs:
         cmd += ["--pilot-docs", str(pilot_docs)]
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
-    for line in proc.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{") and '"docs_per_sec"' in line:
-            return json.loads(line)
-    raise RuntimeError(
-        f"no metrics line from spark-submit local-cluster[{n_exec},1,...]:\n"
-        f"stdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
+    return parse_metrics_line(
+        proc, '"docs_per_sec"', f"spark-submit local-cluster[{n_exec},1,...]"
     )
 
 
@@ -256,7 +271,10 @@ def update_md(summary: dict) -> None:
     probe = summary.get("cpu_probe")
     if probe:
         lines += [
-            "## Why N=2 → 4N=8 executors (and not 8 → 32)",
+            # header derives from the MEASURED levels — a hardcoded "2 → 8"
+            # over a 1→4 run would self-contradict the table below it
+            f"## Why N={lo['executors']} → 4N={hi['executors']} executors "
+            "(and not 8 → 32)",
             "",
             "A Spark-free pure-CPU probe (N worker processes, fixed work per"
             " process, zero shared data) on this sandbox VM measures:",

@@ -53,38 +53,50 @@ def parse_log(path: str) -> dict:
                                             sr_mb=0.0, sw_mb=0.0,
                                             spill_mb=0.0, n=0))
     app_name, n_exec = "?", 0
-    if True:  # kept block-shaped to minimize diff churn
-        for line in _iter_lines(path):
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            e = ev.get("Event")
-            if e == "SparkListenerApplicationStart":
-                app_name = ev.get("App Name", "?")
-            elif e == "SparkListenerExecutorAdded":
-                n_exec += 1
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sub, comp = si.get("Submission Time"), si.get("Completion Time")
-                stages[si["Stage ID"]] = dict(
-                    id=si["Stage ID"],
+    # retries: task seconds are summed across ALL attempts, so the wall
+    # must cover all attempts too — SUM attempt walls per stage id (and
+    # surface n_attempts) instead of keeping only the last attempt, or a
+    # box-level retry reads as "the engine did more work per wall second"
+    # and inverts the wall-vs-task-seconds decision rule this tool exists
+    # to apply.
+    for line in _iter_lines(path):
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        e = ev.get("Event")
+        if e == "SparkListenerApplicationStart":
+            app_name = ev.get("App Name", "?")
+        elif e == "SparkListenerExecutorAdded":
+            n_exec += 1
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sub, comp = si.get("Submission Time"), si.get("Completion Time")
+            wall = (comp - sub) / 1e3 if sub and comp else 0.0
+            sid = si["Stage ID"]
+            if sid in stages:
+                stages[sid]["wall"] += wall
+                stages[sid]["n_attempts"] += 1
+            else:
+                stages[sid] = dict(
+                    id=sid,
                     name=si["Stage Name"].split(" at ")[0][:40],
-                    wall=(comp - sub) / 1e3 if sub and comp else 0.0,
+                    wall=wall,
+                    n_attempts=1,
                 )
-            elif e == "SparkListenerTaskEnd":
-                m = ev.get("Task Metrics") or {}
-                t = task_metrics[ev["Stage ID"]]
-                t["task_sec"] += m.get("Executor Run Time", 0) / 1e3
-                t["gc_sec"] += m.get("JVM GC Time", 0) / 1e3
-                srm = m.get("Shuffle Read Metrics") or {}
-                t["sr_mb"] += (srm.get("Local Bytes Read", 0)
-                               + srm.get("Remote Bytes Read", 0)) / 1e6
-                swm = m.get("Shuffle Write Metrics") or {}
-                t["sw_mb"] += swm.get("Shuffle Bytes Written", 0) / 1e6
-                t["spill_mb"] += (m.get("Memory Bytes Spilled", 0)
-                                  + m.get("Disk Bytes Spilled", 0)) / 1e6
-                t["n"] += 1
+        elif e == "SparkListenerTaskEnd":
+            m = ev.get("Task Metrics") or {}
+            t = task_metrics[ev["Stage ID"]]
+            t["task_sec"] += m.get("Executor Run Time", 0) / 1e3
+            t["gc_sec"] += m.get("JVM GC Time", 0) / 1e3
+            srm = m.get("Shuffle Read Metrics") or {}
+            t["sr_mb"] += (srm.get("Local Bytes Read", 0)
+                           + srm.get("Remote Bytes Read", 0)) / 1e6
+            swm = m.get("Shuffle Write Metrics") or {}
+            t["sw_mb"] += swm.get("Shuffle Bytes Written", 0) / 1e6
+            t["spill_mb"] += (m.get("Memory Bytes Spilled", 0)
+                              + m.get("Disk Bytes Spilled", 0)) / 1e6
+            t["n"] += 1
     out = []
     for sid, s in sorted(stages.items()):
         t = task_metrics[sid]

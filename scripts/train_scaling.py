@@ -19,12 +19,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from scaling_bench import REPO, WORK, base_submit_cmd, make_zip  # noqa: E402
+from scaling_bench import (  # noqa: E402
+    REPO, WORK, base_submit_cmd, make_zip, parse_metrics_line,
+)
 
 
 def run_level(n_exec: int, zpath: str, args) -> dict:
@@ -39,13 +40,8 @@ def run_level(n_exec: int, zpath: str, args) -> dict:
         "--n-shards", str(n_exec),
     ] + (["--batch-norm"] if args.batch_norm else [])
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
-    for line in proc.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{") and '"train_sentences_per_sec"' in line:
-            return json.loads(line)
-    raise RuntimeError(
-        f"no metrics line at {n_exec} executors:\nstdout:\n{proc.stdout[-2000:]}"
-        f"\nstderr:\n{proc.stderr[-2000:]}"
+    return parse_metrics_line(
+        proc, '"train_sentences_per_sec"', f"{n_exec} executors"
     )
 
 
