@@ -1449,7 +1449,13 @@ triples AS (
 
 
 def _surface_sql() -> str:
-    return r"""
+    # trim with the EXACT Python str.strip() whitespace set — plain trim()
+    # strips only ASCII space, diverging from the reference's .strip() on
+    # NBSP/tab-padded tokens; the engine side (functions/surface.py
+    # py_strip) states the same law
+    from bioner_spark.functions.surface import PY_STRIP_WHITESPACE
+
+    sql = r"""
 WITH toks0 AS (
   SELECT DISTINCT unnest(string_split(sentence, ' ')) AS token
   FROM (
@@ -1457,8 +1463,8 @@ WITH toks0 AS (
   ) WHERE length(sentence) > 0
 ),
 base AS (
-  SELECT token, trim(token) AS t,
-         regexp_replace(trim(token), '[^\p{L}]', '', 'g') AS letters
+  SELECT token, trim(token, '__PYWS__') AS t,
+         regexp_replace(trim(token, '__PYWS__'), '[^\p{L}]', '', 'g') AS letters
   FROM toks0 WHERE length(token) > 0
 ),
 feat AS (
@@ -1488,6 +1494,7 @@ SELECT token,
   (length(t) > 0 AND regexp_matches(lc, '^\p{P}$'))::INT AS ends_with_punctuation
 FROM feat
 """
+    return sql.replace('__PYWS__', PY_STRIP_WHITESPACE)
 
 
 _NGRAM_CTE = r"""

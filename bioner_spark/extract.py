@@ -169,9 +169,14 @@ def truncation_marker_stats(df, text_col: str = "text"):
     """Corpus-level truncation counters (reference pubmed_parser.py:55-69
     writes these to a logfile; we return a 1-row DataFrame).
 
-    Pure native aggregation — no UDF.
+    Pure native aggregation — no UDF. The endswith tests run on the
+    _rstripped text: the column is verbatim XML element text that
+    routinely ends with '\\n', and strip_truncation_markers rstrips before
+    stripping — counting raw would undercount exactly the markers the
+    strip path DOES remove. The three suffixes are mutually exclusive by
+    construction (different literal tails), so no cross-guards are needed.
     """
-    c = F.col(text_col)
+    c = _rstrip(F.col(text_col))
     return df.agg(
         F.count(F.lit(1)).alias("total_docs"),
         F.sum(F.when(c.endswith(ABSTRACT_TRUNCATED_AT_250), 1).otherwise(0)).alias(
@@ -180,12 +185,7 @@ def truncation_marker_stats(df, text_col: str = "text"):
         F.sum(F.when(c.endswith(ABSTRACT_TRUNCATED_AT_400), 1).otherwise(0)).alias(
             "truncated_400"
         ),
-        F.sum(
-            F.when(
-                c.endswith(ABSTRACT_TRUNCATED)
-                & ~c.endswith(ABSTRACT_TRUNCATED_AT_250)
-                & ~c.endswith(ABSTRACT_TRUNCATED_AT_400),
-                1,
-            ).otherwise(0)
-        ).alias("truncated_plain"),
+        F.sum(F.when(c.endswith(ABSTRACT_TRUNCATED), 1).otherwise(0)).alias(
+            "truncated_plain"
+        ),
     )

@@ -38,6 +38,30 @@ FEATURE_NAMES = [
 ]
 
 
+# The EXACT Python str.strip() whitespace set (chars where str.isspace()
+# is True, BMP): the reference strips tokens with .strip()
+# (surface_encoder.py:14), which covers far more than the single ASCII
+# space that Spark F.trim / DuckDB trim() remove — an NBSP-padded '5\xa0'
+# must strip to '5' (is_all_numeric, ends_with_numeric True) exactly like
+# the reference. The oracle SQL trims with this same char list.
+PY_STRIP_WHITESPACE = "".join(
+    chr(c)
+    for c in (
+        0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+        0x85, 0xA0, 0x1680,
+        0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006, 0x2007,
+        0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+    )
+)
+
+
+def py_strip(c: Column) -> Column:
+    """Python-str.strip() semantics as a native column expression."""
+    return F.regexp_replace(
+        c, f"^[{PY_STRIP_WHITESPACE}]+|[{PY_STRIP_WHITESPACE}]+$", ""
+    )
+
+
 def _letters(c: Column) -> Column:
     return F.regexp_replace(c, r"[^\p{L}]", "")
 
@@ -49,7 +73,9 @@ def _numpunct_only(c: Column) -> Column:
 
 def surface_features(token: Column) -> dict[str, Column]:
     """11 named boolean Columns for a (pre-trimmed) token column."""
-    t = F.trim(token)  # reference strips the token first (surface_encoder.py:14)
+    # reference strips the token first (surface_encoder.py:14) — Python
+    # .strip() semantics, NOT F.trim (ASCII space only; see py_strip)
+    t = py_strip(token)
     letters = _letters(t)
     first_letter = F.substring(letters, 1, 1)
     first_char = F.substring(t, 1, 1)

@@ -36,6 +36,18 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
 
     doc_id is `<file>#<n>` (0-based doc ordinal within file) so multi-file
     reads stay collision-free.
+
+    Malformed token rows fail LOUDLY at scan time: a line with fewer than
+    4 tab columns (or non-integer offsets) would otherwise flow NULL
+    start/end/tag into every downstream stage and surface far from the
+    cause (the reference parser IndexErrors on row[3]).
+
+    Documented limit: a document with ZERO token rows (-DOCSTART-
+    immediately followed by another separator) contributes no rows — the
+    token-table schema has nowhere to carry an empty document, so the
+    write path emits no header for it and read→write is byte-identical
+    only for docs with ≥1 token. Real CoNLL exports (including every
+    reference fixture) never contain empty documents.
     """
     raw = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("file"), F.col("value")
@@ -77,9 +89,27 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
         "sentence_id",
         "token_id",
         cols.getItem(0).alias("text"),
-        cols.getItem(1).cast("int").alias("start"),
-        cols.getItem(2).cast("int").alias("end"),
-        F.substring(cols.getItem(3), 1, 1).alias("tag"),  # conll_dataset.py:83
+        _req_field(cols, 1, "start").cast("int").alias("start"),
+        _req_field(cols, 2, "end").cast("int").alias("end"),
+        F.substring(_req_field(cols, 3, "tag"), 1, 1).alias("tag"),  # conll_dataset.py:83
+    )
+
+
+def _req_field(cols, i: int, name: str):
+    """Field i of the tab-split token line, raising on absence — a short
+    line must not silently become NULL start/end/tag (non-ANSI mode) or
+    die with an opaque INVALID_ARRAY_INDEX pointing at no input (ANSI
+    mode). F.get is NULL-tolerant in both modes, so the controlled
+    message below always fires."""
+    v = F.get(cols, i)
+    return F.when(v.isNotNull(), v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"read_conll: malformed token row (missing {name} "
+                      "column): "),
+                F.get(cols, 0),
+            )
+        )
     )
 
 

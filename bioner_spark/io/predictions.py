@@ -86,6 +86,16 @@ def align_predictions(
     """
     t = with_position(tokens, ["doc_id", "sentence_id", "token_id"], "_pos")
     p_order = [c for c in ORDER_COLS if c in predictions.columns] or None
+    if p_order is None:
+        # LOUD, not the mono-id fallback: positional alignment over a frame
+        # with no order columns silently zips tags onto the wrong tokens
+        # whenever the scan has >1 split — the exact hazard the
+        # with_position docstring warns about
+        raise ValueError(
+            "align_predictions: predictions frame lacks the (_file, _line) "
+            "order columns — read it with read_prediction_tsv, which "
+            "provides a deterministic line order"
+        )
     p = with_position(predictions, p_order, "_pos")
     if p_order:
         p = p.drop(*p_order)
@@ -106,6 +116,10 @@ def align_predictions(
             | F.col("_p_row").isNull()
             | F.col("text").isNull()
             | F.col("pred_text").isNull()
+            # a prediction line with no tag column (truncated export):
+            # the reference's line.split(' ')[1] raises IndexError, so
+            # strict mode must raise too — not write tag=NULL
+            | F.col("pred_tag").isNull()
             | (F.col("text") != F.col("pred_text"))
         )
         check = F.when(

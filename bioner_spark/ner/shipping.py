@@ -25,6 +25,14 @@ from typing import Callable
 
 from pyspark.sql import SparkSession
 
+# (applicationId, shipped name) pairs — ENFORCES the ship-once rule the
+# module docstring states: addFile silently ignores a re-registration and
+# warm workers cache by name, so a reused explicit name would silently
+# serve STALE weights; raising here turns that into a loud error. Keyed by
+# app id so a fresh SparkContext (new executors, empty caches) may reuse
+# names.
+_SHIPPED: set[tuple[str, str]] = set()
+
 
 def ship_npz(
     spark: SparkSession,
@@ -34,9 +42,18 @@ def ship_npz(
 ) -> str:
     """Save via `save_fn(path)` into a fresh temp dir, addFile it, return
     the SparkFiles name. Pass an explicit `name` only if you ship that name
-    once per application (see module docstring for why)."""
+    once per application (enforced — see module docstring for why)."""
     if name is None:
         name = f"{default_prefix}_{uuid.uuid4().hex[:12]}"
+    key = (spark.sparkContext.applicationId, name)
+    if key in _SHIPPED:
+        raise ValueError(
+            f"ship_npz: name {name!r} was already shipped in this "
+            "application — addFile would silently ignore the re-ship and "
+            "warm workers would keep serving the OLD weights; use a fresh "
+            "name (or the unique default) per artifact version"
+        )
+    _SHIPPED.add(key)
     d = tempfile.mkdtemp(prefix="bioner_ship_")
     fname = f"{name}.npz"
     path = os.path.join(d, fname)

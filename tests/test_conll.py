@@ -147,3 +147,17 @@ def test_write_distributed_concat_parity(spark, tmp_path):
     parts = sorted(glob.glob(str(out_dir / "part-*")))
     cat = "".join(open(p, encoding="utf8").read() for p in parts)
     assert cat == content
+
+
+def test_read_conll_malformed_row_raises(spark, tmp_path):
+    """A token line with fewer than 4 tab columns must fail at scan time,
+    not flow NULL start/end/tag into downstream stages."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from bioner_spark.io.conll import read_conll
+
+    p = tmp_path / "bad.conll"
+    p.write_text("-DOCSTART-\t0\t0\tO\n\nAspirin\t0\n\n")
+    with pytest.raises(PySparkException, match="malformed token row"):
+        read_conll(spark, str(p)).collect()

@@ -160,3 +160,30 @@ def test_position_features(spark):
     assert got[(1, 0)] == (False, True, False, False)
     assert got[(1, 1)] == (False, False, False, False)
     assert got[(1, 2)] == (False, False, True, True)
+
+
+def test_surface_strip_matches_python_strip_semantics(spark):
+    """The reference strips tokens with Python .strip() — NBSP/tab padding
+    must strip like the reference, not like ASCII-space-only F.trim."""
+    import duckdb
+
+    from bioner_spark.functions.surface import with_surface_features
+
+    probes = ["5 ", "\tABC\t", " x ", "5 "]
+    df = spark.createDataFrame([(p,) for p in probes], "text string")
+    rows = {r.text: r for r in with_surface_features(df).collect()}
+    assert rows["5 "].is_all_numeric and rows["5 "].ends_with_numeric
+    assert rows["5 "].is_all_numeric == rows["5 "].is_all_numeric
+    assert rows["\tABC\t"].is_all_uppercase
+    assert rows[" x "].is_all_lowercase
+
+    # the oracle's trim(token, PY_STRIP_WHITESPACE) strips the same set
+    import __spark_entry__ as entrymod
+    from bioner_spark.functions.surface import PY_STRIP_WHITESPACE
+
+    con = duckdb.connect()
+    for p in probes:
+        got = con.execute(
+            "SELECT trim(?, ?)", [p, PY_STRIP_WHITESPACE]
+        ).fetchone()[0]
+        assert got == p.strip(), (p, got)

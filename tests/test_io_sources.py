@@ -135,3 +135,33 @@ def test_prediction_order_is_line_order_across_files(spark, tmp_path_factory):
     )
     out = align_predictions(toks, preds).orderBy("token_id").collect()
     assert [r.tag for r in out] == [f"T{i}" for i in range(n_a)] + ["TX", "TY"]
+
+
+def test_align_predictions_requires_order_columns(spark):
+    """A predictions frame without (_file, _line) must be rejected loudly —
+    mono-id positional alignment silently zips tags onto wrong tokens on
+    any multi-split scan."""
+    toks = spark.createDataFrame(
+        [("d1", 0, 0, "x")],
+        "doc_id string, sentence_id int, token_id int, text string",
+    )
+    preds = spark.createDataFrame(
+        [("x", "B")], "pred_text string, pred_tag string"
+    )
+    with pytest.raises(ValueError, match="order columns"):
+        align_predictions(toks, preds)
+
+
+def test_strict_alignment_rejects_null_pred_tag(spark, tmp_path):
+    """A prediction line missing its tag column must raise in strict mode
+    (the reference IndexErrors on line.split(' ')[1]), not write tag=NULL."""
+    from pyspark.errors import PySparkException
+
+    toks = spark.createDataFrame(
+        [("d1", 0, 0, "Aspirin")],
+        "doc_id string, sentence_id int, token_id int, text string",
+    )
+    f = tmp_path / "no_tag.txt"
+    f.write_text("Aspirin\n")
+    with pytest.raises(PySparkException):
+        align_predictions(toks, read_prediction_tsv(spark, str(f))).collect()

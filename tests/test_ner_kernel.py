@@ -332,3 +332,16 @@ def test_save_load_symmetric_without_npz_extension(tmp_path):
     rng = np.random.default_rng(1)
     x = rng.normal(size=(1, 3, 8)).astype(np.float32)
     np.testing.assert_array_equal(m.forward(x, np.array([3])), m2.forward(x, np.array([3])))
+
+
+def test_ship_npz_rejects_name_reuse(spark):
+    """Re-shipping an explicit name would silently serve stale weights
+    (addFile ignores re-registration, warm workers cache by name) — the
+    shared helper must raise instead."""
+    from bioner_spark.ner.infer import ship_model
+
+    m = init_model(input_dim=6, seed=1)
+    name = "reuse_probe_model"
+    ship_model(spark, m, name=name)
+    with pytest.raises(ValueError, match="already shipped"):
+        ship_model(spark, m, name=name)
