@@ -1938,8 +1938,12 @@ LEFT JOIN documents d ON s.split = CASE
 GROUP BY s.split
 """
 
+    # COALESCE sentinel: NULL text must fingerprint per-id, never group as
+    # one NULL key — same law as ops/dedup.exact_duplicate_groups and
+    # streaming/stateful.streaming_dedup.
     o["dedup_exact"] = rf"""
-SELECT md5({_NORM_SQL}) AS fingerprint,
+SELECT COALESCE(md5({_NORM_SQL}),
+                'null:' || CAST(doc_id AS VARCHAR)) AS fingerprint,
        COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS min_doc_id
 FROM documents GROUP BY 1
 """
@@ -2334,7 +2338,8 @@ feats AS (
     {_HITS.format(words=_STOP_FR)} AS h_fr,
     len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0))::INT AS ws_tokens,
     MIN(doc_id) OVER (
-      PARTITION BY md5({_NORM_SQL})
+      PARTITION BY COALESCE(md5({_NORM_SQL}),
+                            'null:' || CAST(doc_id AS VARCHAR))
     ) AS rep_id
   FROM documents
 ),
@@ -2537,7 +2542,8 @@ FROM media m LEFT JOIN bin0 b USING (media_id)
     o["streaming_dedup_ledger"] = rf"""
 WITH fp AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc,
-         md5({_NORM_SQL}) AS fingerprint
+         COALESCE(md5({_NORM_SQL}),
+                  'null:' || CAST(doc_id AS VARCHAR)) AS fingerprint
   FROM documents
 )
 SELECT fingerprint,

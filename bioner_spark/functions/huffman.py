@@ -155,6 +155,26 @@ def build_codes(counts: np.ndarray, max_code_length: int = MAX_CODE_LENGTH):
     )
 
 
+def _is_materialized(df: DataFrame) -> bool:
+    """True when scanning `df` twice does NOT re-run a corpus lineage:
+    either it is persisted, or its plan is rooted at a LogicalRDD — a
+    `(local)checkpoint()`ed frame scans an already-materialized RDD but
+    reports storageLevel NONE because checkpoints don't register with the
+    cache manager, so a storage-level-only check would re-persist
+    build_vocabulary's checkpointed output (the documented common input)
+    into a pointless second full copy."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return True
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:
+        return False  # non-classic session: persist defensively
+
+
 def huffman_codes(
     vocab: DataFrame, max_code_length: int = MAX_CODE_LENGTH
 ) -> DataFrame:
@@ -185,7 +205,7 @@ def huffman_codes(
             prev_vocab.unpersist()
         except Exception:
             pass  # previous context already torn down
-    if not vocab.storageLevel.useMemory and not vocab.storageLevel.useDisk:
+    if not _is_materialized(vocab):
         # don't adopt (and later unpersist) a cache the CALLER manages
         vocab = vocab.persist()
         _TREE_BROADCAST["vocab_cache"] = vocab

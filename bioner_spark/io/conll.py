@@ -89,9 +89,9 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
         "sentence_id",
         "token_id",
         cols.getItem(0).alias("text"),
-        _req_field(cols, 1, "start").cast("int").alias("start"),
-        _req_field(cols, 2, "end").cast("int").alias("end"),
-        F.substring(_req_field(cols, 3, "tag"), 1, 1).alias("tag"),  # conll_dataset.py:83
+        _int_field(cols, 1, "start").alias("start"),
+        _int_field(cols, 2, "end").alias("end"),
+        _tag_field(cols).alias("tag"),  # first char — conll_dataset.py:83
     )
 
 
@@ -107,6 +107,37 @@ def _req_field(cols, i: int, name: str):
             F.concat(
                 F.lit(f"read_conll: malformed token row (missing {name} "
                       "column): "),
+                F.get(cols, 0),
+            )
+        )
+    )
+
+
+def _int_field(cols, i: int, name: str):
+    """Field i as int, raising on a present-but-non-integer value: without
+    the guard, cast('int') on 'foo' yields a silent NULL offset in non-ANSI
+    mode — the exact hazard _req_field closes for short lines."""
+    v = _req_field(cols, i, name)
+    return F.when(v.rlike(r"^-?\d+$"), v.cast("int")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"read_conll: malformed token row (non-integer {name} "
+                      "column): "),
+                F.get(cols, 0),
+            )
+        ).cast("int")
+    )
+
+
+def _tag_field(cols):
+    """Tag field's first char, raising on a present-but-EMPTY tag: the
+    reference's `tag[0]` (conll_dataset.py:83) IndexErrors there, so the
+    distributed read must not emit a silent '' tag."""
+    v = _req_field(cols, 3, "tag")
+    return F.when(F.length(v) > 0, F.substring(v, 1, 1)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("read_conll: malformed token row (empty tag column): "),
                 F.get(cols, 0),
             )
         )

@@ -360,43 +360,77 @@ def table_buckets_sql(table: str, net_of_deletes: bool = False) -> str:
     """Distinct partition values from Iceberg's `.partitions` metadata
     table — a metadata-only read (no data-file scan) even at 10^12 rows.
 
-    net_of_deletes: subtract merge-on-read delete counts. Under
-    write.delete.mode=merge-on-read a DELETE writes delete files and
-    leaves the data files (and their record_count) in place, so a raw
-    `.partitions` read would re-list a fully-deleted orphan bucket as
-    row-bearing on EVERY mirror run until compaction — a carrier snapshot
-    plus a no-op DELETE per run, breaking the zero-commit-resume
-    invariant. Counting live rows = record_count − position/equality
-    delete counts restores convergence without a data scan."""
+    net_of_deletes: list only buckets that are live BEYOND DOUBT from
+    metadata alone — data rows present and zero merge-on-read delete
+    records. Buckets carrying ANY deletes cannot be classified from the
+    metadata counts: equality-delete records are predicates (one record
+    may delete many rows or none) and position deletes may be duplicated
+    across delete files, so record_count − delete counts misjudges
+    liveness in BOTH directions. `table_buckets` resolves those buckets
+    with a partition-pruned data scan instead (see
+    `ambiguous_buckets_sql`)."""
     if net_of_deletes:
         return (
             f"SELECT partition.bucket AS bucket FROM {table}.partitions "
-            "WHERE record_count > COALESCE(position_delete_record_count, 0)"
-            " + COALESCE(equality_delete_record_count, 0)"
+            "WHERE record_count > 0"
+            " AND COALESCE(position_delete_record_count, 0) = 0"
+            " AND COALESCE(equality_delete_record_count, 0) = 0"
         )
     return f"SELECT partition.bucket AS bucket FROM {table}.partitions"
 
 
+def ambiguous_buckets_sql(table: str) -> str:
+    """Buckets whose liveness metadata alone cannot decide: data rows
+    recorded but merge-on-read delete records present (see
+    table_buckets_sql). Their true state needs a delete-merging read."""
+    return (
+        f"SELECT partition.bucket AS bucket FROM {table}.partitions "
+        "WHERE record_count > 0"
+        " AND (COALESCE(position_delete_record_count, 0) > 0"
+        " OR COALESCE(equality_delete_record_count, 0) > 0)"
+    )
+
+
 def table_buckets(spark: SparkSession, table: str) -> set[int]:
-    """Buckets that actually have rows in the table. Callers diff this
+    """Buckets that actually have LIVE rows in the table. Callers diff this
     against the current input's buckets (in addition to the recorded
     lineage) so an orphan whose lineage was voided but whose DELETE
-    crashed is re-listed and the delete retried. Uses delete-aware
-    counting when this Iceberg version exposes per-partition delete
-    counts (see table_buckets_sql)."""
+    crashed is re-listed and the delete retried.
+
+    Under merge-on-read, delete-free buckets are classified metadata-only;
+    buckets carrying delete files (usually few — compaction clears them)
+    get a `SELECT DISTINCT bucket` over exactly those partitions, which
+    Iceberg partition-prunes and which merges the deletes — exact in both
+    directions where record_count − delete-record arithmetic is not
+    (predicate equality deletes, duplicated position deletes)."""
     require_iceberg(spark)
     part_cols = {
         f.name
         for f in spark.sql(f"SELECT * FROM {table}.partitions LIMIT 0").schema.fields
     }
-    sql = table_buckets_sql(
-        table, net_of_deletes="position_delete_record_count" in part_cols
-    )
-    return {
+    has_delete_counts = "position_delete_record_count" in part_cols
+    sql = table_buckets_sql(table, net_of_deletes=has_delete_counts)
+    live = {
         int(r["bucket"])
         for r in spark.sql(sql).collect()
         if r["bucket"] is not None
     }
+    if has_delete_counts:
+        ambiguous = {
+            int(r["bucket"])
+            for r in spark.sql(ambiguous_buckets_sql(table)).collect()
+            if r["bucket"] is not None
+        } - live
+        if ambiguous:
+            blist = ", ".join(str(b) for b in sorted(ambiguous))
+            live |= {
+                int(r["bucket"])
+                for r in spark.sql(
+                    f"SELECT DISTINCT bucket FROM {table} "
+                    f"WHERE bucket IN ({blist})"
+                ).collect()
+            }
+    return live
 
 
 def lineage_from_summaries(summaries: list[dict]) -> dict[int, str]:

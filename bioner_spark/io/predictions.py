@@ -85,20 +85,18 @@ def align_predictions(
     longer side and report success on a truncated corpus.
     """
     t = with_position(tokens, ["doc_id", "sentence_id", "token_id"], "_pos")
-    p_order = [c for c in ORDER_COLS if c in predictions.columns] or None
-    if p_order is None:
-        # LOUD, not the mono-id fallback: positional alignment over a frame
-        # with no order columns silently zips tags onto the wrong tokens
-        # whenever the scan has >1 split — the exact hazard the
+    missing = [c for c in ORDER_COLS if c not in predictions.columns]
+    if missing:
+        # LOUD, not the mono-id fallback — and BOTH columns are required:
+        # ordering by _file alone leaves within-file ties broken by
+        # arbitrary shuffle order, the exact silent-misalignment hazard the
         # with_position docstring warns about
         raise ValueError(
-            "align_predictions: predictions frame lacks the (_file, _line) "
-            "order columns — read it with read_prediction_tsv, which "
-            "provides a deterministic line order"
+            f"align_predictions: predictions frame lacks order column(s) "
+            f"{missing} — read it with read_prediction_tsv, which provides "
+            "a deterministic (_file, _line) line order"
         )
-    p = with_position(predictions, p_order, "_pos")
-    if p_order:
-        p = p.drop(*p_order)
+    p = with_position(predictions, list(ORDER_COLS), "_pos").drop(*ORDER_COLS)
     if strict:
         # Presence markers, not text nullability: a present row with NULL
         # text (malformed TSV) must read "NULL text", not "<missing>" —

@@ -165,7 +165,12 @@ class FastTextModel:
             words = sorted(self.vocab, key=self.vocab.get)
             arrays["words"] = np.array(words, dtype=object)
             arrays["nwords"] = np.array(self.nwords)
-        np.savez_compressed(path, **arrays)
+        # write through a file handle: np.savez_compressed(str) silently
+        # APPENDS .npz to an extension-less path, so save(p) + load(p) —
+        # the same string — would FileNotFoundError (same rule as
+        # SequenceModel.save, kernel.py)
+        with open(path, "wb") as fh:
+            np.savez_compressed(fh, **arrays)
 
     @classmethod
     def load(cls, path: str) -> "FastTextModel":

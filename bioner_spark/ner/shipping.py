@@ -53,11 +53,14 @@ def ship_npz(
             "warm workers would keep serving the OLD weights; use a fresh "
             "name (or the unique default) per artifact version"
         )
-    _SHIPPED.add(key)
     d = tempfile.mkdtemp(prefix="bioner_ship_")
     fname = f"{name}.npz"
     path = os.path.join(d, fname)
     save_fn(path)
     spark.sparkContext.addFile(path)
+    # register only AFTER save+addFile succeed: a failed ship never reached
+    # any worker cache, so retrying the same name is safe and must not be
+    # burned by the once-per-app rule
+    _SHIPPED.add(key)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return fname

@@ -72,12 +72,20 @@ def exact_duplicate_groups(
 
     words_col: fingerprint from the shared pre-split word array instead of
     re-normalizing text (array_join of the split is the exact inverse of the
-    split, so the md5 is identical)."""
+    split, so the md5 is identical).
+
+    NULL text (fetch failures) gets a per-id sentinel fingerprint instead of
+    a NULL one: groupBy treats NULL as ONE key, so distinct failed fetches
+    would otherwise collapse into a single "duplicate group" and dedup would
+    silently drop all but one. Same law as streaming_dedup
+    (streaming/stateful.py) and the DuckDB oracles (dedup_exact,
+    corpus_filter rep_id, streaming_dedup_ledger)."""
     fp = (
         F.md5(F.array_join(F.col(words_col), " "))
         if words_col
         else F.md5(normalized(F.col(text_col)))
     )
+    fp = F.coalesce(fp, F.concat_ws(":", F.lit("null"), F.col(id_col)))
     return (
         df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
         .groupBy("fingerprint")

@@ -396,7 +396,11 @@ def kmeans_fit(
     # that centroid's average with no error at all.
     bad = (
         src.filter(
-            (F.size("v") != dim)
+            # isNull first: size(NULL) and exists(NULL, ...) are NULL (not
+            # true) under ANSI mode, so a whole-NULL vector would slip past
+            # a size/exists-only predicate
+            F.col("v").isNull()
+            | (F.size("v") != dim)
             | F.exists("v", lambda x: x.isNull() | F.isnan(x))
         )
         .limit(1)

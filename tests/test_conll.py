@@ -161,3 +161,33 @@ def test_read_conll_malformed_row_raises(spark, tmp_path):
     p.write_text("-DOCSTART-\t0\t0\tO\n\nAspirin\t0\n\n")
     with pytest.raises(PySparkException, match="malformed token row"):
         read_conll(spark, str(p)).collect()
+
+
+def test_read_conll_non_integer_offset_raises(spark, tmp_path):
+    """Present-but-non-integer offsets must fail loudly too: in non-ANSI
+    mode cast('int') on 'foo' yields a silent NULL offset — the same
+    hazard the missing-column guard closes."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from bioner_spark.io.conll import read_conll
+
+    p = tmp_path / "bad_offset.conll"
+    p.write_text("-DOCSTART-\t0\t0\tO\n\nAspirin\tfoo\tbar\tB-X\n\n")
+    with pytest.raises(PySparkException, match="non-integer start"):
+        read_conll(spark, str(p)).collect()
+
+
+def test_read_conll_empty_tag_raises(spark, tmp_path):
+    """A present-but-empty 4th field passes the missing-column guard but
+    the reference's tag[0] (conll_dataset.py:83) IndexErrors — the scan
+    must not emit a silent '' tag."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from bioner_spark.io.conll import read_conll
+
+    p = tmp_path / "bad_tag.conll"
+    p.write_text("-DOCSTART-\t0\t0\tO\n\na\t0\t1\t\n\n")
+    with pytest.raises(PySparkException, match="empty tag"):
+        read_conll(spark, str(p)).collect()

@@ -178,7 +178,6 @@ def test_surface_strip_matches_python_strip_semantics(spark):
     assert rows[" x "].is_all_lowercase
 
     # the oracle's trim(token, PY_STRIP_WHITESPACE) strips the same set
-    import __spark_entry__ as entrymod
     from bioner_spark.functions.surface import PY_STRIP_WHITESPACE
 
     con = duckdb.connect()

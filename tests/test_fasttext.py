@@ -235,3 +235,17 @@ def test_int_subword_check_eos_matches_production(spark):
     assert rows["</s>"].n_subwords == 0
     assert (rows["</s>"].s0, rows["</s>"].s1, rows["</s>"].s2) == (0, 0, 0)
     assert rows["cell"].n_subwords > 0
+
+
+def test_save_load_symmetric_without_npz_extension(tmp_path):
+    """Same rule as SequenceModel.save: save(path) writes EXACTLY path —
+    np.savez_compressed(str) appends .npz to extension-less paths, so
+    save('/m/ft_cache') + load('/m/ft_cache') used to FileNotFoundError."""
+    import os
+
+    ft = FastTextModel.fixture(bucket=50, dim=4)
+    p = str(tmp_path / "ft_cache")  # no extension, like a configured knob
+    ft.save(p)
+    assert os.path.isfile(p)
+    ft2 = FastTextModel.load(p)
+    np.testing.assert_array_equal(ft.word_vector("graph"), ft2.word_vector("graph"))

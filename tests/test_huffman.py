@@ -167,3 +167,24 @@ def test_empty_vocab_returns_schema_stable_empty(spark):
     out = huffman_codes(vocab)
     assert out.count() == 0
     assert "code" in out.columns and "points" in out.columns
+
+
+def test_checkpointed_vocab_not_repersisted(spark):
+    """A (local)checkpointed vocab already scans a materialized RDD; it
+    reports storageLevel NONE (checkpoints don't register with the cache
+    manager), so a storage-level-only adopt check would store a pointless
+    second full copy of a vocab the module sizes at 10^7–10^8 rows."""
+    from bioner_spark.functions.huffman import _is_materialized
+
+    df = spark.createDataFrame(
+        [("a", 5, 0), ("b", 3, 1)], "ngram string, count long, index long"
+    )
+    ck = df.localCheckpoint(eager=True)
+    assert not (ck.storageLevel.useMemory or ck.storageLevel.useDisk)
+    assert _is_materialized(ck)
+    assert not _is_materialized(df.select("ngram", "count", "index"))
+    p = df.persist()
+    try:
+        assert _is_materialized(p)
+    finally:
+        p.unpersist()

@@ -187,3 +187,18 @@ def test_table_buckets_sql():
     assert ice.table_buckets_sql("kg.db.triples") == (
         "SELECT partition.bucket AS bucket FROM kg.db.triples.partitions"
     )
+
+
+def test_table_buckets_sql_net_of_deletes_is_conservative():
+    """Metadata counts can't decide liveness for delete-carrying buckets
+    (equality deletes are predicates; position deletes may be duplicated),
+    so the net SQL must list only beyond-doubt-live buckets and a separate
+    ambiguous list must route to a partition-pruned data scan."""
+    net = ice.table_buckets_sql("kg.db.t", net_of_deletes=True)
+    assert "record_count > 0" in net
+    assert "COALESCE(position_delete_record_count, 0) = 0" in net
+    assert "COALESCE(equality_delete_record_count, 0) = 0" in net
+    # the old arithmetic (record_count > pos + eq) misjudged both ways
+    assert "+" not in net
+    amb = ice.ambiguous_buckets_sql("kg.db.t")
+    assert "> 0" in amb and "OR" in amb

@@ -148,8 +148,15 @@ def test_align_predictions_requires_order_columns(spark):
     preds = spark.createDataFrame(
         [("x", "B")], "pred_text string, pred_tag string"
     )
-    with pytest.raises(ValueError, match="order columns"):
+    with pytest.raises(ValueError, match="order column"):
         align_predictions(toks, preds)
+    # BOTH columns are required: _file alone leaves within-file ties broken
+    # by arbitrary shuffle order — silent misalignment, so also loud
+    preds_partial = spark.createDataFrame(
+        [("f", "x", "B")], "_file string, pred_text string, pred_tag string"
+    )
+    with pytest.raises(ValueError, match="_line"):
+        align_predictions(toks, preds_partial)
 
 
 def test_strict_alignment_rejects_null_pred_tag(spark, tmp_path):

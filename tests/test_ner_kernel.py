@@ -345,3 +345,19 @@ def test_ship_npz_rejects_name_reuse(spark):
     ship_model(spark, m, name=name)
     with pytest.raises(ValueError, match="already shipped"):
         ship_model(spark, m, name=name)
+
+
+def test_ship_npz_failed_save_does_not_burn_name(spark):
+    """A ship whose save_fn raised never reached any worker cache, so the
+    once-per-app rule must not reject a retry of the same name."""
+    from bioner_spark.ner.shipping import ship_npz
+
+    def boom(_path):
+        raise OSError("disk full")
+
+    name = "retry_probe_model"
+    with pytest.raises(OSError, match="disk full"):
+        ship_npz(spark, boom, name=name, default_prefix="m")
+    m = init_model(input_dim=6, seed=2)
+    fname = ship_npz(spark, m.save, name=name, default_prefix="m")
+    assert fname == f"{name}.npz"

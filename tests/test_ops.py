@@ -624,3 +624,32 @@ def test_normalization_law_identical_across_engines(spark):
     ]
     assert got_spark == got_duck
     assert got_spark[0] == "a b"  # VT collapsed on BOTH engines
+
+
+def test_exact_dedup_null_text_gets_per_id_fingerprint(spark):
+    """NULL text (fetch failures) must NOT collapse into one NULL-keyed
+    duplicate group — distinct failed fetches are not copies of each other.
+    Same sentinel law as streaming_dedup (streaming/stateful.py)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id long, text string",
+    )
+    groups = {r.fingerprint: r for r in exact_duplicate_groups(df).collect()}
+    assert groups["null:1"].n_docs == 1 and groups["null:2"].n_docs == 1
+    assert dedup_exact(df).count() == 3  # both NULLs kept, one 'same'
+
+
+def test_kmeans_fit_rejects_whole_null_vector(spark):
+    """size(NULL)/exists(NULL, ...) are NULL (not true) under ANSI mode, so
+    the malformed-vector validation needs the explicit isNull arm — without
+    it the Lloyd loop dies with an opaque driver TypeError."""
+    import pytest
+
+    from bioner_spark.ops.similarity import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="malformed vector"):
+        kmeans_fit(df, k=2, max_iter=2, seed=1)
