@@ -157,19 +157,25 @@ def build_codes(counts: np.ndarray, max_code_length: int = MAX_CODE_LENGTH):
 
 def _is_materialized(df: DataFrame) -> bool:
     """True when scanning `df` twice does NOT re-run a corpus lineage:
-    either it is persisted, or its plan is rooted at a LogicalRDD — a
-    `(local)checkpoint()`ed frame scans an already-materialized RDD but
-    reports storageLevel NONE because checkpoints don't register with the
-    cache manager, so a storage-level-only check would re-persist
-    build_vocabulary's checkpointed output (the documented common input)
-    into a pointless second full copy."""
+    either it is persisted, or its plan is a LogicalRDD over a
+    CHECKPOINTED RDD — a `(local)checkpoint()`ed frame scans an
+    already-materialized RDD but reports storageLevel NONE because
+    checkpoints don't register with the cache manager, so a
+    storage-level-only check would re-persist build_vocabulary's
+    checkpointed output (the documented common input) into a pointless
+    second full copy. A LogicalRDD root ALONE is not enough: an
+    un-checkpointed RDD-backed frame (createDataFrame over an RDD)
+    re-runs its full lineage on every scan — double corpus cost, and
+    wrong codes with no error if that lineage is nondeterministic (the
+    two scans would see different rows)."""
     lvl = df.storageLevel
     if lvl.useMemory or lvl.useDisk:
         return True
     try:
+        analyzed = df._jdf.queryExecution().analyzed()
         return (
-            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
-            == "LogicalRDD"
+            analyzed.getClass().getSimpleName() == "LogicalRDD"
+            and analyzed.rdd().isCheckpointed()
         )
     except Exception:
         return False  # non-classic session: persist defensively

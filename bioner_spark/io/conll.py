@@ -115,13 +115,22 @@ def _req_field(cols, i: int, name: str):
 
 def _int_field(cols, i: int, name: str):
     """Field i as int, raising on a present-but-non-integer value: without
-    the guard, cast('int') on 'foo' yields a silent NULL offset in non-ANSI
-    mode — the exact hazard _req_field closes for short lines."""
-    v = _req_field(cols, i, name)
-    return F.when(v.rlike(r"^-?\d+$"), v.cast("int")).otherwise(
+    the guard, cast('int') on 'foo' — or int32 OVERFLOW on '99999999999',
+    which passes a digits-only regex — yields a silent NULL offset in
+    non-ANSI mode, the exact hazard _req_field closes for short lines.
+    Lexical forms match Python's int() (the reference parser,
+    conll_dataset.py) for ASCII input: optional surrounding spaces and an
+    optional +/- sign are accepted; the digit cap keeps the bigint cast
+    itself overflow-free, and the explicit int32 range check turns
+    out-of-range offsets into the loud error instead of a NULL."""
+    v = F.trim(_req_field(cols, i, name))
+    big = F.when(v.rlike(r"^[+-]?\d{1,18}$"), v.cast("bigint"))
+    return F.when(
+        big.between(-2147483648, 2147483647), big.cast("int")
+    ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit(f"read_conll: malformed token row (non-integer {name} "
+                F.lit(f"read_conll: malformed token row (non-int32 {name} "
                       "column): "),
                 F.get(cols, 0),
             )

@@ -356,39 +356,51 @@ def mirror_triples(
     return todo, orphans
 
 
-def table_buckets_sql(table: str, net_of_deletes: bool = False) -> str:
+def table_buckets_sql(table: str) -> str:
     """Distinct partition values from Iceberg's `.partitions` metadata
-    table — a metadata-only read (no data-file scan) even at 10^12 rows.
-
-    net_of_deletes: list only buckets that are live BEYOND DOUBT from
-    metadata alone — data rows present and zero merge-on-read delete
-    records. Buckets carrying ANY deletes cannot be classified from the
-    metadata counts: equality-delete records are predicates (one record
-    may delete many rows or none) and position deletes may be duplicated
-    across delete files, so record_count − delete counts misjudges
-    liveness in BOTH directions. `table_buckets` resolves those buckets
-    with a partition-pruned data scan instead (see
-    `ambiguous_buckets_sql`)."""
-    if net_of_deletes:
-        return (
-            f"SELECT partition.bucket AS bucket FROM {table}.partitions "
-            "WHERE record_count > 0"
-            " AND COALESCE(position_delete_record_count, 0) = 0"
-            " AND COALESCE(equality_delete_record_count, 0) = 0"
-        )
+    table — a metadata-only read (no data-file scan) even at 10^12 rows."""
     return f"SELECT partition.bucket AS bucket FROM {table}.partitions"
 
 
-def ambiguous_buckets_sql(table: str) -> str:
-    """Buckets whose liveness metadata alone cannot decide: data rows
-    recorded but merge-on-read delete records present (see
-    table_buckets_sql). Their true state needs a delete-merging read."""
+def bucket_liveness_sql(table: str) -> str:
+    """ONE `.partitions` metadata scan returning per-partition row and
+    merge-on-read delete-record counts; liveness classification happens
+    driver-side (`classify_buckets` — bucket counts are driver-sized by
+    construction). One scan, not two with complementary predicates: each
+    query over `.partitions` replans and re-walks the table's manifest
+    tree, which at 10^12-row scale is the expensive part."""
     return (
-        f"SELECT partition.bucket AS bucket FROM {table}.partitions "
-        "WHERE record_count > 0"
-        " AND (COALESCE(position_delete_record_count, 0) > 0"
-        " OR COALESCE(equality_delete_record_count, 0) > 0)"
+        "SELECT partition.bucket AS bucket, record_count,"
+        " COALESCE(position_delete_record_count, 0) AS pd,"
+        " COALESCE(equality_delete_record_count, 0) AS ed"
+        f" FROM {table}.partitions"
     )
+
+
+def classify_buckets(rows) -> tuple[set[int], set[int]]:
+    """(live_beyond_doubt, ambiguous) from (bucket, record_count, pd, ed)
+    mappings. Pure (unit-testable without the jar).
+
+    A bucket is live BEYOND DOUBT from metadata alone when some row has
+    data records and zero merge-on-read delete records. Buckets whose
+    every recorded row carries deletes cannot be classified from counts:
+    equality-delete records are predicates (one record may delete many
+    rows or none) and position deletes may be duplicated across delete
+    files, so record_count − delete counts misjudges liveness in BOTH
+    directions — those go to `ambiguous` for a partition-pruned
+    delete-merging data scan. Spec evolution can record the same bucket
+    under several rows; any delete-free live row settles it as live."""
+    live: set[int] = set()
+    ambiguous: set[int] = set()
+    for r in rows:
+        if r["bucket"] is None or r["record_count"] <= 0:
+            continue
+        b = int(r["bucket"])
+        if r["pd"] == 0 and r["ed"] == 0:
+            live.add(b)
+        else:
+            ambiguous.add(b)
+    return live, ambiguous - live
 
 
 def table_buckets(spark: SparkSession, table: str) -> set[int]:
@@ -409,27 +421,24 @@ def table_buckets(spark: SparkSession, table: str) -> set[int]:
         for f in spark.sql(f"SELECT * FROM {table}.partitions LIMIT 0").schema.fields
     }
     has_delete_counts = "position_delete_record_count" in part_cols
-    sql = table_buckets_sql(table, net_of_deletes=has_delete_counts)
-    live = {
-        int(r["bucket"])
-        for r in spark.sql(sql).collect()
-        if r["bucket"] is not None
-    }
-    if has_delete_counts:
-        ambiguous = {
+    if not has_delete_counts:
+        return {
             int(r["bucket"])
-            for r in spark.sql(ambiguous_buckets_sql(table)).collect()
+            for r in spark.sql(table_buckets_sql(table)).collect()
             if r["bucket"] is not None
-        } - live
-        if ambiguous:
-            blist = ", ".join(str(b) for b in sorted(ambiguous))
-            live |= {
-                int(r["bucket"])
-                for r in spark.sql(
-                    f"SELECT DISTINCT bucket FROM {table} "
-                    f"WHERE bucket IN ({blist})"
-                ).collect()
-            }
+        }
+    live, ambiguous = classify_buckets(
+        spark.sql(bucket_liveness_sql(table)).collect()
+    )
+    if ambiguous:
+        blist = ", ".join(str(b) for b in sorted(ambiguous))
+        live |= {
+            int(r["bucket"])
+            for r in spark.sql(
+                f"SELECT DISTINCT bucket FROM {table} "
+                f"WHERE bucket IN ({blist})"
+            ).collect()
+        }
     return live
 
 

@@ -54,6 +54,12 @@ def ship_npz(
             "name (or the unique default) per artifact version"
         )
     d = tempfile.mkdtemp(prefix="bioner_ship_")
+    # cleanup registered BEFORE save/addFile can fail, or a failed save_fn
+    # (disk full, then retried — a supported path) leaks one orphan dir per
+    # attempt; the dir must outlive the app either way because local-mode
+    # executors re-validate addFile sources per task, and atexit ordering
+    # is safe for an ignore_errors rmtree
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     fname = f"{name}.npz"
     path = os.path.join(d, fname)
     save_fn(path)
@@ -62,5 +68,4 @@ def ship_npz(
     # any worker cache, so retrying the same name is safe and must not be
     # burned by the once-per-app rule
     _SHIPPED.add(key)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
     return fname

@@ -64,28 +64,40 @@ def normalized(text_col):
     return F.trim(F.regexp_replace(F.lower(text_col), r"[ \t\n\x0B\f\r]+", " "))
 
 
+def fingerprint_expr(text_col, key_col, words_col=None):
+    """THE exact-dedup fingerprint: md5 of the normalized text, with a
+    per-key sentinel for NULL text (fetch failures). One definition shared
+    by batch dedup (here) and streaming_dedup (streaming/stateful.py) —
+    the cross-path dedup parity the contract queries assert depends on the
+    two staying bit-identical, as do the DuckDB oracles (dedup_exact,
+    corpus_filter rep_id, streaming_dedup_ledger).
+
+    Sentinel rationale: groupBy treats NULL as ONE key, so distinct failed
+    fetches would otherwise collapse into a single "duplicate group" and
+    dedup would silently drop all but one.
+
+    words_col: fingerprint from a shared pre-split word array instead of
+    re-normalizing text (array_join of the split is the exact inverse of
+    the split, so the md5 is identical)."""
+    base = (
+        F.md5(F.array_join(words_col, " "))
+        if words_col is not None
+        else F.md5(normalized(text_col))
+    )
+    return F.coalesce(base, F.concat_ws(":", F.lit("null"), key_col))
+
+
 def exact_duplicate_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     words_col: str | None = None,
 ) -> DataFrame:
-    """→ (fingerprint, n_docs, min_doc_id) per normalized-text group.
-
-    words_col: fingerprint from the shared pre-split word array instead of
-    re-normalizing text (array_join of the split is the exact inverse of the
-    split, so the md5 is identical).
-
-    NULL text (fetch failures) gets a per-id sentinel fingerprint instead of
-    a NULL one: groupBy treats NULL as ONE key, so distinct failed fetches
-    would otherwise collapse into a single "duplicate group" and dedup would
-    silently drop all but one. Same law as streaming_dedup
-    (streaming/stateful.py) and the DuckDB oracles (dedup_exact,
-    corpus_filter rep_id, streaming_dedup_ledger)."""
-    fp = (
-        F.md5(F.array_join(F.col(words_col), " "))
-        if words_col
-        else F.md5(normalized(F.col(text_col)))
+    """→ (fingerprint, n_docs, min_doc_id) per normalized-text group
+    (fingerprint law: `fingerprint_expr`)."""
+    fp = fingerprint_expr(
+        F.col(text_col),
+        F.col(id_col),
+        words_col=F.col(words_col) if words_col else None,
     )
-    fp = F.coalesce(fp, F.concat_ws(":", F.lit("null"), F.col(id_col)))
     return (
         df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
         .groupBy("fingerprint")

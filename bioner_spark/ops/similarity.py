@@ -378,16 +378,24 @@ def kmeans_fit(
     src = src.persist()
     # seed folded INTO the hash (works for any id type; `id + seed` would be
     # arithmetic, string ids break / NULL out under non-ANSI)
+    # NULL vectors must not be seedable: a whole-NULL row picked as the
+    # first seed makes len(cents[0]) below an opaque driver TypeError
+    # before the loud per-row validation scan ever runs. They still reach
+    # that scan (which reads the unfiltered src) and raise with the row id.
     cents = [
         r["v"]
         for r in src.select("v")
+        .filter(F.col("v").isNotNull())
         .orderBy(F.xxhash64(F.lit(seed), F.col("id")))
         .limit(k)
         .collect()
     ]
     if not cents:
         src.unpersist()
-        raise ValueError("kmeans_fit: no input vectors (empty source or sample)")
+        raise ValueError(
+            "kmeans_fit: no seedable input vectors (empty source/sample, "
+            "or every vector NULL)"
+        )
     dim = len(cents[0])
     # loud per-row validation BEFORE the Lloyd's loop (one cheap scan of
     # the persisted source): a wrong-width vector NULLs every distance —

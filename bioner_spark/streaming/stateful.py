@@ -108,20 +108,14 @@ def streaming_dedup(pages: DataFrame, ttl_minutes: int | None = None) -> DataFra
     `filter(is_first = 1)` for the deduplicated corpus and can aggregate
     the rest for dup-rate monitoring.
     """
-    from bioner_spark.ops.dedup import normalized
+    from bioner_spark.ops.dedup import fingerprint_expr
 
-    # ONE normalization definition shared with batch dedup + fingerprints
-    # (ops/dedup.py:normalized) — the cross-path dedup parity the contract
-    # queries assert depends on these staying bit-identical.
-    # NULL text (fetch failures) gets a per-url sentinel key instead of a
-    # NULL fingerprint: groupBy treats NULL as ONE key, so every failed
-    # fetch after the first would be emitted as its "duplicate" and a
-    # downstream filter(is_first=1) would silently drop distinct urls.
+    # THE fingerprint definition shared with batch dedup
+    # (ops/dedup.py:fingerprint_expr — normalization + NULL-text per-url
+    # sentinel): the cross-path dedup parity the contract queries assert
+    # depends on batch and streaming staying bit-identical.
     keyed = pages.select(
-        F.coalesce(
-            F.md5(normalized(F.col("text"))),
-            F.concat_ws(":", F.lit("null"), F.col("url")),
-        ).alias("fingerprint"),
+        fingerprint_expr(F.col("text"), F.col("url")).alias("fingerprint"),
         "url",
     )
     grouped = keyed.groupBy("fingerprint")

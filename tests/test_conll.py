@@ -174,8 +174,34 @@ def test_read_conll_non_integer_offset_raises(spark, tmp_path):
 
     p = tmp_path / "bad_offset.conll"
     p.write_text("-DOCSTART-\t0\t0\tO\n\nAspirin\tfoo\tbar\tB-X\n\n")
-    with pytest.raises(PySparkException, match="non-integer start"):
+    with pytest.raises(PySparkException, match="non-int32 start"):
         read_conll(spark, str(p)).collect()
+
+
+def test_read_conll_overflow_offset_raises(spark, tmp_path):
+    """int32-overflow offsets pass a digits-only regex but cast('int')
+    NULLs them in non-ANSI mode — the same silent-NULL class; must raise."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from bioner_spark.io.conll import read_conll
+
+    p = tmp_path / "overflow.conll"
+    p.write_text("-DOCSTART-\t0\t0\tO\n\nAspirin\t99999999999\t5\tB-X\n\n")
+    with pytest.raises(PySparkException, match="non-int32 start"):
+        read_conll(spark, str(p)).collect()
+
+
+def test_read_conll_python_int_lexical_forms_accepted(spark, tmp_path):
+    """'+5' and space-padded offsets parse fine in the reference (Python
+    int()) and in a plain CAST — the loud guard must not reject them."""
+    from bioner_spark.io.conll import read_conll
+
+    p = tmp_path / "signed.conll"
+    p.write_text("-DOCSTART-\t0\t0\tO\n\nAspirin\t+5\t 12 \tB-X\n\n")
+    rows = read_conll(spark, str(p)).collect()
+    tok = [r for r in rows if r["text"] == "Aspirin"]
+    assert tok and tok[0]["start"] == 5 and tok[0]["end"] == 12
 
 
 def test_read_conll_empty_tag_raises(spark, tmp_path):

@@ -188,3 +188,19 @@ def test_checkpointed_vocab_not_repersisted(spark):
         assert _is_materialized(p)
     finally:
         p.unpersist()
+
+
+def test_uncheckpointed_rdd_frame_is_not_materialized(spark):
+    """A LogicalRDD root alone does NOT mean materialized: an
+    un-checkpointed RDD-backed frame re-runs its full lineage on every
+    scan, and nondeterministic lineage would give the two huffman_codes
+    scans different rows — wrong codes with no error. Only a checkpointed
+    RDD may skip the defensive persist."""
+    from bioner_spark.functions.huffman import _is_materialized
+
+    rdd = spark.sparkContext.parallelize([("a", 5, 0), ("b", 3, 1)])
+    df = spark.createDataFrame(rdd, "ngram string, count long, index long")
+    root = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+    assert root == "LogicalRDD"  # the shape the old check wrongly adopted
+    assert not _is_materialized(df)
+    assert _is_materialized(df.localCheckpoint(eager=True))

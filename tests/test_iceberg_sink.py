@@ -189,16 +189,32 @@ def test_table_buckets_sql():
     )
 
 
-def test_table_buckets_sql_net_of_deletes_is_conservative():
+def test_bucket_liveness_classification_is_conservative():
     """Metadata counts can't decide liveness for delete-carrying buckets
     (equality deletes are predicates; position deletes may be duplicated),
-    so the net SQL must list only beyond-doubt-live buckets and a separate
-    ambiguous list must route to a partition-pruned data scan."""
-    net = ice.table_buckets_sql("kg.db.t", net_of_deletes=True)
-    assert "record_count > 0" in net
-    assert "COALESCE(position_delete_record_count, 0) = 0" in net
-    assert "COALESCE(equality_delete_record_count, 0) = 0" in net
-    # the old arithmetic (record_count > pos + eq) misjudged both ways
-    assert "+" not in net
-    amb = ice.ambiguous_buckets_sql("kg.db.t")
-    assert "> 0" in amb and "OR" in amb
+    so classification must mark only delete-free record-bearing buckets as
+    live and route every delete-carrying one to the pruned data scan —
+    never record_count − delete-count arithmetic."""
+    rows = [
+        {"bucket": 0, "record_count": 10, "pd": 0, "ed": 0},   # live
+        {"bucket": 1, "record_count": 10, "pd": 10, "ed": 0},  # ambiguous:
+        # 10 position deletes could be 10 dups of one row (9 live) or all
+        # 10 rows (dead)
+        {"bucket": 2, "record_count": 5, "pd": 0, "ed": 1},    # ambiguous:
+        # one equality-delete predicate may kill 0..5 rows
+        {"bucket": 3, "record_count": 0, "pd": 0, "ed": 0},    # empty
+        {"bucket": None, "record_count": 9, "pd": 0, "ed": 0},  # null part
+        # spec evolution: same bucket under two rows — one delete-free live
+        # row settles it as live, not ambiguous
+        {"bucket": 4, "record_count": 3, "pd": 1, "ed": 0},
+        {"bucket": 4, "record_count": 7, "pd": 0, "ed": 0},
+    ]
+    live, ambiguous = ice.classify_buckets(rows)
+    assert live == {0, 4}
+    assert ambiguous == {1, 2}
+    # ONE metadata scan feeds the classification (manifest walks are the
+    # expensive part at scale)
+    sql = ice.bucket_liveness_sql("kg.db.t")
+    assert sql.count("FROM kg.db.t.partitions") == 1
+    assert "position_delete_record_count" in sql
+    assert "equality_delete_record_count" in sql
