@@ -338,8 +338,11 @@ def mirror_triples(
     lineage and writes ONLY stale buckets; a no-op resume issues zero
     commits. Orphans — buckets the table holds but the current input no
     longer produces — are computed from the UNION of the recorded lineage
-    and the table's actual partitions (`table_buckets`, a metadata-only
-    read), which re-lists orphans whose lineage a prior run voided but
+    and the table's actual partitions (`table_buckets` — one `.partitions`
+    metadata scan, plus a partition-pruned data scan ONLY for buckets whose
+    merge-on-read delete counts leave liveness unprovable from metadata:
+    see `classify_buckets`), which re-lists orphans whose lineage a prior
+    run voided but
     whose DELETE then crashed; their removal is recorded and THEN their
     rows deleted (plan_commit's ordering). Returns (todo, orphans) so
     callers can report what was written."""
@@ -381,22 +384,29 @@ def classify_buckets(rows) -> tuple[set[int], set[int]]:
     """(live_beyond_doubt, ambiguous) from (bucket, record_count, pd, ed)
     mappings. Pure (unit-testable without the jar).
 
-    A bucket is live BEYOND DOUBT from metadata alone when some row has
-    data records and zero merge-on-read delete records. Buckets whose
-    every recorded row carries deletes cannot be classified from counts:
-    equality-delete records are predicates (one record may delete many
-    rows or none) and position deletes may be duplicated across delete
-    files, so record_count − delete counts misjudges liveness in BOTH
-    directions — those go to `ambiguous` for a partition-pruned
-    delete-merging data scan. Spec evolution can record the same bucket
-    under several rows; any delete-free live row settles it as live."""
+    A bucket is live BEYOND DOUBT from metadata alone when some row proves
+    at least one surviving data record:
+
+      * zero merge-on-read delete records → all record_count rows live;
+      * position deletes only (ed == 0) with record_count > pd: each
+        position-delete record kills AT MOST one row (duplicates across
+        delete files only overcount kills), so live ≥ record_count − pd
+        > 0 — metadata-only proof, no data scan.
+
+    Equality deletes void both proofs: one equality-delete record is a
+    predicate that may kill many rows or none, so counts bound nothing in
+    either direction. Those buckets — and pd ≥ record_count ones, where
+    position deletes COULD cover every row — go to `ambiguous` for a
+    partition-pruned delete-merging data scan. Spec evolution can record
+    the same bucket under several rows; any single proving row settles it
+    as live."""
     live: set[int] = set()
     ambiguous: set[int] = set()
     for r in rows:
         if r["bucket"] is None or r["record_count"] <= 0:
             continue
         b = int(r["bucket"])
-        if r["pd"] == 0 and r["ed"] == 0:
+        if r["ed"] == 0 and r["record_count"] > r["pd"]:
             live.add(b)
         else:
             ambiguous.add(b)

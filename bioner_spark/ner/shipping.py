@@ -20,6 +20,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
 import uuid
 from typing import Callable
 
@@ -32,6 +33,13 @@ from pyspark.sql import SparkSession
 # app id so a fresh SparkContext (new executors, empty caches) may reuse
 # names.
 _SHIPPED: set[tuple[str, str]] = set()
+
+# guards the reserve/rollback of _SHIPPED: multi-threaded job submission is
+# a normal Spark driver pattern, and an unlocked check-then-act spanning the
+# whole save+addFile would let two concurrent ships of the same name both
+# pass the duplicate check — the second addFile is silently ignored and warm
+# workers serve the FIRST artifact under the second caller's name
+_SHIP_LOCK = threading.Lock()
 
 
 def ship_npz(
@@ -46,13 +54,19 @@ def ship_npz(
     if name is None:
         name = f"{default_prefix}_{uuid.uuid4().hex[:12]}"
     key = (spark.sparkContext.applicationId, name)
-    if key in _SHIPPED:
-        raise ValueError(
-            f"ship_npz: name {name!r} was already shipped in this "
-            "application — addFile would silently ignore the re-ship and "
-            "warm workers would keep serving the OLD weights; use a fresh "
-            "name (or the unique default) per artifact version"
-        )
+    # reserve the key NOW, under the lock — checking here but registering
+    # only after save+addFile would leave the whole (slow) save as a window
+    # in which a concurrent ship of the same name passes the check too;
+    # rollback on failure below preserves retry-after-failed-save
+    with _SHIP_LOCK:
+        if key in _SHIPPED:
+            raise ValueError(
+                f"ship_npz: name {name!r} was already shipped in this "
+                "application — addFile would silently ignore the re-ship and "
+                "warm workers would keep serving the OLD weights; use a fresh "
+                "name (or the unique default) per artifact version"
+            )
+        _SHIPPED.add(key)
     d = tempfile.mkdtemp(prefix="bioner_ship_")
     # cleanup registered BEFORE save/addFile can fail, or a failed save_fn
     # (disk full, then retried — a supported path) leaks one orphan dir per
@@ -62,10 +76,13 @@ def ship_npz(
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     fname = f"{name}.npz"
     path = os.path.join(d, fname)
-    save_fn(path)
-    spark.sparkContext.addFile(path)
-    # register only AFTER save+addFile succeed: a failed ship never reached
-    # any worker cache, so retrying the same name is safe and must not be
-    # burned by the once-per-app rule
-    _SHIPPED.add(key)
+    try:
+        save_fn(path)
+        spark.sparkContext.addFile(path)
+    except BaseException:
+        # a failed ship never reached any worker cache, so retrying the
+        # same name is safe and must not be burned by the once-per-app rule
+        with _SHIP_LOCK:
+            _SHIPPED.discard(key)
+        raise
     return fname

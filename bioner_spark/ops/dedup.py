@@ -76,6 +76,17 @@ def fingerprint_expr(text_col, key_col, words_col=None):
     fetches would otherwise collapse into a single "duplicate group" and
     dedup would silently drop all but one.
 
+    NULL text AND NULL key: the sentinel is built with concat (NULL-in →
+    NULL-out) + a final constant fallback, NOT concat_ws — concat_ws skips
+    NULL args, which would silently degrade every NULL-key sentinel to the
+    bare string 'null', colliding with each other AND with any real key
+    named ''. Rows with neither text nor key carry zero identity, so they
+    form ONE explicit "null:\\x00" group (\\x00 cannot occur in a url/id
+    string, so no real key collides); that grouping matches the DuckDB
+    oracle's NULL-fingerprint group (SQL GROUP BY puts all NULLs in one
+    group). Contract tables have non-NULL keys, so the oracle hash never
+    sees the fallback.
+
     words_col: fingerprint from a shared pre-split word array instead of
     re-normalizing text (array_join of the split is the exact inverse of
     the split, so the md5 is identical)."""
@@ -84,7 +95,11 @@ def fingerprint_expr(text_col, key_col, words_col=None):
         if words_col is not None
         else F.md5(normalized(text_col))
     )
-    return F.coalesce(base, F.concat_ws(":", F.lit("null"), key_col))
+    return F.coalesce(
+        base,
+        F.concat(F.lit("null:"), key_col.cast("string")),
+        F.lit("null:\x00"),
+    )
 
 
 def exact_duplicate_groups(

@@ -368,6 +368,13 @@ def kmeans_fit(
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction:
         src = src.sample(fraction=sample_fraction, seed=seed)
+    # pre-normalize handle for the loud NULL/NaN validation below: the
+    # spherical path's `_nrm > 0` filter would otherwise silently DROP
+    # NULL-vector and NaN-element rows (their norm is NULL/NaN, which is
+    # not > 0) before the validation scan ever sees them — exactly the
+    # silent-row-loss the scan exists to prevent. Only true zero vectors
+    # may be dropped by design (no direction to normalize; documented).
+    raw = src
     if normalize:
         src = (
             src.withColumn("_nrm", _norm(F.col("v")))
@@ -397,22 +404,27 @@ def kmeans_fit(
             "or every vector NULL)"
         )
     dim = len(cents[0])
-    # loud per-row validation BEFORE the Lloyd's loop (one cheap scan of
-    # the persisted source): a wrong-width vector NULLs every distance —
-    # cell=None and an opaque driver TypeError far from the bad row — and
-    # a NaN element silently lands in cell 0 (NaN comparisons) and poisons
-    # that centroid's average with no error at all.
+    # loud per-row validation BEFORE the Lloyd's loop: a wrong-width vector
+    # NULLs every distance — cell=None and an opaque driver TypeError far
+    # from the bad row — and a NaN element silently lands in cell 0 (NaN
+    # comparisons) and poisons that centroid's average with no error at
+    # all. The NULL/NaN arm scans `raw` (PRE-normalize — see above), so
+    # malformed rows raise even when the spherical filter would have hidden
+    # them; the width arm scans the persisted `src` Lloyd's actually reads.
+    # When normalize=False, raw IS src, so this stays one cheap cached
+    # scan; with normalize=True the raw scan recomputes the (deterministic,
+    # seeded) sample once — fit-time-only cost.
     bad = (
-        src.filter(
+        raw.filter(
             # isNull first: size(NULL) and exists(NULL, ...) are NULL (not
             # true) under ANSI mode, so a whole-NULL vector would slip past
             # a size/exists-only predicate
             F.col("v").isNull()
-            | (F.size("v") != dim)
             | F.exists("v", lambda x: x.isNull() | F.isnan(x))
         )
         .limit(1)
         .collect()
+        or src.filter(F.size("v") != dim).limit(1).collect()
     )
     if bad:
         src.unpersist()

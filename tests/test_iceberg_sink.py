@@ -190,11 +190,14 @@ def test_table_buckets_sql():
 
 
 def test_bucket_liveness_classification_is_conservative():
-    """Metadata counts can't decide liveness for delete-carrying buckets
-    (equality deletes are predicates; position deletes may be duplicated),
-    so classification must mark only delete-free record-bearing buckets as
-    live and route every delete-carrying one to the pruned data scan —
-    never record_count − delete-count arithmetic."""
+    """Equality deletes are predicates (counts bound nothing), so ANY
+    equality-delete record routes the bucket to the pruned data scan. A
+    position-delete record kills AT MOST one row — duplication across
+    delete files only overcounts kills — so ed == 0 with record_count > pd
+    is a sound metadata-only liveness proof (live ≥ record_count − pd > 0):
+    routinely-MOR-deleted buckets must NOT pay a data scan on every mirror
+    run. pd ≥ record_count stays ambiguous (the deletes COULD cover every
+    row... or be dups of one)."""
     rows = [
         {"bucket": 0, "record_count": 10, "pd": 0, "ed": 0},   # live
         {"bucket": 1, "record_count": 10, "pd": 10, "ed": 0},  # ambiguous:
@@ -204,14 +207,22 @@ def test_bucket_liveness_classification_is_conservative():
         # one equality-delete predicate may kill 0..5 rows
         {"bucket": 3, "record_count": 0, "pd": 0, "ed": 0},    # empty
         {"bucket": None, "record_count": 9, "pd": 0, "ed": 0},  # null part
-        # spec evolution: same bucket under two rows — one delete-free live
+        # pd-only with record_count > pd: provably ≥ 7 live rows from
+        # metadata alone — must NOT be re-scanned every run
+        {"bucket": 5, "record_count": 10, "pd": 3, "ed": 0},
+        # pd exceeding record_count (heavy delete-file duplication): the
+        # proof record_count − pd > 0 fails → ambiguous, never "dead"
+        {"bucket": 6, "record_count": 4, "pd": 9, "ed": 0},
+        # equality deletes void the position-delete proof too
+        {"bucket": 7, "record_count": 10, "pd": 1, "ed": 1},
+        # spec evolution: same bucket under two rows — one proving live
         # row settles it as live, not ambiguous
-        {"bucket": 4, "record_count": 3, "pd": 1, "ed": 0},
+        {"bucket": 4, "record_count": 3, "pd": 0, "ed": 2},
         {"bucket": 4, "record_count": 7, "pd": 0, "ed": 0},
     ]
     live, ambiguous = ice.classify_buckets(rows)
-    assert live == {0, 4}
-    assert ambiguous == {1, 2}
+    assert live == {0, 4, 5}
+    assert ambiguous == {1, 2, 6, 7}
     # ONE metadata scan feeds the classification (manifest walks are the
     # expensive part at scale)
     sql = ice.bucket_liveness_sql("kg.db.t")

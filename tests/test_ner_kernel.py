@@ -361,3 +361,26 @@ def test_ship_npz_failed_save_does_not_burn_name(spark):
     m = init_model(input_dim=6, seed=2)
     fname = ship_npz(spark, m.save, name=name, default_prefix="m")
     assert fname == f"{name}.npz"
+
+
+def test_ship_npz_reserves_name_before_save(spark):
+    """The once-per-app key must be reserved BEFORE save_fn runs: with
+    registration deferred to after save+addFile, a concurrent ship of the
+    same name during the (slow, ~300 MB) save passes the duplicate check
+    too — its addFile is silently ignored and warm workers serve the FIRST
+    artifact under the second caller's name. Simulated deterministically by
+    re-shipping from INSIDE save_fn (same window, no thread timing)."""
+    from bioner_spark.ner.shipping import ship_npz
+
+    m = init_model(input_dim=6, seed=3)
+    name = "race_probe_model"
+    raised_inside = []
+
+    def save_and_reship(path):
+        with pytest.raises(ValueError, match="already shipped"):
+            ship_npz(spark, m.save, name=name, default_prefix="m")
+        raised_inside.append(True)
+        m.save(path)
+
+    fname = ship_npz(spark, save_and_reship, name=name, default_prefix="m")
+    assert fname == f"{name}.npz" and raised_inside == [True]

@@ -639,6 +639,32 @@ def test_exact_dedup_null_text_gets_per_id_fingerprint(spark):
     assert dedup_exact(df).count() == 3  # both NULLs kept, one 'same'
 
 
+def test_fingerprint_null_key_does_not_collapse_to_bare_null(spark):
+    """concat_ws skips NULL args, so a concat_ws-built sentinel would turn
+    EVERY NULL-key NULL-text row into the bare string 'null' — colliding
+    with each other and with a real key ''. The law must keep the non-NULL
+    form 'null:<key>' bit-identical (the DuckDB oracles hash it) and give
+    the no-identity rows the explicit \\x00 fallback group instead."""
+    from pyspark.sql import functions as F
+
+    from bioner_spark.ops.dedup import fingerprint_expr
+
+    df = spark.createDataFrame(
+        [("u1", None), (None, None), ("", None), ("u2", "text")],
+        "url string, text string",
+    )
+    got = {
+        r["url"]: r["fp"]
+        for r in df.select(
+            "url", fingerprint_expr(F.col("text"), F.col("url")).alias("fp")
+        ).collect()
+    }
+    assert got["u1"] == "null:u1"          # oracle form unchanged
+    assert got[None] == "null:\x00"        # explicit fallback, not 'null'
+    assert got[""] == "null:"              # real empty key ≠ NULL key
+    assert len(got["u2"]) == 32            # md5 path untouched
+
+
 def test_kmeans_fit_rejects_whole_null_vector(spark):
     """size(NULL)/exists(NULL, ...) are NULL (not true) under ANSI mode, so
     the malformed-vector validation needs the explicit isNull arm — without
@@ -653,3 +679,28 @@ def test_kmeans_fit_rejects_whole_null_vector(spark):
     )
     with pytest.raises(ValueError, match="malformed vector"):
         kmeans_fit(df, k=2, max_iter=2, seed=1)
+
+
+def test_kmeans_fit_normalize_still_rejects_null_and_nan(spark):
+    """The spherical path's `_nrm > 0` filter silently drops NULL/NaN rows
+    (their norm is NULL/NaN), so the loud validation must scan the
+    PRE-normalize frame — normalize=True must raise on the same malformed
+    inputs as normalize=False, not train on silently fewer rows. True zero
+    vectors stay a documented silent drop (no direction to normalize)."""
+    import pytest
+
+    from bioner_spark.ops.similarity import kmeans_fit
+
+    base = [(1, [3.0, 0.0]), (2, [0.0, 4.0]), (4, [5.0, 5.0])]
+    for bad_row in [(3, None), (3, [float("nan"), 1.0])]:
+        df = spark.createDataFrame(
+            base + [bad_row], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="malformed vector"):
+            kmeans_fit(df, k=2, max_iter=2, seed=1, normalize=True)
+    # zero vector: dropped by design, fit succeeds on the rest
+    df = spark.createDataFrame(
+        base + [(3, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = kmeans_fit(df, k=2, max_iter=2, seed=1, normalize=True)
+    assert len(cents) == 2
