@@ -341,6 +341,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_vocab"] = ngram_vocab
 
+    def huffman_codes_q(spark, sf_dir):
+        # V4: word2vec CreateBinaryTree over the vocabulary (the reference's
+        # ngram_encoder.update_huffman_codes intent — its own body is dead
+        # code; see functions/huffman.py module docstring). points as CSV:
+        # the driver's value-hash compare wants scalar columns, same
+        # convention as multihot_indices' indices_csv.
+        from bioner_spark.functions.huffman import huffman_codes
+        from bioner_spark.functions.ngrams import build_vocabulary
+
+        v = build_vocabulary(_tokens(spark, sf_dir), min_word_frequency=10)
+        out = huffman_codes(v)
+        return out.select(
+            "ngram",
+            "count",
+            F.col("index").cast("int").alias("index"),
+            "code",
+            "code_len",
+            F.array_join(
+                F.transform("points", lambda x: x.cast("string")), ","
+            ).alias("points_csv"),
+        )
+
+    q["huffman_codes"] = huffman_codes_q
+
     def multihot_indices(spark, sf_dir):
         from bioner_spark.functions.ngrams import build_vocabulary, char_ngrams
 
@@ -1655,6 +1679,91 @@ FROM t
 WITH {_TOKS_CTE},
 {_NGRAM_CTE.lstrip().rstrip()}
 SELECT ngram, count, index FROM vocab
+"""
+
+    # V4 Huffman: word2vec CreateBinaryTree as pure SQL — a single-row
+    # recursive-CTE state machine replays the two-pointer merge over the
+    # rank-ordered counts (strict `<` so count ties pick the INTERNAL node,
+    # exactly like word2vec.c and functions/huffman._build_tree), emitting
+    # one (min1, min2) row per merge; a second recursive CTE walks each
+    # leaf root-ward over the child→parent edges. Verified cell-identical
+    # to the numpy authority (build_codes) on tie-heavy and 257-word
+    # vocabularies before wiring. 2^62 = the engine's _SENTINEL (unfilled
+    # internal slots compare greater than any real count).
+    o["huffman_codes"] = f"""
+WITH RECURSIVE {_TOKS_CTE},
+{_NGRAM_CTE.lstrip().rstrip()},
+lc AS (
+  SELECT list(count ORDER BY index) AS counts, COUNT(*)::BIGINT AS v
+  FROM vocab
+),
+merge AS (
+  SELECT CAST(-1 AS BIGINT) AS a, (v - 1)::BIGINT AS pos1, v::BIGINT AS pos2,
+         CAST([] AS BIGINT[]) AS ci,
+         CAST(NULL AS BIGINT) AS min1, CAST(NULL AS BIGINT) AS min2,
+         counts, v
+  FROM lc
+  UNION ALL
+  SELECT a, pos1, pos2, list_append(ci, c1 + c2), m1, m2, counts, v
+  FROM (
+    SELECT a, counts, v, ci, m1, c1,
+      CASE WHEN pos1a >= 0 AND
+        (CASE WHEN pos1a < v THEN counts[(pos1a + 1)::INT]
+              WHEN pos1a - v < len(ci) THEN ci[(pos1a - v + 1)::INT]
+              ELSE 4611686018427387904 END)
+        <
+        (CASE WHEN pos2a < v THEN counts[(pos2a + 1)::INT]
+              WHEN pos2a - v < len(ci) THEN ci[(pos2a - v + 1)::INT]
+              ELSE 4611686018427387904 END)
+      THEN pos1a ELSE pos2a END AS m2,
+      CASE WHEN m2 = pos1a THEN pos1a - 1 ELSE pos1a END AS pos1,
+      CASE WHEN m2 = pos1a THEN pos2a ELSE pos2a + 1 END AS pos2,
+      CASE WHEN m2 < v THEN counts[(m2 + 1)::INT] ELSE ci[(m2 - v + 1)::INT] END AS c2
+    FROM (
+      SELECT (a + 1) AS a, counts, v, ci,
+        CASE WHEN pos1 >= 0 AND
+          (CASE WHEN pos1 < v THEN counts[(pos1 + 1)::INT]
+                WHEN pos1 - v < len(ci) THEN ci[(pos1 - v + 1)::INT]
+                ELSE 4611686018427387904 END)
+          <
+          (CASE WHEN pos2 < v THEN counts[(pos2 + 1)::INT]
+                WHEN pos2 - v < len(ci) THEN ci[(pos2 - v + 1)::INT]
+                ELSE 4611686018427387904 END)
+        THEN pos1 ELSE pos2 END AS m1,
+        CASE WHEN m1 = pos1 THEN pos1 - 1 ELSE pos1 END AS pos1a,
+        CASE WHEN m1 = pos1 THEN pos2 ELSE pos2 + 1 END AS pos2a,
+        CASE WHEN m1 < v THEN counts[(m1 + 1)::INT] ELSE ci[(m1 - v + 1)::INT] END AS c1
+      FROM merge WHERE a + 1 <= v - 2
+    )
+  )
+),
+steps AS (SELECT a, min1, min2, v FROM merge WHERE a >= 0),
+hnodes AS (
+  SELECT min1 AS node, v + a AS parent, 0 AS bit FROM steps
+  UNION ALL
+  SELECT min2 AS node, v + a AS parent, 1 AS bit FROM steps
+),
+walk AS (
+  SELECT vv.index::BIGINT AS leaf, vv.index::BIGINT AS cur,
+         CAST([] AS TINYINT[]) AS bits, CAST([] AS BIGINT[]) AS nds
+  FROM vocab vv
+  UNION ALL
+  SELECT w.leaf, n.parent::BIGINT, list_append(w.bits, n.bit::TINYINT),
+         list_append(w.nds, w.cur)
+  FROM walk w JOIN hnodes n ON n.node = w.cur
+),
+done AS (
+  SELECT w.* FROM walk w, lc WHERE w.cur = 2 * lc.v - 2
+)
+SELECT vb.ngram, vb.count, vb.index,
+  array_to_string(list_reverse(d.bits), '') AS code,
+  len(d.bits)::INT AS code_len,
+  array_to_string(
+    list_prepend(lc.v - 2, list_transform(list_reverse(d.nds), x -> x - lc.v)),
+    ',') AS points_csv
+FROM done d
+JOIN vocab vb ON vb.index = d.leaf
+CROSS JOIN lc
 """
 
     o["multihot_indices"] = f"""
