@@ -69,8 +69,11 @@ def error_length_chart_data(
     for every model in one DataFrame (reference analysis.py:188-203 +
     245-251, run once per model and stacked).
 
-    gold is scanned once (persist) and each model contributes one
-    anti-join; totals are gold-side, hence identical across models —
+    The plan references gold once for the totals and once per model's
+    anti-join — persist the gold frame BEFORE calling when the corpus is
+    large (this function deliberately does not adopt a cache: the caller
+    owns gold's lifecycle, see the comment below). Totals are gold-side,
+    hence identical across models —
     exactly the reference's ``result.total_annotations`` reuse for the
     shared tick labels. Output cardinality is lengths×models (tiny), so
     the downstream collect in :func:`render_error_length_chart` is
@@ -158,7 +161,7 @@ def render_error_length_chart(
     # layout ---------------------------------------------------------------
     ml, mr, mt, mb = 70, 20, 20, 110          # margins (mb fits 45° labels)
     plot_w, plot_h = width - ml - mr, height - mt - mb
-    y_max = max(max(r for r in ratios.values()), 1e-9)
+    y_max = max(max(ratios.values()), 1e-9)
     # nice ceiling: smallest of 0.1 steps covering y_max, capped at 1.0
     y_top = min(1.0, (int(y_max * 10) + 1) / 10.0)
     n_groups, n_models = len(lengths), len(models)

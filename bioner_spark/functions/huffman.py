@@ -46,11 +46,6 @@ MAX_CODE_LENGTH = 40
 
 _SENTINEL = np.int64(1) << 62
 
-#: previous call's broadcast tree — released (executor copies dropped;
-#: Spark re-ships from the driver if an old lazy plan re-executes) on the
-#: next huffman_codes call, bounding broadcast retention to one copy.
-_TREE_BROADCAST: dict = {}
-
 _OUT_SCHEMA = (
     "ngram string, count bigint, index bigint, code string, "
     "code_len int, points array<bigint>"
@@ -197,24 +192,41 @@ def huffman_codes(
     so nothing per-word is ever materialised on the driver. The depth cap
     is enforced on the driver first (a cheap tree-height walk) so a
     pathological vocabulary fails loudly before any job is launched.
+
+    The result is returned EAGERLY MATERIALISED (localCheckpoint, like
+    build_vocabulary's own output): the walk runs once, right here, and
+    the returned frame is self-contained — no lazy plan pinning this
+    call's broadcast or an adopted cache, so both are released before
+    returning. A previous holder design released the prior call's adopted
+    vocab cache on the NEXT call, which silently re-ran the prior vocab's
+    full (possibly nondeterministic) lineage if its returned frame was
+    executed after the release — codes from a tree built on scan 1 joined
+    to rows from scan 2, wrong with no error. Eager + self-contained
+    deletes that hazard class. Checkpoint blocks lost to executor death
+    fail LOUDLY on read; durable multi-hour pipelines should write the
+    (vocab-sized) result to storage.
     """
     spark = vocab.sparkSession
     # the vocab plan executes twice (driver count collect + the executor
     # walk below); build_vocabulary output is localCheckpointed so both
     # reads are vocab-sized, but an arbitrary uncached input would re-run
-    # its full corpus lineage — persist it, populated by the toPandas scan,
-    # released on the NEXT call (holder pattern, same lifetime rule as the
-    # tree broadcast: the returned DataFrame is lazy)
-    prev_vocab = _TREE_BROADCAST.pop("vocab_cache", None)
-    if prev_vocab is not None:
-        try:
-            prev_vocab.unpersist()
-        except Exception:
-            pass  # previous context already torn down
+    # its full corpus lineage — persist it across the two scans, released
+    # in the finally below once the walk has materialised
+    adopted = None
     if not _is_materialized(vocab):
         # don't adopt (and later unpersist) a cache the CALLER manages
         vocab = vocab.persist()
-        _TREE_BROADCAST["vocab_cache"] = vocab
+        adopted = vocab
+    try:
+        return _huffman_codes_inner(spark, vocab, max_code_length)
+    finally:
+        if adopted is not None:
+            adopted.unpersist()
+
+
+def _huffman_codes_inner(
+    spark, vocab: DataFrame, max_code_length: int
+) -> DataFrame:
     pdf = vocab.select("index", "count").orderBy("index").toPandas()
     v = len(pdf)
     if v == 0:
@@ -250,19 +262,7 @@ def huffman_codes(
                 f"(reference MAX_CODE_LENGTH, ngram_encoder.py:15); "
                 f"vocabulary counts are pathologically skewed"
             )
-    # the broadcast must outlive the returned LAZY DataFrame, so it can't
-    # be destroyed here — instead release the PREVIOUS call's tree (same
-    # pattern as the corpus_filter cache holder), bounding retention to one
-    # ~100 MB-at-10^7-vocab copy per SparkContext however many times a
-    # long-lived session rebuilds the vocabulary
-    prev = _TREE_BROADCAST.pop("tree", None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # previous context already torn down
     bc = spark.sparkContext.broadcast((parent, binary))
-    _TREE_BROADCAST["tree"] = bc
 
     def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tree_parent, tree_binary = bc.value
@@ -282,6 +282,14 @@ def huffman_codes(
                 }
             )
 
-    return vocab.select("ngram", "count", "index").mapInPandas(
-        assemble, _OUT_SCHEMA
-    )
+    try:
+        # eager: the walk job runs NOW; the checkpointed result owns its
+        # rows, so the broadcast (~100 MB at a 10^7-entry vocab) can be
+        # destroyed deterministically instead of lingering until GC
+        return (
+            vocab.select("ngram", "count", "index")
+            .mapInPandas(assemble, _OUT_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        bc.destroy()

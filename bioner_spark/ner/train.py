@@ -91,7 +91,6 @@ live batch statistics): implemented with exact reference semantics —
 from __future__ import annotations
 
 import math
-import os
 import re
 from dataclasses import dataclass, field
 
@@ -1119,7 +1118,13 @@ def train_distributed(
                 out = _add3(out, part)
         finally:
             if bs is not None:
-                bs.unpersist()
+                # destroy, not unpersist: the step never reuses this
+                # broadcast (the next step re-broadcasts), and unpersist
+                # leaves the driver-side blob + on-disk broadcast file to
+                # nondeterministic GC — at one broadcast per job over ~156k
+                # steps that lingering driver garbage is GBs (same rule at
+                # every per-step broadcast below)
+                bs.destroy()
         return out
 
     def _bn_step_stats(bw_w, flat, lo, hi, step):
@@ -1173,7 +1178,7 @@ def train_distributed(
                 for part in sc.runJob(train_rdd, stat_pass, _step_parts(step)):
                     agg = comb(agg, part)
             finally:
-                bw.unpersist()
+                bw.destroy()
             s, s2, b_tot, len_tot, t_max = agg
             if meta is None:
                 meta = (b_tot, len_tot, t_max)
@@ -1241,7 +1246,7 @@ def train_distributed(
                     s_dy = s_dy + p_dy
                     s_dyx = s_dyx + p_dyx
             finally:
-                bw.unpersist()
+                bw.destroy()
             back[site] = (s_dy, s_dyx, n_global)
         return back
 
@@ -1287,7 +1292,7 @@ def train_distributed(
                 # a failed step job (e.g. the BN 1-value-batch refusal) must
                 # not strand a weights-sized broadcast — callers that catch
                 # and continue (grid_search trials) would accumulate them
-                bw_w.unpersist()
+                bw_w.destroy()
             flat = adam.step(flat, grad / max(n_valid, 1), lr)
             losses.append(loss / max(n_valid, 1))
         return flat, float(np.mean(losses))
@@ -1321,7 +1326,7 @@ def train_distributed(
                 depth=2,
             )
         finally:
-            bw.unpersist()
+            bw.destroy()
         return _prf1(tp, fp, fn)
 
     try:
