@@ -81,7 +81,13 @@ def gen_documents() -> pa.Table:
     texts, langs, sources = [], [], []
     cache: dict[int, list[str]] = {}
     for i in range(N_DOCS):
-        if i % 25 == 24 and i >= 2:
+        # exact-dup residue 13 (mod 25) NEVER collides with the near-dup
+        # residue 9 (mod 10): 13 and 38 (mod 50) end in 3/8. The previous
+        # residue 24 captured every i ≡ 49 (mod 50) — exactly the docs the
+        # stride cycle below assigns k=150 — so the ≈0.96-Jaccard family
+        # was silently never generated and 1 in 5 intended mutations
+        # became an exact copy.
+        if i % 25 == 13 and i >= 2:
             words = cache[i - 2]  # exact duplicate
         elif i % 10 == 9 and i >= 1:
             words = _mutate(cache[i - 1], i)  # near-duplicate
@@ -129,7 +135,11 @@ def gen_embeddings() -> pa.Table:
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bioner_sf1"
-    src_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    # abspath: symlink targets resolve relative to the LINK's directory,
+    # so a relative src_dir would mint 8 dangling links under out_dir
+    src_dir = os.path.abspath(
+        sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    )
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(gen_documents(), os.path.join(out_dir, "documents.parquet"))
     pq.write_table(gen_embeddings(), os.path.join(out_dir, "embeddings.parquet"))

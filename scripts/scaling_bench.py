@@ -271,10 +271,12 @@ def update_md(summary: dict) -> None:
     probe = summary.get("cpu_probe")
     if probe:
         lines += [
-            # header derives from the MEASURED levels — a hardcoded "2 → 8"
-            # over a 1→4 run would self-contradict the table below it
-            f"## Why N={lo['executors']} → 4N={hi['executors']} executors "
-            "(and not 8 → 32)",
+            # header derives ENTIRELY from the MEASURED levels — both the
+            # endpoints and the multiplier (a hardcoded '4N' over a 2→6 run
+            # would state false arithmetic in the evidence document)
+            f"## Why N={lo['executors']} → "
+            f"{hi['executors'] / lo['executors']:g}N={hi['executors']} "
+            "executors (and not 8 → 32)",
             "",
             "A Spark-free pure-CPU probe (N worker processes, fixed work per"
             " process, zero shared data) on this sandbox VM measures:",

@@ -52,7 +52,8 @@ def parse_log(path: str) -> dict:
     task_metrics = defaultdict(lambda: dict(task_sec=0.0, gc_sec=0.0,
                                             sr_mb=0.0, sw_mb=0.0,
                                             spill_mb=0.0, n=0))
-    app_name, n_exec = "?", 0
+    app_name = "?"
+    exec_ids: set = set()  # distinct ids: a relaunched executor re-Adds
     # retries: task seconds are summed across ALL attempts, so the wall
     # must cover all attempts too — SUM attempt walls per stage id (and
     # surface n_attempts) instead of keeping only the last attempt, or a
@@ -68,7 +69,7 @@ def parse_log(path: str) -> dict:
         if e == "SparkListenerApplicationStart":
             app_name = ev.get("App Name", "?")
         elif e == "SparkListenerExecutorAdded":
-            n_exec += 1
+            exec_ids.add(ev.get("Executor ID"))
         elif e == "SparkListenerStageCompleted":
             si = ev["Stage Info"]
             sub, comp = si.get("Submission Time"), si.get("Completion Time")
@@ -80,7 +81,7 @@ def parse_log(path: str) -> dict:
             else:
                 stages[sid] = dict(
                     id=sid,
-                    name=si["Stage Name"].split(" at ")[0][:40],
+                    name=si["Stage Name"].split(" at ")[0][:38],
                     wall=wall,
                     n_attempts=1,
                 )
@@ -106,7 +107,7 @@ def parse_log(path: str) -> dict:
                         shuffle_write_mb=round(t["sw_mb"], 1),
                         spill_mb=round(t["spill_mb"], 1),
                         n_tasks=t["n"], wall=round(s["wall"], 1)))
-    return dict(app=app_name, executors=n_exec, stages=out, path=path)
+    return dict(app=app_name, executors=len(exec_ids), stages=out, path=path)
 
 
 def collect_logs(arg: str) -> list[str]:

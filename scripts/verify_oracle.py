@@ -39,7 +39,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             # differently (that would mis-align rows and fail on some OTHER
             # column); the raw column is appended as a FINAL tie-break key
             # below so rows tying on every rounded key still order
-            # deterministically on both engines
+            # deterministically on both engines.
+            # Residual window: values within 1e-9 of each other but
+            # straddling a 1e-6 rounding boundary would still key apart.
+            # Closed by CONTRACT, not code: every exposed float is
+            # F.round(..., 6) / ROUND(..., 6) on both sides (the verify
+            # skill's invariant), so both engines emit the same 6-dp
+            # decimal and re-rounding it here is stable — raw unrounded
+            # floats must never be added to the contract surface
             df[f"_sort_{c}"] = df[c].round(6)
             sort_keys.append(f"_sort_{c}")
         else:
@@ -70,7 +77,19 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
             else:
                 ok = av.astype(str).equals(bv.astype(str))
             if not ok:
-                mism = (av.astype(str) != bv.astype(str)).to_numpy().nonzero()[0][:5]
+                if np.issubdtype(av.dtype, np.floating) or np.issubdtype(
+                    bv.dtype, np.floating
+                ):
+                    # examples must be the rows that VIOLATE the tolerance:
+                    # string inequality would surface benign 1e-15
+                    # shortest-repr differences and bury the real offender
+                    viol = ~np.isclose(
+                        av.astype(float), bv.astype(float),
+                        rtol=0, atol=1e-9, equal_nan=True,
+                    )
+                else:
+                    viol = (av.astype(str) != bv.astype(str)).to_numpy()
+                mism = np.asarray(viol).nonzero()[0][:5]
                 ex = [(av.iloc[i], bv.iloc[i]) for i in mism]
                 problems.append(f"values differ in col {c}: {ex}")
     return problems
