@@ -1686,10 +1686,12 @@ SELECT ngram, count, index FROM vocab
     # rank-ordered counts (strict `<` so count ties pick the INTERNAL node,
     # exactly like word2vec.c and functions/huffman._build_tree), emitting
     # one (min1, min2) row per merge; a second recursive CTE walks each
-    # leaf root-ward over the child→parent edges. Verified cell-identical
-    # to the numpy authority (build_codes) on tie-heavy and 257-word
-    # vocabularies before wiring. 2^62 = the engine's _SENTINEL (unfilled
-    # internal slots compare greater than any real count).
+    # leaf root-ward over the child→parent edges. Differential-tested
+    # cell-identical to the numpy authority (build_codes) on tie-heavy,
+    # 257-word, all-equal-count and v=1 vocabularies —
+    # tests/test_huffman.py::test_sql_oracle_matches_numpy_authority.
+    # 2^62 = the engine's _SENTINEL (unfilled internal slots compare
+    # greater than any real count).
     o["huffman_codes"] = f"""
 WITH RECURSIVE {_TOKS_CTE},
 {_NGRAM_CTE.lstrip().rstrip()},
@@ -1755,12 +1757,21 @@ walk AS (
 done AS (
   SELECT w.* FROM walk w, lc WHERE w.cur = 2 * lc.v - 2
 )
+-- v = 1 degenerate vocab: the walk's base row already sits at the root
+-- (leaf 0 == 2v-2 == 0), so bits/nds are empty — but word2vec's do-while
+-- records binary[leaf] BEFORE testing the root, and its calloc'd binary
+-- array makes that bit 0 (the engine reproduces this deliberately:
+-- functions/huffman._walk_codes appends first, then tests parent==root).
+-- The recursive walk cannot take that step (hnodes has no edges at v=1),
+-- so the do-while's one-bit result is spelled out as a CASE.
 SELECT vb.ngram, vb.count, vb.index,
-  array_to_string(list_reverse(d.bits), '') AS code,
-  len(d.bits)::INT AS code_len,
-  array_to_string(
+  CASE WHEN lc.v = 1 THEN '0'
+       ELSE array_to_string(list_reverse(d.bits), '') END AS code,
+  (CASE WHEN lc.v = 1 THEN 1 ELSE len(d.bits) END)::INT AS code_len,
+  CASE WHEN lc.v = 1 THEN '-1,-1'
+       ELSE array_to_string(
     list_prepend(lc.v - 2, list_transform(list_reverse(d.nds), x -> x - lc.v)),
-    ',') AS points_csv
+    ',') END AS points_csv
 FROM done d
 JOIN vocab vb ON vb.index = d.leaf
 CROSS JOIN lc

@@ -205,6 +205,15 @@ def huffman_codes(
     deletes that hazard class. Checkpoint blocks lost to executor death
     fail LOUDLY on read; durable multi-hour pipelines should write the
     (vocab-sized) result to storage.
+
+    Retention: each call's checkpointed result occupies executor storage
+    until the driver drops its last reference to the returned frame and
+    the ContextCleaner reclaims the blocks (the standard Spark lifecycle
+    for checkpointed RDDs — GC-bounded, not deterministic). A loop that
+    rebuilds codes per trial (e.g. a min_word_frequency grid search) holds
+    at most the frames it keeps references to; drop or overwrite the
+    previous result before the next call, or write each result to storage
+    and read it back, if vocab-sized copies matter at your scale.
     """
     spark = vocab.sparkSession
     # the vocab plan executes twice (driver count collect + the executor

@@ -67,16 +67,20 @@ def ship_npz(
                 "name (or the unique default) per artifact version"
             )
         _SHIPPED.add(key)
-    d = tempfile.mkdtemp(prefix="bioner_ship_")
-    # cleanup registered BEFORE save/addFile can fail, or a failed save_fn
-    # (disk full, then retried — a supported path) leaks one orphan dir per
-    # attempt; the dir must outlive the app either way because local-mode
-    # executors re-validate addFile sources per task, and atexit ordering
-    # is safe for an ignore_errors rmtree
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
     fname = f"{name}.npz"
-    path = os.path.join(d, fname)
+    # EVERYTHING fallible sits inside the try so the reservation rolls back
+    # on any failure: mkdtemp itself can raise (ENOSPC — the same disk-full
+    # case the retry rule exists for), and outside the try it would burn
+    # the name forever with nothing shipped
     try:
+        d = tempfile.mkdtemp(prefix="bioner_ship_")
+        # cleanup registered BEFORE save/addFile can fail, or a failed
+        # save_fn leaks one orphan dir per retry attempt; the dir must
+        # outlive the app either way because local-mode executors
+        # re-validate addFile sources per task, and atexit ordering is
+        # safe for an ignore_errors rmtree
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        path = os.path.join(d, fname)
         save_fn(path)
         spark.sparkContext.addFile(path)
     except BaseException:

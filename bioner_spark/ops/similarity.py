@@ -408,24 +408,32 @@ def kmeans_fit(
     # NULLs every distance — cell=None and an opaque driver TypeError far
     # from the bad row — and a NaN element silently lands in cell 0 (NaN
     # comparisons) and poisons that centroid's average with no error at
-    # all. The NULL/NaN arm scans `raw` (PRE-normalize — see above), so
-    # malformed rows raise even when the spherical filter would have hidden
-    # them; the width arm scans the persisted `src` Lloyd's actually reads.
-    # When normalize=False, raw IS src, so this stays one cheap cached
-    # scan; with normalize=True the raw scan recomputes the (deterministic,
-    # seeded) sample once — fit-time-only cost.
-    bad = (
-        raw.filter(
-            # isNull first: size(NULL) and exists(NULL, ...) are NULL (not
-            # true) under ANSI mode, so a whole-NULL vector would slip past
-            # a size/exists-only predicate
-            F.col("v").isNull()
-            | F.exists("v", lambda x: x.isNull() | F.isnan(x))
-        )
-        .limit(1)
-        .collect()
-        or src.filter(F.size("v") != dim).limit(1).collect()
+    # all. The malformed-element arm scans `raw` (PRE-normalize — see
+    # above), so bad rows raise even when the spherical filter would have
+    # hidden them; the width arm scans the persisted `src` Lloyd's actually
+    # reads. ±Inf is rejected alongside NaN: isnan(inf) is FALSE, but a
+    # spherical normalize of an inf-element vector is inf/inf = NaN — the
+    # exact poison this scan exists to stop — so letting inf through the
+    # raw scan would reopen the hole one step later. (Finite elements
+    # cannot overflow _nrm: sum-of-squares of doubles ≤ ~1e154 per element
+    # stays finite, far beyond any real embedding.)
+    malformed = F.col("v").isNull() | F.exists(
+        # isNull first: size(NULL) and exists(NULL, ...) are NULL (not
+        # true) under ANSI mode, so a whole-NULL vector would slip past
+        # a size/exists-only predicate
+        "v",
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
     )
+    if raw is src:
+        # normalize=False: one combined scan of the cache Lloyd's reads
+        bad = src.filter(malformed | (F.size("v") != dim)).limit(1).collect()
+    else:
+        # normalize=True: the raw scan recomputes the (deterministic,
+        # seeded) sample once — fit-time-only cost
+        bad = (
+            raw.filter(malformed).limit(1).collect()
+            or src.filter(F.size("v") != dim).limit(1).collect()
+        )
     if bad:
         src.unpersist()
         raise ValueError(

@@ -53,7 +53,11 @@ def parse_log(path: str) -> dict:
                                             sr_mb=0.0, sw_mb=0.0,
                                             spill_mb=0.0, n=0))
     app_name = "?"
-    exec_ids: set = set()  # distinct ids: a relaunched executor re-Adds
+    # PEAK CONCURRENT executors (Added minus Removed), not distinct ids:
+    # a relaunched executor re-Adds under a FRESH id, so a distinct-id
+    # count overstates the parallelism of any run that lost an executor —
+    # the exact number the wall-vs-task-seconds decision rule divides by
+    exec_cur = exec_peak = 0
     # retries: task seconds are summed across ALL attempts, so the wall
     # must cover all attempts too — SUM attempt walls per stage id (and
     # surface n_attempts) instead of keeping only the last attempt, or a
@@ -69,7 +73,10 @@ def parse_log(path: str) -> dict:
         if e == "SparkListenerApplicationStart":
             app_name = ev.get("App Name", "?")
         elif e == "SparkListenerExecutorAdded":
-            exec_ids.add(ev.get("Executor ID"))
+            exec_cur += 1
+            exec_peak = max(exec_peak, exec_cur)
+        elif e == "SparkListenerExecutorRemoved":
+            exec_cur -= 1
         elif e == "SparkListenerStageCompleted":
             si = ev["Stage Info"]
             sub, comp = si.get("Submission Time"), si.get("Completion Time")
@@ -107,7 +114,7 @@ def parse_log(path: str) -> dict:
                         shuffle_write_mb=round(t["sw_mb"], 1),
                         spill_mb=round(t["spill_mb"], 1),
                         n_tasks=t["n"], wall=round(s["wall"], 1)))
-    return dict(app=app_name, executors=len(exec_ids), stages=out, path=path)
+    return dict(app=app_name, executors=exec_peak, stages=out, path=path)
 
 
 def collect_logs(arg: str) -> list[str]:

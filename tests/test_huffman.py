@@ -204,3 +204,51 @@ def test_uncheckpointed_rdd_frame_is_not_materialized(spark):
     assert root == "LogicalRDD"  # the shape the old check wrongly adopted
     assert not _is_materialized(df)
     assert _is_materialized(df.localCheckpoint(eager=True))
+
+
+def test_sql_oracle_matches_numpy_authority():
+    """The DuckDB recursive-CTE oracle (contract query huffman_codes) must
+    be cell-identical to the numpy authority for every code/point — the
+    driver's value-hash compare depends on it. Cases cover the tie-heavy
+    regime (strict-< internal-node preference), a 257-word vocab, an
+    all-equal-count vocab, and the v=1 degenerate vocab, where word2vec's
+    do-while records one calloc'd 0-bit before testing the root — a step
+    the SQL walk cannot take (no edges), so the oracle spells it as a CASE
+    that this test pins against the engine's behavior."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    sql = entry_mod.oracle_sql()["huffman_codes"]
+    # replay the merge/walk/projection over a literal vocab CTE (cut the
+    # corpus-derived vocab CTEs; the machinery under test starts at `lc`)
+    tail = sql[sql.index("lc AS (") :]
+
+    def run_case(counts):
+        vals = ", ".join(
+            f"('w{i:03d}', {c}, {i})" for i, c in enumerate(counts)
+        )
+        q = (
+            "WITH RECURSIVE vocab(ngram, count, index) AS (VALUES "
+            + vals + "), " + tail + " ORDER BY index"
+        )
+        got = duckdb.sql(q).fetchall()
+        codes, lens, points = build_codes(np.array(counts, dtype=np.int64))
+        assert len(got) == len(counts)
+        for r in got:
+            i = r[2]
+            assert tuple(r) == (
+                f"w{i:03d}", counts[i], i, codes[i], int(lens[i]),
+                ",".join(str(x) for x in points[i]),
+            ), f"counts={counts} idx={i}"
+
+    rng = np.random.default_rng(7)
+    for case in (
+        [7],                                   # v=1 do-while degenerate
+        [5, 5],                                # pure tie
+        [9, 5, 5, 5, 1],
+        sorted(rng.integers(1, 50, size=257).tolist(), reverse=True),
+        [10] * 64,                             # all counts equal
+        sorted(rng.integers(1, 5, size=33).tolist(), reverse=True),
+    ):
+        run_case(case)
