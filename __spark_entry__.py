@@ -421,10 +421,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         precision = tp / n_p if n_p else 0.0
         recall = tp / n_g if n_g else 0.0
         f1 = 2 * precision * recall / (precision + recall + 1e-20)
+        # round with F.round, NOT Python round(): Python rounds half-to-even
+        # (banker's), while Spark F.round and DuckDB ROUND round half away
+        # from zero — on a dyadic-rational ratio like 1/128 = 0.0078125 the
+        # two differ by 1e-6, far above the harness's 1e-9 float tolerance,
+        # so driver-side round() here was the contract's only third rounding
+        # semantic (same divergence class the quality_score micros fix
+        # closed)
         return spark.createDataFrame(
-            [(tp, n_p, n_g, round(precision, 6), round(recall, 6), round(f1, 6))],
+            [(tp, n_p, n_g, precision, recall, f1)],
             "true_positives bigint, predicted bigint, gold bigint, "
             "precision double, recall double, f1 double",
+        ).select(
+            "true_positives",
+            "predicted",
+            "gold",
+            F.round("precision", 6).alias("precision"),
+            F.round("recall", 6).alias("recall"),
+            F.round("f1", 6).alias("f1"),
         )
 
     q["entity_prf1"] = entity_prf1
@@ -1282,12 +1296,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect, ANSI where possible)
 # ---------------------------------------------------------------------------
 
+# THE ASCII whitespace class, imported from the engine so both sides share
+# one source of truth. EXPLICIT class, not \\s: Java regex (Spark) counts
+# U+000B vertical tab as \\s, RE2 (DuckDB) does not (measured), so '\\s+'
+# in any oracle would silently diverge from the engine on VT — failing the
+# fingerprint/minhash oracles AND the textstats word counts.
+from bioner_spark.ops.textstats import WS_CHARS as _WS_CHARS  # noqa: E402
+
+_WS_SQL = f"[{_WS_CHARS}]"
+
 # THE dedup-normalization law in SQL — ONE definition, mirroring
-# ops.dedup.normalized. EXPLICIT ASCII whitespace class, not \\s: Java
-# regex (Spark) counts U+000B vertical tab as \\s, RE2 (DuckDB) does not
-# (measured), so '\\s+' here would silently diverge from the engine on VT
-# and fail every fingerprint/minhash oracle downstream.
-_NORM_SQL = r"trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
+# ops.dedup.normalized.
+_NORM_SQL = f"trim(regexp_replace(lower(text), '{_WS_SQL}+', ' ', 'g'))"
 
 _TOKS_CTE = """
 raw AS (
@@ -1522,11 +1542,6 @@ FROM feat
 
 
 _NGRAM_CTE = r"""
-cleaned AS (
-  SELECT DISTINCT
-    '#' || lower(regexp_replace(text, '[^\p{L}\p{N}\p{P}\p{Sm}\p{Sc}]', '', 'g')) || '#' AS word
-  FROM toks WHERE length(text) > 0
-),
 tok_words AS (
   SELECT '#' || lower(regexp_replace(text, '[^\p{L}\p{N}\p{P}\p{Sm}\p{Sc}]', '', 'g')) || '#' AS word
   FROM toks WHERE length(text) > 0
@@ -1553,7 +1568,7 @@ _STOP_DE = _sql_in(_STOPWORDS["de"])
 _STOP_FR = _sql_in(_STOPWORDS["fr"])
 
 _HITS = (
-    "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    "len(list_filter(string_split_regex(trim(lower(text)), '" + _WS_SQL + "+'), "
     "w -> list_contains([{words}], w)))"
 )
 
@@ -2182,14 +2197,14 @@ SELECT lang_guess, COUNT(*)::BIGINT AS n_docs FROM guess GROUP BY lang_guess
     o["quality_features"] = rf"""
 WITH base AS (
   SELECT doc_id, text,
-    len(list_filter(string_split_regex(lower(text), '\s+'), w -> len(w) > 0))::INT AS n_words,
+    len(list_filter(string_split_regex(lower(text), '{_WS_SQL}+'), w -> len(w) > 0))::INT AS n_words,
     length(text)::INT AS n_chars,
     {_HITS.format(words=_STOP_EN)} AS h_en
   FROM documents
 ),
 feats AS (
   SELECT doc_id, n_words, n_chars,
-    ROUND(length(regexp_replace(text, '\s+', '', 'g')) / greatest(n_words, 1), 6) AS mean_word_len,
+    ROUND(length(regexp_replace(text, '{_WS_SQL}+', '', 'g')) / greatest(n_words, 1), 6) AS mean_word_len,
     ROUND(length(regexp_replace(text, '[^\p{{P}}]', '', 'g')) / greatest(n_chars, 1), 6) AS punct_ratio,
     ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(n_chars, 1), 6) AS digit_ratio,
     ROUND(h_en / greatest(n_words, 1), 6) AS stopword_ratio,
@@ -2207,10 +2222,10 @@ SELECT doc_id, n_words, n_chars, mean_word_len, punct_ratio, digit_ratio, stopwo
 FROM feats
 """
 
-    o["token_counts"] = r"""
+    o["token_counts"] = rf"""
 SELECT doc_id,
-  len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0))::INT AS ws_tokens,
-  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))::INT AS subword_est
+  len(list_filter(string_split_regex(text, '{_WS_SQL}+'), w -> len(w) > 0))::INT AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9{_WS_CHARS}]'))::INT AS subword_est
 FROM documents
 """
 
@@ -2456,7 +2471,7 @@ feats AS (
     {_HITS.format(words=_STOP_EN)} AS h_en,
     {_HITS.format(words=_STOP_DE)} AS h_de,
     {_HITS.format(words=_STOP_FR)} AS h_fr,
-    len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0))::INT AS ws_tokens,
+    len(list_filter(string_split_regex(text, '{_WS_SQL}+'), w -> len(w) > 0))::INT AS ws_tokens,
     MIN(doc_id) OVER (
       PARTITION BY COALESCE(md5({_NORM_SQL}),
                             'null:' || CAST(doc_id AS VARCHAR))

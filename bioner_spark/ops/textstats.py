@@ -12,6 +12,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Tiny deterministic stopword lists (heuristic language ID).
+#: THE ASCII whitespace class, spelled out instead of `\s`: Java regex
+#: (Spark) counts U+000B vertical tab as `\s` but RE2 (DuckDB) does not
+#: (measured — the divergence ops.dedup.normalized documents), so the
+#: engine and the DuckDB oracles both state the class explicitly. For the
+#: Spark side this is a semantic no-op (Java `\s` == exactly this class);
+#: it exists so the oracles can match it character-for-character.
+WS_CHARS = r" \t\n\x0B\f\r"
+WS_RE = f"[{WS_CHARS}]"
+
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"],
@@ -26,7 +35,7 @@ def _words(text_col):
     reports 1 word for the empty document. The filter makes n_words the
     true word count for any whitespace layout (tabs/newlines included —
     `trim` alone only strips spaces)."""
-    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: F.length(w) > 0)
+    return F.filter(F.split(F.lower(text_col), WS_RE + "+"), lambda w: F.length(w) > 0)
 
 
 def stopword_hits(text_col, lang: str):
@@ -64,7 +73,7 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     # form (n_chars - n_words + 1)/n_words over-counted doubled spaces and
     # edge whitespace as word characters)
     mean_word_len = F.round(
-        F.length(F.regexp_replace(c, r"\s+", "")) / F.greatest(n_words, F.lit(1)), 6
+        F.length(F.regexp_replace(c, WS_RE + "+", "")) / F.greatest(n_words, F.lit(1)), 6
     )
     punct_ratio = F.round(
         F.length(F.regexp_replace(c, r"[^\p{P}]", "")) / F.greatest(n_chars, F.lit(1)), 6
@@ -127,7 +136,9 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             # count, and an inline copy of the split+filter rule can drift
             # from the quality/lang-ID features next time the law moves
             "ws_tokens": F.size(_words(c)),
-            "subword_est": F.regexp_count(c, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")),
+            "subword_est": F.regexp_count(
+                c, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9" + WS_CHARS + "]")
+            ),
         }
     )
 

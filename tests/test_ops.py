@@ -704,3 +704,71 @@ def test_kmeans_fit_normalize_still_rejects_null_and_nan(spark):
     )
     cents = kmeans_fit(df, k=2, max_iter=2, seed=1, normalize=True)
     assert len(cents) == 2
+
+
+def test_textstats_whitespace_law_identical_across_engines(spark):
+    """The textstats word split must agree between Spark and DuckDB on a
+    VT doc, same law (and same regression probe) as the dedup
+    normalization test above: Java \\s includes U+000B, RE2's does not, so
+    the engine and the token_counts/quality_features/lang_guess/
+    corpus_filter oracles all spell the explicit ASCII class. Runs the
+    REAL contract oracle SQL against a VT corpus — with '\\s+' in any of
+    those oracles, ws_tokens/n_words under-count on the DuckDB side and
+    this fails (mutation-verified)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    rows = [
+        (1, "the\x0bcat and the dog", "en", "t", 20),
+        (2, "und\x0b der\tdas 123 x!", "de", "t", 20),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    eng = {
+        r["doc_id"]: r
+        for r in with_lang_guess(with_token_counts(sdf)).collect()
+    }
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    con.register("documents", pdf)
+    oracle_tok = {
+        r[0]: r for r in con.execute(entrymod.oracle_sql()["token_counts"]).fetchall()
+    }
+    oracle_lang = {
+        r[0]: r for r in con.execute(entrymod.oracle_sql()["lang_guess"]).fetchall()
+    }
+    for i, text, _lg, _s, _n in rows:
+        n_java = len([w for w in __import__("re").split(r"[ \t\n\x0b\f\r]+", text) if w])
+        assert eng[i]["ws_tokens"] == n_java  # engine splits ON the VT
+        assert oracle_tok[i][1] == eng[i]["ws_tokens"]
+        assert oracle_tok[i][2] == eng[i]["subword_est"]
+    # VT-joined stopwords ('the\x0bcat', 'und\x0bder') must still HIT the
+    # stopword list on both engines, or lang flips to 'und'; the contract
+    # query aggregates to (lang_guess, n_docs)
+    assert eng[1]["lang_guess"] == "en" and eng[2]["lang_guess"] == "de"
+    assert {r[0]: r[1] for r in oracle_lang.values()} == {"en": 1, "de": 1}
+
+
+def test_round6_law_identical_across_engines(spark):
+    """Contract floats are rounded to 6 places on both sides; the two
+    engines must agree on .5-at-digit-7 boundaries. Spark F.round and
+    DuckDB ROUND both round half away from zero on the dyadic rational
+    1/128 = 0.0078125; Python's round() is half-to-even and gives
+    0.007812 — which is why no contract query may round driver-side with
+    round() (entity_prf1 regressed exactly this way before moving to
+    F.round)."""
+    import duckdb
+
+    val = 1 / 128  # exactly representable; 7th decimal digit is a hard 5
+    got_spark = spark.range(1).select(
+        F.round(F.lit(val), 6).alias("r")
+    ).collect()[0]["r"]
+    got_duck = duckdb.sql(
+        f"SELECT ROUND(CAST({val!r} AS DOUBLE), 6)"  # DOUBLE, like the oracles
+    ).fetchone()[0]
+    assert got_spark == got_duck == 0.007813
+    assert round(val, 6) == 0.007812  # the Python semantic this test bans
