@@ -156,6 +156,15 @@ def render_error_length_chart(
                 f"gold totals disagree across models at length {ln}: "
                 f"{prev} vs {nt}"
             )
+        # refuse duplicate (model, length) rows like the totals check
+        # above refuses conflicting totals: last-write-wins would render
+        # an arbitrary one of two conflicting ratios with no error (e.g.
+        # two chart_data outputs for the same model name unioned)
+        if (m, ln) in ratios and ratios[(m, ln)] != ratio:
+            raise ValueError(
+                f"conflicting ratios for model {m!r} at length {ln}: "
+                f"{ratios[(m, ln)]} vs {ratio}"
+            )
         ratios[(m, ln)] = ratio
 
     # layout ---------------------------------------------------------------

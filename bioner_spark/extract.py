@@ -165,9 +165,15 @@ def with_extracted_text(df, html_col: str = "html", out_col: str = "text") -> "D
     return df.withColumn(out_col, extract_text_udf(F.col(html_col)))
 
 
-def truncation_marker_stats(df, text_col: str = "text"):
+def truncation_marker_stats(df, text_col: str):
     """Corpus-level truncation counters (reference pubmed_parser.py:55-69
     writes these to a logfile; we return a 1-row DataFrame).
+
+    `text_col` is deliberately REQUIRED: the obvious default ("text") is
+    the extractor's OUTPUT column, whose trailing marker extract_text has
+    already stripped — stats over it are silently all-zero for any corpus.
+    The meaningful input is the raw pre-strip column (e.g. the PubMed
+    reader's "raw_abstract", io/pubmed.py:102).
 
     Pure native aggregation — no UDF. The endswith tests run on the
     _rstripped text: the column is verbatim XML element text that

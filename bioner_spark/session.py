@@ -10,6 +10,7 @@ self-join) are sized by these.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -82,7 +83,6 @@ def _warm_icu(spark: SparkSession) -> None:
         app_id = spark.sparkContext.applicationId
         if app_id in _ICU_WARMED:
             return
-        _ICU_WARMED.add(app_id)
         # one tiny task per core slot (×4 waves) so every executor JVM in
         # local-cluster / real-cluster mode class-loads ICU, not just the one
         # that happens to win the first task. Floor of 128: on cluster
@@ -97,5 +97,13 @@ def _warm_icu(spark: SparkSession) -> None:
             "max(length(lower(concat('Äß', id)))) as w",
             "max(length(initcap(concat('ßä ', id)))) as t",
         ).collect()
-    except Exception:
-        pass  # warmup is best-effort; never fail session creation over it
+        # mark warmed only AFTER the job succeeds: marking up-front made a
+        # transiently failed warmup unretryable for the whole app, landing
+        # the 10-18 s ICU class-init stall inside the first timed job with
+        # no indication the warmup was skipped
+        _ICU_WARMED.add(app_id)
+    except Exception as exc:
+        # best-effort; never fail session creation — but say so, because a
+        # silently skipped warmup shows up later as an inexplicable stall
+        print(f"bioner_spark.session: ICU warmup failed, will retry on next "
+              f"get_spark ({type(exc).__name__}: {exc})", file=sys.stderr)

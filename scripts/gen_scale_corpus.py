@@ -112,9 +112,15 @@ def gen_documents() -> pa.Table:
 
 
 def gen_embeddings() -> pa.Table:
-    i = np.arange(N_VECS, dtype=np.int64)[:, None]
-    k = np.arange(DIM, dtype=np.int64)[None, :]
-    m = (((i * 131 + k * 31 + 17) % 2000) - 1000).astype(np.float32) / 1000.0
+    # seeded PCG64 base matrix: every non-family row is distinct. The
+    # previous integer lattice ((i*131 + k*31 + 17) % 2000) was PERIODIC
+    # in vec_id with period 2000, so 82% of the 20k rows were byte-exact
+    # copies of an earlier row — the banded near-dup sweep mostly measured
+    # trivial exact matches, and top-k verification sat on cos=1.0 tie
+    # plateaus at the k boundary. NEP 19 guarantees the PCG64 stream is
+    # stable across numpy versions, so the corpus stays reproducible.
+    rng = np.random.default_rng(20260819)
+    m = rng.uniform(-1.0, 1.0, size=(N_VECS, DIM)).astype(np.float32)
     fam = (np.arange(N_VECS) % 13) == 12
     # perturbation must NEVER be exactly 0 (idx % 7 == 3 would yield a
     # byte-exact duplicate instead of the near-duplicate the docstring
@@ -140,6 +146,12 @@ def main() -> None:
     src_dir = os.path.abspath(
         sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     )
+    if os.path.abspath(out_dir) == src_dir:
+        raise SystemExit(
+            "gen_scale_corpus: out_dir must differ from src_dir — writing "
+            "in place would overwrite documents/embeddings and unlink every "
+            "other source table to replace it with a self-pointing symlink"
+        )
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(gen_documents(), os.path.join(out_dir, "documents.parquet"))
     pq.write_table(gen_embeddings(), os.path.join(out_dir, "embeddings.parquet"))

@@ -68,7 +68,7 @@ def test_truncation_stats(spark, corpus):
             }
         )
     )
-    row = truncation_marker_stats(df).collect()[0]
+    row = truncation_marker_stats(df, text_col="text").collect()[0]
     assert row["total_docs"] == 3
     assert row["truncated_250"] == 1
     assert row["truncated_plain"] == 1
