@@ -69,6 +69,7 @@ def build_triples(
     use_extractor: bool = True,
     eager_cache: bool = True,
     ft_model=None,
+    cmap: DataFrame | None = None,
 ) -> PipelineResult:
     """The logical plan for the whole pipeline (no writes).
 
@@ -184,7 +185,12 @@ def build_triples(
         linked = link_mentions(mentions, alias_dict)
     else:
         raise ValueError(f"unknown tagger: {tagger}")
-    cmap = canonical_map(alias_dict)
+    if cmap is None:
+        # eager 1-2 Spark jobs (count gate + collect + union-find) whose
+        # result depends only on alias_dict — callers invoking
+        # build_triples twice per run (run_checkpointed's write plan + aux
+        # view) pass it in so the jobs run once
+        cmap = canonical_map(alias_dict)
     linked = (
         linked.join(F.broadcast(cmap), "canonical_id", "left")
         .filter(F.col("component").isNotNull())
@@ -273,10 +279,20 @@ def bucket_fingerprints(
 
 
 def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame | None:
+    """None ONLY for a missing manifest path (legitimate first run). Any
+    other failure — transient object-store 503, permission blip, corrupt
+    footer — must RAISE: swallowing it would silently discard all resume
+    state, recompute every bucket (hours at scale) and append duplicate
+    'done' rows, indistinguishable from a first run in the logs."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(manifest_path)
-    except Exception:
-        return None
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -333,11 +349,30 @@ def run_checkpointed(
     vocab=None,
     use_extractor: bool = True,
     ft_model=None,
+    config_token: str | None = None,
+    config_covers_corpus: bool = False,
 ) -> PipelineResult:
     """Run the pipeline bucket-partitioned with resume.
 
     out_dir/triples/  — Parquet partitioned by bucket
     out_dir/manifest/ — per-bucket lineage rows (append-only; latest wins)
+
+    config_token: identifies every TAGGING-RELEVANT configuration — tagger
+    kind, model/embedding artifact identity, alias-dict version. The input
+    fingerprint alone is blind to config: without a token, re-running with
+    a new model or an updated alias dictionary matches every 'done' row
+    and serves the OLD run's triples as if produced by the new config.
+    Fold the token in whenever any of those can change between runs (the
+    stored fingerprint becomes `<input_fp>|cfg:<token>`, so old manifests
+    written without a token simply recompute once — the safe direction).
+
+    config_covers_corpus: set True when the tagger's parameters are
+    DERIVED FROM THE INPUT CORPUS itself (e.g. a trigram vocabulary built
+    over all pages, kg_job's neural mode without --embeddings-bin): a pure
+    input change to bucket A then changes the tags in EVERY bucket, so the
+    global input fingerprint joins the config token and all buckets
+    recompute — the table converges to what a fresh run would produce
+    instead of keeping stale-vocab buckets.
     """
     import os
     import time as _time
@@ -355,6 +390,27 @@ def run_checkpointed(
     # one job: collect the (tiny — n_buckets rows) fingerprint table, then
     # decide todo/skip driver-side instead of spending extra Spark jobs on it
     fp_rows = bucket_fingerprints(pages, n_buckets).collect()
+    eff_token = config_token
+    if config_covers_corpus:
+        import hashlib
+
+        glob = ";".join(
+            sorted(f'{r["bucket"]}={r["input_fingerprint"]}' for r in fp_rows)
+        )
+        eff_token = (
+            (config_token or "")
+            + "|corpus:"
+            + hashlib.sha256(glob.encode()).hexdigest()[:16]
+        )
+    if eff_token is not None:
+        fp_rows = [
+            {
+                "bucket": r["bucket"],
+                "input_fingerprint": f'{r["input_fingerprint"]}|cfg:{eff_token}',
+                "n_docs": r["n_docs"],
+            }
+            for r in fp_rows
+        ]
     _mark("fingerprints")
     manifest = read_manifest(spark, manifest_path)
     done_fp: dict[int, str] = {}
@@ -391,7 +447,12 @@ def run_checkpointed(
         if b not in current_buckets
     ]
     if orphans:
-        _delete_bucket_partitions(spark, triples_path, orphans)
+        # record-removal-THEN-delete (the Iceberg sink's ordering): a crash
+        # between the two leaves the 'removed' row voiding the stale 'done'
+        # row, so a later run re-examines the bucket instead of skipping a
+        # bucket whose data is half-deleted. Delete-then-record inverts
+        # that: crash after delete, before record → stale 'done' row
+        # survives with no data behind it.
         (
             spark.createDataFrame([(b,) for b in orphans], "bucket int")
             .select(
@@ -405,6 +466,7 @@ def run_checkpointed(
             .write.mode("append")
             .parquet(manifest_path)
         )
+        _delete_bucket_partitions(spark, triples_path, orphans)
     todo_rows = [r for r in fp_rows if done_fp.get(r["bucket"]) != r["input_fingerprint"]]
     todo = spark.createDataFrame(
         [(r["bucket"], r["input_fingerprint"], r["n_docs"]) for r in todo_rows]
@@ -413,6 +475,11 @@ def run_checkpointed(
     ).filter(F.col("bucket").isNotNull())
     todo_buckets = [r["bucket"] for r in todo_rows]
     n_skipped = len(fp_rows) - len(todo_buckets)
+
+    # alias-dict canonicalization once per run: its eager jobs (count gate
+    # + collect + union-find) depend only on alias_dict, and a partial
+    # resume otherwise pays them twice (write plan + aux view below)
+    cmap_shared = canonical_map(alias_dict)
 
     if todo_buckets:
         pages_todo = pages.withColumn("bucket", _bucket_col(n_buckets)).filter(
@@ -426,6 +493,7 @@ def run_checkpointed(
             vocab=vocab,
             use_extractor=use_extractor,
             ft_model=ft_model,
+            cmap=cmap_shared,
         )
         _mark("build_triples(+eager cache)")
         # triples carry the page url as doc_id → same bucketing function
@@ -434,13 +502,32 @@ def run_checkpointed(
         # every write task opens a file per bucket it sees (tasks × buckets
         # small files; at 1000 executors that's a metadata storm)
         out = out.repartition(n_buckets, "bucket")
+        # void each todo bucket's 'done' row BEFORE deleting its partition:
+        # without the pending row, a crash after the delete leaves the old
+        # 'done' row as the latest — and a later run whose input reverts to
+        # that fingerprint (restored snapshot, retried orchestration) would
+        # match it and skip the bucket whose data was deleted, silently
+        # serving a table missing those rows forever. One extra tiny append
+        # per run with todo work; the successful path's 'done' rows below
+        # supersede these by timestamp.
+        (
+            todo.select(
+                "bucket",
+                F.lit(None).cast("string").alias("input_fingerprint"),
+                F.lit(0).cast("long").alias("n_rows"),
+                "n_docs",
+                F.current_timestamp().alias("completed_at"),
+                F.lit("pending").alias("status"),
+            )
+            .write.mode("append")
+            .parquet(manifest_path)
+        )
         # clear every todo partition BEFORE the write: dynamic overwrite
         # only replaces partitions PRESENT in the written data, so a todo
         # bucket whose recompute yields ZERO triples would otherwise keep
         # its stale files (and the read-back below would count them into
-        # the manifest). A crash in the window between delete and manifest
-        # write just means the bucket is recomputed next run — same
-        # idempotence contract as before.
+        # the manifest). A crash between delete and the final manifest
+        # write leaves the 'pending' row latest → recomputed next run.
         # Visibility tradeoff, accepted: a concurrent reader of the triples
         # dir sees todo buckets ABSENT while the recompute runs (before,
         # it saw their stale previous contents — and a mixed old/new table
@@ -493,7 +580,8 @@ def run_checkpointed(
             result.unpersist()
         aux = build_triples(pages, alias_dict, tagger=tagger, model=model,
                             vocab=vocab, use_extractor=use_extractor,
-                            eager_cache=False, ft_model=ft_model)
+                            eager_cache=False, ft_model=ft_model,
+                            cmap=cmap_shared)
     if todo_buckets or manifest is not None:
         from pyspark.sql import types as T
 

@@ -107,3 +107,35 @@ def _warm_icu(spark: SparkSession) -> None:
         # silently skipped warmup shows up later as an inexplicable stall
         print(f"bioner_spark.session: ICU warmup failed, will retry on next "
               f"get_spark ({type(exc).__name__}: {exc})", file=sys.stderr)
+
+
+def stable_default_parallelism(spark: SparkSession, timeout_s: float = 10.0) -> int:
+    """defaultParallelism AFTER executor registration stabilizes.
+
+    On cluster (and local-cluster) masters executors register
+    asynchronously: a read taken right after the first job can see only a
+    fraction of the fleet, silently undersizing anything derived from it
+    (shard counts, shuffle-partition floors, reported core counts). One
+    warmup job forces scheduling, then the value is polled until THREE
+    consecutive reads stop growing — JVM spawn can stagger registrations
+    more than one poll interval apart, so breaking on the first quiet
+    window would undercount (the exact slow-registration case the poll
+    exists for).
+    """
+    import time as _time
+
+    spark.range(1000).count()
+    seen = spark.sparkContext.defaultParallelism
+    deadline = _time.time() + timeout_s
+    stable = 0
+    while _time.time() < deadline:
+        _time.sleep(0.5)
+        cur = spark.sparkContext.defaultParallelism
+        if cur <= seen:
+            stable += 1
+            if stable >= 3:
+                break
+        else:
+            stable = 0
+            seen = cur
+    return spark.sparkContext.defaultParallelism

@@ -16,8 +16,9 @@ Scale notes:
     sides come out of the span decode already hash-partitioned on those
     keys, so the join reuses the existing exchange;
   * sentence-level mention counts are small (≤ dozens), so the pair blowup
-    is bounded per row; host-level skew is handled upstream by the salted
-    repartition before inference (pipeline.py);
+    is bounded per row; crawl hot-host skew is handled upstream by the
+    full-url repartition before inference (pipeline.py — deliberately NOT
+    a low-cardinality salt key, see the anti-pattern note there);
   * the predicate lookup joins the (tiny) verb lexicon broadcast against
     the tokens-between range via a range condition on token_id.
 """
@@ -62,7 +63,11 @@ def extract_triples(
     predicates: list[str] | None = None,
 ) -> DataFrame:
     """linked mentions (with `component`) + tokens → distinct triples."""
-    predicates = predicates or DEFAULT_PREDICATES
+    # normalize the lexicon like the token side: the scan lowercases token
+    # text before isin(), so a caller-supplied "Treats" would otherwise
+    # match nothing and every pair would silently fall through to
+    # co_occurs_with
+    predicates = [p.lower() for p in (predicates or DEFAULT_PREDICATES)]
     pairs = mention_pairs(linked_mentions)
     verbs = tokens.filter(F.lower(F.col("text")).isin(predicates)).select(
         "doc_id",

@@ -56,6 +56,45 @@ def build_session(app_name: str = "bioner_kg_job") -> SparkSession:
     return spark
 
 
+def _config_token(args, alias) -> str:
+    """Identity of every tagging-relevant configuration, for the resume
+    manifest (pipeline.run_checkpointed config_token): tagger kind, model
+    architecture name, sha256 of the checkpoint/.bin artifacts, and a
+    content fingerprint of the alias dictionary (count + xor + bounded
+    modular sum of row hashes — the same order-free multiset law as
+    bucket_fingerprints). Without it, re-running with a new model or an
+    updated alias dict matches every 'done' bucket and serves the OLD
+    run's triples as if produced by the new config."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    parts = {
+        "tagger": args.tagger,
+        "model": args.model if args.tagger == "neural" else None,
+    }
+    for name, path in (("ckpt", args.checkpoint_pt), ("ftbin", args.embeddings_bin)):
+        if path:
+            h = hashlib.sha256()
+            with open(path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            parts[name] = h.hexdigest()[:16]
+    row = (
+        alias.select(F.xxhash64(*alias.columns).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(h)").alias("x"),
+            F.sum(F.pmod(F.col("h"), F.lit(1073741789))).alias("s"),
+        )
+        .collect()[0]
+    )
+    parts["alias"] = f'{row["n"]}:{row["x"]}:{row["s"]}'
+    return hashlib.sha256(
+        json.dumps(parts, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="pages Parquet path")
@@ -106,10 +145,15 @@ def main(argv: list[str] | None = None) -> None:
     alias = alias.persist()
     alias.count()
 
-    # read parallelism AFTER the first job — on local-cluster masters the
-    # executors register asynchronously and defaultParallelism reads low
-    # until they do
-    cores = spark.sparkContext.defaultParallelism
+    # read parallelism AFTER the first job AND after registration
+    # stabilizes (three consecutive non-growing reads): on cluster masters
+    # executors register asynchronously, and a single post-job read can
+    # still see a fraction of the fleet — undersizing the shuffle floor
+    # and misreporting `cores` in the metrics JSON (train_job hit exactly
+    # this; the shared poll lives in session.stable_default_parallelism)
+    from bioner_spark.session import stable_default_parallelism
+
+    cores = stable_default_parallelism(spark)
     # neural: the hot stages are Arrow->numpy python workers (BiLSTM forward)
     # and the per-sentence encode aggregate — finer tasks amortize stragglers
     # on jittery vCPUs and cost little (Arrow batches bound per-call memory).
@@ -196,6 +240,11 @@ def main(argv: list[str] | None = None) -> None:
         # the warmup must not pressure the executors it is stabilizing
         pilot_result.unpersist()
 
+    # config identity for the resume manifest; corpus-derived vocab mode
+    # (neural without --embeddings-bin) additionally folds in the global
+    # input fingerprint — an input change anywhere changes the vocab and
+    # therefore the tags in EVERY bucket (see run_checkpointed docstring)
+    cfg_token = _config_token(args, alias)
     t0 = time.time()
     result = run_checkpointed(
         spark,
@@ -207,6 +256,10 @@ def main(argv: list[str] | None = None) -> None:
         model=model,
         vocab=vocab,
         ft_model=ft_model,
+        config_token=cfg_token,
+        config_covers_corpus=(
+            args.tagger == "neural" and not args.embeddings_bin
+        ),
     )
     n_triples = result.triples.count()
     wall = time.time() - t0

@@ -72,30 +72,13 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("train_scaling").getOrCreate()
     if not args.n_shards:
-        # read parallelism only AFTER executors register: on local-cluster
-        # masters they register asynchronously and defaultParallelism reads
-        # low (often 2) until they do — the same trap kg_job.py documents;
-        # an early read would silently train with too few shards and report
-        # pessimistic sentences/sec. One warmup job, then poll briefly
-        # until the number stops growing.
-        spark.range(1000).count()
-        seen = spark.sparkContext.defaultParallelism
-        deadline = time.time() + 10
-        stable = 0
-        while time.time() < deadline:
-            time.sleep(0.5)
-            cur = spark.sparkContext.defaultParallelism
-            if cur <= seen:
-                # require THREE consecutive stable reads: JVM spawn can
-                # stagger registrations >0.5 s apart, and breaking on the
-                # first quiet window undercounts shards — the exact
-                # slow-registration case this poll exists to handle
-                stable += 1
-                if stable >= 3:
-                    break
-            else:
-                stable = 0
-                seen = cur
+        # read parallelism only AFTER executors register and the count
+        # stabilizes (session.stable_default_parallelism) — an early read
+        # would silently train with too few shards and report pessimistic
+        # sentences/sec
+        from bioner_spark.session import stable_default_parallelism
+
+        stable_default_parallelism(spark)
     n_shards = args.n_shards or spark.sparkContext.defaultParallelism
 
     train_df = synth_rows(spark, args.n_sentences, args.input_dim, args.sent_len, args.seed)

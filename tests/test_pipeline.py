@@ -301,3 +301,103 @@ def test_full_bioner_checkpoint_through_pipeline(spark, corpus, tmp_path):
     assert n >= 0
     manifest = spark.read.parquet(f"{out}/manifest")
     assert manifest.count() >= 1
+
+
+def test_config_token_invalidates_resume(spark, corpus, tmp_path):
+    """A config change (new model / alias version → new config_token) must
+    recompute every bucket even though the INPUT fingerprints all match —
+    without the token the resume served the old config's triples as if
+    produced by the new one. Same token → normal skip. Legacy manifests
+    written without a token recompute once (the safe direction)."""
+    pages = corpus_mod.pages_spark_df(spark, corpus)
+    alias = corpus_mod.alias_dict_spark_df(spark, corpus)
+    out = str(tmp_path / "kg")
+
+    r1 = run_checkpointed(spark, pages, alias, out, n_buckets=4,
+                          config_token="cfgA")
+    n = r1.n_buckets_processed
+    assert n > 0
+
+    # same input, same config → all skipped
+    r2 = run_checkpointed(spark, pages, alias, out, n_buckets=4,
+                          config_token="cfgA")
+    assert r2.n_buckets_processed == 0 and r2.n_buckets_skipped == n
+
+    # same input, DIFFERENT config → all recomputed
+    r3 = run_checkpointed(spark, pages, alias, out, n_buckets=4,
+                          config_token="cfgB")
+    assert r3.n_buckets_processed == n and r3.n_buckets_skipped == 0
+
+    # corpus-derived config: an input change ANYWHERE invalidates all
+    # buckets (the vocab the tagger was built from changed)
+    pages2 = pages.withColumn(
+        "url",
+        F.when(
+            F.col("url").endswith("/doc/0"), F.concat(F.col("url"), F.lit("x"))
+        ).otherwise(F.col("url")),
+    )
+    r4 = run_checkpointed(spark, pages2, alias, out, n_buckets=4,
+                          config_token="cfgB", config_covers_corpus=True)
+    assert r4.n_buckets_processed == n and r4.n_buckets_skipped == 0
+
+
+def test_pending_row_voids_done_on_crashed_rewrite(spark, corpus, tmp_path):
+    """Crash-window safety: if a rewrite deleted a bucket's partition but
+    died before writing, the 'pending' manifest row appended BEFORE the
+    delete must void the stale 'done' row, so a rerun with a matching
+    input fingerprint recomputes the bucket instead of skipping a bucket
+    with no data behind it (permanent silent row loss)."""
+    import pyspark.sql.functions as SF
+
+    pages = corpus_mod.pages_spark_df(spark, corpus)
+    alias = corpus_mod.alias_dict_spark_df(spark, corpus)
+    out = str(tmp_path / "kg")
+
+    r1 = run_checkpointed(spark, pages, alias, out, n_buckets=4)
+    n = r1.n_buckets_processed
+    total = r1.triples.count()
+    assert n > 0 and total > 0
+
+    # simulate the crash: bucket partitions deleted, pending rows appended
+    # (exactly what run_checkpointed does before its write), job dies
+    from bioner_spark.pipeline import _delete_bucket_partitions
+
+    some = [0, 1]
+    (
+        spark.createDataFrame([(b,) for b in some], "bucket int")
+        .select(
+            "bucket",
+            SF.lit(None).cast("string").alias("input_fingerprint"),
+            SF.lit(0).cast("long").alias("n_rows"),
+            SF.lit(None).cast("long").alias("n_docs"),
+            SF.current_timestamp().alias("completed_at"),
+            SF.lit("pending").alias("status"),
+        )
+        .write.mode("append")
+        .parquet(f"{out}/manifest")
+    )
+    _delete_bucket_partitions(spark, f"{out}/triples", some)
+
+    # rerun with the SAME input: the pending buckets must be todo again,
+    # and the table must converge back to the full row count
+    r2 = run_checkpointed(spark, pages, alias, out, n_buckets=4)
+    assert r2.n_buckets_processed >= 1
+    assert r2.triples.count() == total
+
+
+def test_extract_triples_predicates_case_insensitive(spark):
+    """A caller-supplied mixed-case lexicon ('Treats') must match: the
+    token scan lowercases text before isin(), so an un-normalized lexicon
+    silently matched nothing and every pair degraded to co_occurs_with."""
+    from bioner_spark.triples import extract_triples
+
+    mentions = spark.createDataFrame(
+        [(1, 0, 0, 0, "A"), (1, 0, 4, 4, "B")],
+        "doc_id long, sentence_id long, start_tok int, end_tok int, component string",
+    )
+    tokens = spark.createDataFrame(
+        [(1, 0, 0, "aspirin"), (1, 0, 2, "Treats"), (1, 0, 4, "pain")],
+        "doc_id long, sentence_id long, token_id int, text string",
+    )
+    rows = extract_triples(mentions, tokens, predicates=["Treats"]).collect()
+    assert len(rows) == 1 and rows[0]["pred"] == "treats"
