@@ -68,6 +68,19 @@ def _driver_union_find(rows: list, spark, node_type: str) -> DataFrame:
         return x
 
     for u, v in rows:
+        if u is None or v is None:
+            # parity with the distributed path: SQL comparisons drop
+            # NULL-endpoint edges there (u != v is NULL), and NULL is not a
+            # node — without this skip, find(None) poisons min()/sorted()
+            # with int-vs-None TypeErrors and behavior would flip with
+            # corpus size (driver crash vs distributed silent drop). The
+            # non-NULL endpoint still registers as a singleton, exactly as
+            # the star path's all-nodes re-attach keeps it.
+            if u is not None:
+                find(u)
+            if v is not None:
+                find(v)
+            continue
         ru, rv = find(u), find(v)
         if ru != rv:
             if rv < ru:  # min node id becomes the root → deterministic
@@ -162,6 +175,7 @@ def connected_components_star(
         checkpoint_dir,
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iterations):
         for large in (True, False):
             sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -183,8 +197,20 @@ def connected_components_star(
             )
         sig = _edge_checksum(cur)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # an exhausted iteration budget means the star forest never
+        # stabilized — returning it would SILENTLY fragment components
+        # (split alias/dup clusters with no error), violating the module's
+        # deterministic-canonicalization contract. 25 rounds cover diameter
+        # ~2^25; hitting this means the caller passed a too-small budget.
+        raise RuntimeError(
+            "connected_components_star: edge set did not stabilize within "
+            f"max_iterations={max_iterations}; components would be split. "
+            "Raise max_iterations."
+        )
     # converged star forest: u → root. Roots (and only they) never appear
     # as a child; add their self-assignment.
     roots = cur.select(F.col("v").alias("node")).distinct().join(
@@ -200,6 +226,7 @@ def connected_components_star(
     all_nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
+        .filter(F.col("node").isNotNull())  # NULL is not a node (see driver path)
         .distinct()
     )
     isolated = all_nodes.join(result.select("node").distinct(), "node", "left_anti")
@@ -298,9 +325,21 @@ def canonical_map(alias_dict: DataFrame, driver_threshold: int = 2_000_000) -> D
     if rows is not None:
         by_alias: dict = {}
         ids: set = set()
+        has_null_id = False
         for r in rows:
-            by_alias.setdefault(r["alias"], []).append(r["canonical_id"])
-            ids.add(r["canonical_id"])
+            cid = r["canonical_id"]
+            if cid is None:
+                # the distributed path never forms an edge for a NULL id
+                # (src < dst is NULL) but its all-ids distinct still emits
+                # one (NULL, NULL) row — mirror both halves exactly
+                has_null_id = True
+                continue
+            ids.add(cid)
+            if r["alias"] is not None:
+                # NULL aliases share nothing: the distributed alias self-join
+                # drops them (SQL equi-join), so grouping them here would
+                # silently merge every NULL-alias entity into one KG node
+                by_alias.setdefault(r["alias"], []).append(cid)
         parent: dict = {}
 
         def find(x):
@@ -320,6 +359,8 @@ def canonical_map(alias_dict: DataFrame, driver_threshold: int = 2_000_000) -> D
                     parent[rv] = ru
         id_type = alias_dict.schema["canonical_id"].dataType.simpleString()
         out = sorted((i, find(i)) for i in ids)
+        if has_null_id:
+            out.append((None, None))
         return alias_dict.sparkSession.createDataFrame(
             out, schema=f"canonical_id {id_type}, component {id_type}"
         )

@@ -47,7 +47,11 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     token-table schema has nowhere to carry an empty document, so the
     write path emits no header for it and read→write is byte-identical
     only for docs with ≥1 token. Real CoNLL exports (including every
-    reference fixture) never contain empty documents.
+    reference fixture) never contain empty documents. Symmetrically, token
+    rows BEFORE the first -DOCSTART- header are kept as document 0 (never
+    dropped), but the write path synthesizes the header they lacked — the
+    byte-identical roundtrip holds only for files that open with a header,
+    as every real export does.
     """
     raw = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("file"), F.col("value")
@@ -73,6 +77,17 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
         "new_sent", F.lag(F.col("is_blank") | is_doc_sep, 1, True).over(w).cast("int")
     )
     toks = lines.filter(~is_blank & ~is_doc_sep)
+    # token rows BEFORE the first -DOCSTART- header carry doc_ord -1, whose
+    # lpad renders the malformed id suffix '0000000-1' (breaking the
+    # zero-padded lexicographic-order guarantee). Normalize per file so the
+    # first document — headed or not — is ordinal 0: headed files are
+    # unchanged (min ordinal already 0), a headerless prefix becomes doc 0
+    # and shifts the headed docs after it up by one. Same partition key as
+    # the running-counter window, so no extra exchange.
+    toks = toks.withColumn(
+        "doc_ord",
+        F.col("doc_ord") - F.min("doc_ord").over(Window.partitionBy("file")),
+    )
     w_doc = Window.partitionBy("file", "doc_ord").orderBy("line_no")
     toks = toks.withColumn("sentence_id", (F.sum("new_sent").over(w_doc) - 1).cast("int"))
     w_sent = Window.partitionBy("file", "doc_ord", "sentence_id").orderBy("line_no")

@@ -292,36 +292,55 @@ def materialize_triples(
     todo_buckets = [int(b) for b, _, _ in todo]
     from pyspark.sql import functions as F
 
-    # bounded collects: ≤ n_buckets distinct values / a single min row
-    present = {
-        int(r["bucket"])
-        for r in triples.filter(F.col("bucket").isin(todo_buckets))
-        .select("bucket").distinct().collect()
-    }
-    # carrier lazily: plan_commit consults it ONLY when no todo bucket has
-    # rows, so the routine incremental run (some row-bearing stale buckets)
-    # must not pay a full-output min() scan just to discard the value
-    carrier = None
-    if (todo or removed) and not present:
-        row = triples.select(F.min("bucket").alias("b")).collect()[0]["b"]
-        carrier = int(row) if row is not None else None
-    pre_delete, write_buckets, props_todo, post_delete, reset = plan_commit(
-        todo, removed, present, carrier
-    )
-    if reset:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.sql(plan_for_dataframe(table, triples))
-        return
-    if pre_delete:
-        spark.sql(delete_buckets_sql(table, pre_delete))
-    if write_buckets:
-        out = triples.filter(F.col("bucket").isin(write_buckets))
-        writer = out.writeTo(table)
-        for k, v in snapshot_lineage_options(props_todo, post_delete).items():
-            writer = writer.option(k, v)
-        writer.overwritePartitions()
-    if post_delete:
-        spark.sql(delete_buckets_sql(table, post_delete))
+    # Persist the todo slice across the present-gate collect AND the write:
+    # without the shared cache a plan that recomputes non-identically
+    # between the two jobs (lost shuffle block + refreshed input) could
+    # judge a bucket present yet produce zero rows at write time —
+    # overwritePartitions then never touches that partition, leaving stale
+    # rows recorded under a fresh fingerprint, the exact silent-garbage
+    # state pre_delete exists to prevent. It also saves 1-2 full
+    # recomputations of the triples pipeline per incremental run.
+    todo_slice = triples.filter(F.col("bucket").isin(todo_buckets)).persist()
+    full_cache = None
+    try:
+        # bounded collects: ≤ n_buckets distinct values / a single min row
+        present = {
+            int(r["bucket"])
+            for r in todo_slice.select("bucket").distinct().collect()
+        }
+        # carrier lazily: plan_commit consults it ONLY when no todo bucket
+        # has rows, so the routine incremental run (some row-bearing stale
+        # buckets) must not pay a full-output min() scan just to discard
+        # the value. The carrier bucket lives OUTSIDE the todo slice, so
+        # this rare branch persists the full output across its own
+        # gate-then-write pair for the same recompute-divergence reason.
+        carrier = None
+        if (todo or removed) and not present:
+            full_cache = triples.persist()
+            row = full_cache.select(F.min("bucket").alias("b")).collect()[0]["b"]
+            carrier = int(row) if row is not None else None
+        pre_delete, write_buckets, props_todo, post_delete, reset = plan_commit(
+            todo, removed, present, carrier
+        )
+        if reset:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            spark.sql(plan_for_dataframe(table, triples))
+            return
+        if pre_delete:
+            spark.sql(delete_buckets_sql(table, pre_delete))
+        if write_buckets:
+            src = full_cache if full_cache is not None else todo_slice
+            out = src.filter(F.col("bucket").isin(write_buckets))
+            writer = out.writeTo(table)
+            for k, v in snapshot_lineage_options(props_todo, post_delete).items():
+                writer = writer.option(k, v)
+            writer.overwritePartitions()
+        if post_delete:
+            spark.sql(delete_buckets_sql(table, post_delete))
+    finally:
+        todo_slice.unpersist()
+        if full_cache is not None:
+            full_cache.unpersist()
 
 
 def mirror_triples(

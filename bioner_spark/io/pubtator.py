@@ -85,9 +85,14 @@ def render_pubtator(pages: DataFrame, mentions: DataFrame,
 
     Title = first non-empty sentence; abstract = remaining non-empty
     sentences joined by ' ' (PubTator abstracts are single-line; offsets are
-    unchanged because the engine's sentence separator is also 1 char)."""
+    unchanged because the engine's sentence separator is also 1 char).
+
+    A document with NO non-empty sentence has no title line to render and
+    is skipped (without the guard, element_at on the empty sentence array
+    aborts the whole export under Spark's default ANSI mode — one
+    blank/fetch-failed doc would kill the job)."""
     kept = F.filter(F.split(F.col(text_col), "\n"), lambda x: F.length(x) > 0)
-    docs = pages.select(
+    docs = pages.filter(F.size(kept) > 0).select(
         F.col(doc_col).alias("doc_id"),
         F.element_at(kept, 1).alias("title"),
         F.array_join(F.slice(kept, 2, F.greatest(F.size(kept) - 1, F.lit(0))), " ")
@@ -128,41 +133,59 @@ def read_pubtator(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]
     abstract as two sentences (bconv's section model).
 
     annotations: (doc_id long, start int, end int, mention, etype,
-    concept_id). Blank separator lines and malformed rows are dropped.
+    concept_id). Blank separator lines and malformed rows are dropped
+    (try_cast, never a bare cast: under Spark's default ANSI mode one
+    malformed row — or a title/abstract body containing 5+ literal tabs —
+    would otherwise abort the whole scan with CAST_INVALID_INPUT).
+    Malformed-input resilience beyond that: a document whose title line is
+    missing/corrupt still surfaces (title='', full-outer reassembly) so its
+    annotations are never silently orphaned, and duplicate title/abstract
+    lines for one pmid collapse deterministically to the minimum instead
+    of cross-producting through the join.
 
     Line-parallel: each line classifies itself; the only shuffle is the
-    title⋈abstract reassembly join on doc_id."""
+    title⋈abstract reassembly join on doc_id (both aggregations and the
+    join share the one doc_id exchange)."""
     lines = spark.read.text(path).select(F.col("value").alias("line"))
     titles = (
         lines.filter(F.col("line").rlike(_TITLE_RE))
         .select(
-            F.regexp_extract("line", _TITLE_RE, 1).cast("long").alias("doc_id"),
+            F.regexp_extract("line", _TITLE_RE, 1).try_cast("long").alias("doc_id"),
             F.regexp_extract("line", _TITLE_RE, 2).alias("title"),
         )
+        .filter(F.col("doc_id").isNotNull())  # pmid overflowing int64: malformed
+        .groupBy("doc_id")
+        .agg(F.min("title").alias("title"))
     )
     abstracts = (
         lines.filter(F.col("line").rlike(_ABSTRACT_RE))
         .select(
-            F.regexp_extract("line", _ABSTRACT_RE, 1).cast("long").alias("doc_id"),
+            F.regexp_extract("line", _ABSTRACT_RE, 1).try_cast("long").alias("doc_id"),
             F.regexp_extract("line", _ABSTRACT_RE, 2).alias("abstract"),
         )
+        .filter(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.min("abstract").alias("abstract"))
     )
     docs = (
-        titles.join(abstracts, "doc_id", "left")
+        titles.join(abstracts, "doc_id", "full")
         .select(
-            "doc_id", "title",
+            "doc_id",
+            F.coalesce("title", F.lit("")).alias("title"),
             F.coalesce("abstract", F.lit("")).alias("abstract"),
-            F.concat("title", F.lit("\n"), F.coalesce("abstract", F.lit("")))
-            .alias("text"),
+            F.concat(
+                F.coalesce("title", F.lit("")), F.lit("\n"),
+                F.coalesce("abstract", F.lit("")),
+            ).alias("text"),
         )
     )
     parts = F.split(F.col("line"), "\t")
     anns = (
         lines.filter(F.size(parts) >= 6)
         .select(
-            F.element_at(parts, 1).cast("long").alias("doc_id"),
-            F.element_at(parts, 2).cast("int").alias("start"),
-            F.element_at(parts, 3).cast("int").alias("end"),
+            F.element_at(parts, 1).try_cast("long").alias("doc_id"),
+            F.element_at(parts, 2).try_cast("int").alias("start"),
+            F.element_at(parts, 3).try_cast("int").alias("end"),
             F.element_at(parts, 4).alias("mention"),
             F.element_at(parts, 5).alias("etype"),
             F.element_at(parts, 6).alias("concept_id"),

@@ -386,7 +386,10 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     declared frame count in meta — the real frame grab happens in
     decode_real. Demonstrates metadata-driven explode without decoding."""
     n_frames = F.coalesce(
-        F.element_at(F.col("meta"), "n_frames").cast("int"), F.lit(0)
+        # try_cast, not cast: a non-numeric producer value ('unknown') must
+        # route to the declared-absent branch, not abort the job under
+        # Spark's default ANSI mode
+        F.element_at(F.col("meta"), "n_frames").try_cast("int"), F.lit(0)
     )
     return media.filter(F.col("modality") == "video").select(
         "media_id",

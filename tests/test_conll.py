@@ -217,3 +217,23 @@ def test_read_conll_empty_tag_raises(spark, tmp_path):
     p.write_text("-DOCSTART-\t0\t0\tO\n\na\t0\t1\t\n\n")
     with pytest.raises(PySparkException, match="empty tag"):
         read_conll(spark, str(p)).collect()
+
+
+def test_read_conll_headerless_prefix_is_document_zero(spark, tmp_path):
+    """Token rows before the first -DOCSTART- previously carried doc_ord -1,
+    rendering the malformed id suffix '0000000-1' (breaking zero-padded
+    lexicographic order). They are document 0; headed docs after them shift
+    up by one; fully-headed files are unchanged."""
+    p = tmp_path / "headerless.conll"
+    p.write_text(
+        "pre\t0\t3\tO\n"
+        "\n"
+        "-DOCSTART-\t0\t0\tO\n"
+        "tok\t0\t3\tB-X\n"
+    )
+    rows = read_conll(spark, str(p)).collect()
+    ords = sorted({r.doc_id.rsplit("#", 1)[1] for r in rows})
+    assert ords == ["000000000", "000000001"]
+    by_ord = {r.doc_id.rsplit("#", 1)[1]: r.text for r in rows}
+    assert by_ord["000000000"] == "pre"
+    assert by_ord["000000001"] == "tok"

@@ -182,3 +182,27 @@ def test_gate_recollect_growth_falls_back_to_distributed(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", grown_once)
     got = _as_map(G.connected_components(df, driver_threshold=10))
     assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_driver_path_null_endpoint_edge_matches_star(spark):
+    """A NULL-endpoint edge is dropped by SQL comparison semantics on the
+    distributed path; the driver union-find must drop it too (previously:
+    TypeError comparing int with None — behavior flipped with corpus size)
+    while still keeping the non-NULL endpoint as a singleton, exactly as
+    the star path's all-nodes re-attach does."""
+    df = spark.createDataFrame(
+        [(None, 5), (5, 6), (8, None)], "src int, dst int"
+    )
+    got_driver = _as_map(connected_components(df, driver_threshold=10))
+    got_star = _as_map(connected_components(df, driver_threshold=0))
+    assert got_driver == {5: 5, 6: 5, 8: 8}
+    assert got_star == got_driver
+
+
+def test_star_raises_on_exhausted_iterations(spark):
+    """An exhausted iteration budget previously returned silently SPLIT
+    components (a 31-node path at max_iterations=1 → ~29 fragments, no
+    error). The contract is deterministic canonicalization — fail loud."""
+    pairs = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(30)]
+    with pytest.raises(RuntimeError, match="did not stabilize"):
+        connected_components_star(_edges_df(spark, pairs), max_iterations=1)

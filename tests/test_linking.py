@@ -113,3 +113,23 @@ def test_corpus_canonical_map_matches_generator(spark, corpus):
     got = {r.canonical_id: r.component for r in canonical_map(alias).collect()}
     expected = corpus_mod._canonical_components()
     assert got == expected
+
+
+def test_canonical_map_null_alias_never_merges(spark):
+    """NULL aliases share nothing: the distributed alias self-join drops
+    them (SQL equi-join), so the driver path grouping them under one dict
+    key silently merged every NULL-alias entity into a single KG node —
+    and a NULL canonical_id crashed its min()/sorted(). Both paths must
+    agree: no NULL-alias merges, NULL id maps to (NULL, NULL)."""
+    df = spark.createDataFrame(
+        [(None, "C1"), (None, "C2"), ("x", "C3"), ("x", "C4"), (None, None)],
+        "alias string, canonical_id string",
+    )
+    expected = {"C1": "C1", "C2": "C2", "C3": "C3", "C4": "C3", None: None}
+    driver = {r.canonical_id: r.component for r in canonical_map(df).collect()}
+    dist = {
+        r.canonical_id: r.component
+        for r in canonical_map(df, driver_threshold=0).collect()
+    }
+    assert driver == expected
+    assert dist == expected

@@ -772,3 +772,19 @@ def test_round6_law_identical_across_engines(spark):
     ).fetchone()[0]
     assert got_spark == got_duck == 0.007813
     assert round(val, 6) == 0.007812  # the Python semantic this test bans
+
+
+def test_frame_sample_plan_non_numeric_n_frames(spark):
+    """A non-numeric declared frame count ('unknown') must route to the
+    absent branch (zero frames), not abort the job under default ANSI."""
+    from bioner_spark.ops.multimodal import MEDIA_SCHEMA, frame_sample_plan
+
+    rows = [
+        ("v1", "video", b"\x10" * 10, {"n_frames": "unknown"}),
+        ("v2", "video", b"\x10" * 10, {"n_frames": "61"}),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    frames = sorted(
+        (r.media_id, r.frame_idx) for r in frame_sample_plan(media, every_n=30).collect()
+    )
+    assert frames == [("v2", 0), ("v2", 30), ("v2", 60)]

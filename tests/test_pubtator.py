@@ -175,3 +175,52 @@ def test_project_iob_midtoken_and_gap_starts(spark):
     assert tags[(2, 10)] == "I-DIS"
     # never an I- whose immediately preceding same-type tag is missing
     assert all(t in {"O", "B-DIS", "I-DIS", "B-CHEM"} for t in tags.values())
+
+
+def test_read_pubtator_ansi_safe_and_malformed_resilient(spark, tmp_path):
+    """Under Spark 4's default ANSI mode a bare cast on tab-split fields
+    aborted the whole scan for (a) an annotation row with non-integer
+    offsets and (b) a title/abstract body containing 5+ literal tabs
+    (shape-matches an annotation line). Both must be DROPPED from anns, as
+    the docstring promises. Also: an abstract-only document (missing title
+    line) surfaces with title='' instead of silently orphaning its
+    annotations, and duplicate title lines collapse deterministically to
+    the minimum instead of cross-producting."""
+    content = "\n".join([
+        "1|t|title one",
+        "1|a|body\twith\tfive\ttabs\tin\tit",
+        "1\t0\t5\ttitle\tDisease\tD1",
+        "1\tx\ty\tbad\tDisease\tD2",
+        "",
+        "2|a|orphan abstract",
+        "2\t0\t6\torphan\tChemical\tC1",
+        "",
+        "3|t|dup title B",
+        "3|t|dup title A",
+        "3|a|abs",
+    ])
+    p = tmp_path / "corpus.pubtator"
+    p.write_text(content)
+    docs, anns = read_pubtator(spark, str(p))
+    d = {r.doc_id: r for r in docs.collect()}
+    assert set(d) == {1, 2, 3}
+    assert d[1].title == "title one"
+    assert d[1].abstract == "body\twith\tfive\ttabs\tin\tit"
+    assert d[2].title == "" and d[2].abstract == "orphan abstract"
+    assert d[2].text == "\norphan abstract"
+    assert d[3].title == "dup title A" and d[3].abstract == "abs"
+    a = sorted((r.doc_id, r.start, r.end, r.mention) for r in anns.collect())
+    assert a == [(1, 0, 5, "title"), (2, 0, 6, "orphan")]
+
+
+def test_render_pubtator_skips_blank_document(spark):
+    """A document with no non-empty sentence has no title line to render:
+    it must be skipped, not abort the export (ANSI element_at on [])."""
+    pages = spark.createDataFrame(
+        [(1, "\n\n"), (2, "ok title\nabs")], "doc_id long, text string"
+    )
+    mentions = spark.createDataFrame(
+        [], "doc_id long, g_start int, g_end int, etype string, concept_id string"
+    )
+    lines = sorted(r.line for r in render_pubtator(pages, mentions).collect())
+    assert lines == ["2|a|abs", "2|t|ok title"]
