@@ -1302,8 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # in any oracle would silently diverge from the engine on VT — failing the
 # fingerprint/minhash oracles AND the textstats word counts.
 from bioner_spark.ops.textstats import WS_CHARS as _WS_CHARS  # noqa: E402
-
-_WS_SQL = f"[{_WS_CHARS}]"
+from bioner_spark.ops.textstats import WS_RE as _WS_SQL  # noqa: E402
 
 # THE dedup-normalization law in SQL — ONE definition, mirroring
 # ops.dedup.normalized.

@@ -174,7 +174,11 @@ def connected_components_star(
         .distinct(),
         checkpoint_dir,
     )
-    prev_sig = None
+    # seed the signature from the INITIAL edge set so an already-converged
+    # input (or one that stabilizes exactly at the budget) is recognized —
+    # with a None seed, convergence detection needs one spare iteration and
+    # the non-convergence raise below would fire on a correct forest
+    prev_sig = _edge_checksum(cur)
     converged = False
     for _ in range(max_iterations):
         for large in (True, False):

@@ -79,15 +79,17 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     toks = lines.filter(~is_blank & ~is_doc_sep)
     # token rows BEFORE the first -DOCSTART- header carry doc_ord -1, whose
     # lpad renders the malformed id suffix '0000000-1' (breaking the
-    # zero-padded lexicographic-order guarantee). Normalize per file so the
-    # first document — headed or not — is ordinal 0: headed files are
-    # unchanged (min ordinal already 0), a headerless prefix becomes doc 0
-    # and shifts the headed docs after it up by one. Same partition key as
+    # zero-padded lexicographic-order guarantee). Shift ONLY that case
+    # (file minimum ordinal is -1): the headerless prefix becomes doc 0 and
+    # headed docs after it move up by one. A blanket min-subtraction would
+    # instead renumber a file whose FIRST headed document happens to be
+    # token-free (min ordinal 1), diverging from the mid-file empty-doc
+    # behavior where the numbering gap is preserved. Same partition key as
     # the running-counter window, so no extra exchange.
-    toks = toks.withColumn(
-        "doc_ord",
-        F.col("doc_ord") - F.min("doc_ord").over(Window.partitionBy("file")),
-    )
+    shift = F.when(
+        F.min("doc_ord").over(Window.partitionBy("file")) == -1, F.lit(1)
+    ).otherwise(F.lit(0))
+    toks = toks.withColumn("doc_ord", F.col("doc_ord") + shift)
     w_doc = Window.partitionBy("file", "doc_ord").orderBy("line_no")
     toks = toks.withColumn("sentence_id", (F.sum("new_sent").over(w_doc) - 1).cast("int"))
     w_sent = Window.partitionBy("file", "doc_ord", "sentence_id").orderBy("line_no")

@@ -302,6 +302,7 @@ def materialize_triples(
     # recomputations of the triples pipeline per incremental run.
     todo_slice = triples.filter(F.col("bucket").isin(todo_buckets)).persist()
     full_cache = None
+    own_full_cache = False
     try:
         # bounded collects: ≤ n_buckets distinct values / a single min row
         present = {
@@ -316,7 +317,13 @@ def materialize_triples(
         # gate-then-write pair for the same recompute-divergence reason.
         carrier = None
         if (todo or removed) and not present:
-            full_cache = triples.persist()
+            # adopt a caller-managed cache rather than re-own it: persist()
+            # on an already-cached plan is a no-op, but unpersisting it in
+            # the finally would evict the CALLER's cache behind its back
+            full_cache = triples
+            if not triples.is_cached:
+                full_cache = triples.persist()
+                own_full_cache = True
             row = full_cache.select(F.min("bucket").alias("b")).collect()[0]["b"]
             carrier = int(row) if row is not None else None
         pre_delete, write_buckets, props_todo, post_delete, reset = plan_commit(
@@ -339,7 +346,7 @@ def materialize_triples(
             spark.sql(delete_buckets_sql(table, post_delete))
     finally:
         todo_slice.unpersist()
-        if full_cache is not None:
+        if own_full_cache:
             full_cache.unpersist()
 
 

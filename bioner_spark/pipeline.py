@@ -228,6 +228,38 @@ def _bucket_col(n_buckets: int, col: str = "url"):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
+# The ONE multiset-fingerprint fold law: count, bit_xor of row hashes, and a
+# bounded modular sum of row hashes (see bucket_fingerprints' docstring for
+# why xor alone cancels even-multiplicity rows and why the modulus keeps the
+# int64 sum overflow-safe). Shared by the per-bucket input fingerprints and
+# kg_job's alias-dict config token — one definition, so the law cannot
+# silently desync between the two resume-identity consumers.
+MULTISET_FP_MODULUS = 1073741789
+
+
+def _multiset_fingerprint_aggs(h_col: str):
+    """The three agg expressions of the fold law over hash column h_col."""
+    return (
+        F.count(F.lit(1)),
+        F.expr(f"bit_xor({h_col})"),
+        F.sum(F.pmod(F.col(h_col), F.lit(MULTISET_FP_MODULUS))),
+    )
+
+
+def multiset_fingerprint(df: DataFrame, cols: tuple | None = None) -> str:
+    """Whole-DataFrame order-free multiset fingerprint 'count:xor:sum' —
+    the same law bucket_fingerprints folds per bucket. EAGER (one
+    column-pruned agg job). cols defaults to every column of df."""
+    use = tuple(cols) if cols else tuple(df.columns)
+    n, x, s = _multiset_fingerprint_aggs("_h")
+    row = (
+        df.select(F.xxhash64(*[F.col(c) for c in use]).alias("_h"))
+        .agg(n.alias("n"), x.alias("x"), s.alias("s"))
+        .collect()[0]
+    )
+    return f'{row["n"]}:{row["x"]}:{row["s"]}'
+
+
 def bucket_fingerprints(
     pages: DataFrame, n_buckets: int, fingerprint_cols: tuple | None = None
 ) -> DataFrame:
@@ -259,14 +291,15 @@ def bucket_fingerprints(
             ("url", "warc_ts") if "warc_ts" in pages.columns else ("url",)
         )
     h = F.xxhash64(*[F.col(c) for c in fingerprint_cols])
+    n, x, s = _multiset_fingerprint_aggs("_h")
     return (
         pages.withColumn("bucket", _bucket_col(n_buckets))
         .withColumn("_h", h)
         .groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.expr("bit_xor(_h)").alias("hash_xor"),
-            F.sum(F.pmod(F.col("_h"), F.lit(1073741789))).alias("hash_sum"),
+            n.alias("n_docs"),
+            x.alias("hash_xor"),
+            s.alias("hash_sum"),
         )
         .select(
             "bucket",

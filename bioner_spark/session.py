@@ -121,8 +121,19 @@ def stable_default_parallelism(spark: SparkSession, timeout_s: float = 10.0) -> 
     more than one poll interval apart, so breaking on the first quiet
     window would undercount (the exact slow-registration case the poll
     exists for).
+
+    Plain local[N] masters have no asynchronous registration —
+    defaultParallelism is fixed at session creation — so they return
+    immediately instead of paying the warmup job + ≥1.5 s poll on every
+    dev/CI run (local-cluster[...] does NOT match the prefix and still
+    polls, as its executor JVMs register asynchronously like a real
+    cluster's).
     """
     import time as _time
+
+    master = spark.sparkContext.master or ""
+    if master == "local" or master.startswith("local["):
+        return spark.sparkContext.defaultParallelism
 
     spark.range(1000).count()
     seen = spark.sparkContext.defaultParallelism

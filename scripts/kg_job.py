@@ -60,14 +60,13 @@ def _config_token(args, alias) -> str:
     """Identity of every tagging-relevant configuration, for the resume
     manifest (pipeline.run_checkpointed config_token): tagger kind, model
     architecture name, sha256 of the checkpoint/.bin artifacts, and a
-    content fingerprint of the alias dictionary (count + xor + bounded
-    modular sum of row hashes — the same order-free multiset law as
-    bucket_fingerprints). Without it, re-running with a new model or an
-    updated alias dict matches every 'done' bucket and serves the OLD
-    run's triples as if produced by the new config."""
+    content fingerprint of the alias dictionary (pipeline.
+    multiset_fingerprint — the SAME order-free multiset law
+    bucket_fingerprints folds per bucket, one shared definition). Without
+    it, re-running with a new model or an updated alias dict matches every
+    'done' bucket and serves the OLD run's triples as if produced by the
+    new config."""
     import hashlib
-
-    from pyspark.sql import functions as F
 
     parts = {
         "tagger": args.tagger,
@@ -80,16 +79,9 @@ def _config_token(args, alias) -> str:
                 for chunk in iter(lambda: f.read(1 << 20), b""):
                     h.update(chunk)
             parts[name] = h.hexdigest()[:16]
-    row = (
-        alias.select(F.xxhash64(*alias.columns).alias("h"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(h)").alias("x"),
-            F.sum(F.pmod(F.col("h"), F.lit(1073741789))).alias("s"),
-        )
-        .collect()[0]
-    )
-    parts["alias"] = f'{row["n"]}:{row["x"]}:{row["s"]}'
+    from bioner_spark.pipeline import multiset_fingerprint
+
+    parts["alias"] = multiset_fingerprint(alias)
     return hashlib.sha256(
         json.dumps(parts, sort_keys=True).encode()
     ).hexdigest()[:16]

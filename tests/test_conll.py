@@ -237,3 +237,19 @@ def test_read_conll_headerless_prefix_is_document_zero(spark, tmp_path):
     by_ord = {r.doc_id.rsplit("#", 1)[1]: r.text for r in rows}
     assert by_ord["000000000"] == "pre"
     assert by_ord["000000001"] == "tok"
+
+
+def test_read_conll_empty_first_document_keeps_numbering(spark, tmp_path):
+    """The headerless-prefix shift applies ONLY when a file opens with
+    token rows (min ordinal -1). A file whose FIRST headed document is
+    token-free keeps its numbering gap — exactly like a mid-file empty
+    document — instead of silently renumbering every later doc down."""
+    p = tmp_path / "empty_first.conll"
+    p.write_text(
+        "-DOCSTART-\t0\t0\tO\n"
+        "\n"
+        "-DOCSTART-\t0\t0\tO\n"
+        "tok\t0\t3\tB-X\n"
+    )
+    rows = read_conll(spark, str(p)).collect()
+    assert sorted({r.doc_id.rsplit("#", 1)[1] for r in rows}) == ["000000001"]

@@ -206,3 +206,16 @@ def test_star_raises_on_exhausted_iterations(spark):
     pairs = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(30)]
     with pytest.raises(RuntimeError, match="did not stabilize"):
         connected_components_star(_edges_df(spark, pairs), max_iterations=1)
+
+
+def test_star_already_converged_input_within_one_iteration(spark):
+    """The non-convergence raise must not fire on a correct forest: an
+    input already in converged child→root orientation is a fixpoint of the
+    round transform, and the seeded initial checksum recognizes it even at
+    max_iterations=1 (with a None seed, detection needed a spare iteration
+    and this raised on a correct result)."""
+    pairs = [("b", "a"), ("c", "a"), ("y", "x")]
+    got = _as_map(
+        connected_components_star(_edges_df(spark, pairs), max_iterations=1)
+    )
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

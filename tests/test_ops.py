@@ -788,3 +788,20 @@ def test_frame_sample_plan_non_numeric_n_frames(spark):
         (r.media_id, r.frame_idx) for r in frame_sample_plan(media, every_n=30).collect()
     )
     assert frames == [("v2", 0), ("v2", 30), ("v2", 60)]
+
+
+def test_stable_default_parallelism_instant_on_local_master(spark, monkeypatch):
+    """Plain local[N] masters have no asynchronous executor registration:
+    the poll (warmup job + ≥1.5 s of sleeps) must be skipped entirely —
+    every kg_job/train_job dev run previously paid it for a value that is
+    fixed at session creation."""
+    import time
+
+    from bioner_spark.session import stable_default_parallelism
+
+    def no_sleep(_):  # pragma: no cover - failure path
+        raise AssertionError("poll loop ran on a local[N] master")
+
+    monkeypatch.setattr(time, "sleep", no_sleep)
+    got = stable_default_parallelism(spark)
+    assert got == spark.sparkContext.defaultParallelism

@@ -401,3 +401,20 @@ def test_extract_triples_predicates_case_insensitive(spark):
     )
     rows = extract_triples(mentions, tokens, predicates=["Treats"]).collect()
     assert len(rows) == 1 and rows[0]["pred"] == "treats"
+
+
+def test_multiset_fingerprint_shared_law(spark):
+    """One fold law for both resume-identity consumers: order-free,
+    multiplicity-sensitive, and matching the 'n:xor:sum' string format
+    bucket_fingerprints emits per bucket (kg_job's alias token uses it)."""
+    from bioner_spark.pipeline import multiset_fingerprint
+
+    rows = [("a", 1), ("b", 2), ("c", 3)]
+    df1 = spark.createDataFrame(rows, "k string, v int")
+    df2 = spark.createDataFrame(list(reversed(rows)), "k string, v int")
+    fp1, fp2 = multiset_fingerprint(df1), multiset_fingerprint(df2)
+    assert fp1 == fp2  # order-free
+    assert fp1.startswith("3:")
+    dup = spark.createDataFrame(rows + [("a", 1)], "k string, v int")
+    assert multiset_fingerprint(dup) != fp1  # multiplicity-sensitive
+    assert multiset_fingerprint(dup).startswith("4:")
