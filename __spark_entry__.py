@@ -870,8 +870,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = os.path.join(
             tempfile.gettempdir(), f"bioner_ann_index_{uuid.uuid4().hex[:12]}"
         )
-        write_ann_index(emb, idx, dim=64, n_planes=8)
+        # cleanup registered BEFORE the write (same rule as the streaming/
+        # pubtator temp dirs): a failed/interrupted write_ann_index would
+        # otherwise leak the partial directory forever, and harness retries
+        # accumulate orphans until /tmp fills
         atexit.register(shutil.rmtree, idx, ignore_errors=True)
+        write_ann_index(emb, idx, dim=64, n_planes=8)
         out = lsh_topk_indexed(
             spark, idx, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8, dim=64
         )
@@ -911,24 +915,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_topk"] = ivf_topk_q
 
-    # --- extractor invariant (UDF, oracle = trivial identity) ----------------
+    # --- extractor invariant (UDF vs native-SQL law; oracle = 0) -------------
     def extract_roundtrip(spark, sf_dir):
-        from bioner_spark.extract import with_extracted_text
+        """Differential invariant, corpus-INDEPENDENT: wrap every text line
+        in boilerplate HTML (lines html-escaped, so a literal '&'/'<'/'>'
+        in the corpus cannot alter parsing), run the UDF extractor, and
+        compare against the extractor's per-line law recomputed in pure
+        native SQL (Python-\\s runs → one space via the shared
+        PY_STRIP_WHITESPACE class, strip, drop empty lines, join '\\n',
+        then the engine's own native strip_truncation_markers). The oracle
+        asserts n_mismatch = 0 — which now holds for ANY corpus, not just
+        whitespace-pre-normalized ones: tabs/NBSP/doubled-space/blank-line
+        documents exercise the law instead of breaking the check."""
+        from bioner_spark.extract import strip_truncation_markers, with_extracted_text
+        from bioner_spark.functions.surface import PY_STRIP_WHITESPACE
 
         head = (
             "<html><head><title>t</title><script>var x=1;</script></head><body>"
             "<nav><ul><li>Home</li></ul></nav><div id=\"content\">"
         )
         tail = "</div><footer>© 2024</footer><script>track();</script></body></html>"
+
+        def esc(s):
+            return F.replace(
+                F.replace(
+                    F.replace(s, F.lit("&"), F.lit("&amp;")),
+                    F.lit("<"), F.lit("&lt;"),
+                ),
+                F.lit(">"), F.lit("&gt;"),
+            )
+
+        lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+        expected = strip_truncation_markers(
+            F.array_join(
+                F.filter(
+                    F.transform(
+                        lines,
+                        lambda s: F.trim(
+                            F.regexp_replace(s, f"[{PY_STRIP_WHITESPACE}]+", " ")
+                        ),
+                    ),
+                    lambda s: s != F.lit(""),
+                ),
+                "\n",
+            )
+        )
         docs = _docs(spark, sf_dir).select(
             "doc_id",
-            "text",
+            expected.alias("expected"),
             F.concat(
                 F.lit(head),
                 F.array_join(
                     F.transform(
-                        F.split(F.col("text"), "\n"),
-                        lambda s: F.concat(F.lit("<p>"), s, F.lit("</p>")),
+                        lines,
+                        lambda s: F.concat(F.lit("<p>"), esc(s), F.lit("</p>")),
                     ),
                     "",
                 ),
@@ -939,7 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(
-                F.when(F.col("extracted") != F.col("text"), 1).otherwise(0)
+                F.when(F.col("extracted") != F.col("expected"), 1).otherwise(0)
             ).alias("n_mismatch"),
         )
 
@@ -987,15 +1027,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """THE synthetic media derivation (media_id cast, doc_id%2 modality
         rule, utf-8 payload, n_frames meta) — one definition for
         multimodal_features AND multimodal_hist; both oracles mirror it, so
-        an edit here must update both oracle CTEs in lockstep."""
+        an edit here must update both oracle CTEs in lockstep. NULL-text
+        law (same as the rest of the contract's fetch-failure treatment):
+        NULL text/n_chars coalesce to ''/0, so a NULL-text doc yields an
+        empty payload (n_bytes 0, zero histogram) on BOTH engines instead
+        of a NULL-vs-zeros hash mismatch."""
         return _docs(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("media_id"),
             F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
             .otherwise(F.lit("audio"))
             .alias("modality"),
-            F.encode(F.col("text"), "utf-8").alias("payload"),
+            F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
             F.create_map(
-                F.lit("n_frames"), (F.col("n_chars") % 100).cast("string")
+                F.lit("n_frames"),
+                (F.coalesce(F.col("n_chars"), F.lit(0)) % 100).cast("string"),
             ).alias("meta"),
         )
 
@@ -1306,7 +1351,68 @@ from bioner_spark.ops.textstats import WS_RE as _WS_SQL  # noqa: E402
 
 # THE dedup-normalization law in SQL — ONE definition, mirroring
 # ops.dedup.normalized.
-_NORM_SQL = f"trim(regexp_replace(lower(text), '{_WS_SQL}+', ' ', 'g'))"
+# LOWER_SQL(x) — Java/Spark lower() semantics for the DuckDB oracles.
+# DuckDB's lower() (utf8proc) is a simple 1:1 codepoint map; Spark applies
+# Unicode SpecialCasing (measured divergences): U+0130 'İ' lowers to
+# 'i' + U+0307 (two codepoints), and capital Σ takes the contextual
+# Final_Sigma form ς at word end. The shim pre-expands İ, rewrites ONLY
+# capital Σ in final position ON THE ORIGINAL string (an original
+# lowercase σ must stay σ), then simple-lowers. Context classes: a letter
+# OR combining mark before (marks are case-ignorable, e.g. the dot of a
+# just-expanded İ), end-or-non-letter after. Verified exact on a 14-case
+# battery incl. σΣσ, ΣΣ runs, İΣ, marks; the ONE disclosed residual is a
+# case-ignorable run between Σ and the boundary ('ΟΣ.α' — Java scans
+# through the '.', RE2 has no lookahead to). The expansion happens in
+# oracle_sql() via _expand_lower_sql, so oracle bodies stay readable and
+# f-string-brace-free.
+_LOWER_MARK = "LOWER_SQL"
+
+
+def _lower_sql(arg: str) -> str:
+    return (
+        "lower(regexp_replace(replace(" + arg + ", 'İ', 'i̇'), "
+        r"'([\p{L}\p{M}])Σ($|\P{L})', '\1ς\2', 'g'))"
+    )
+
+
+def _expand_lower_sql(sql: str) -> str:
+    """Expand every LOWER_SQL(<expr>) marker, scanning for the balanced
+    close paren (quote-aware, so parens inside SQL string literals don't
+    miscount)."""
+    out = []
+    i = 0
+    while True:
+        j = sql.find(_LOWER_MARK + "(", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i:j])
+        k = j + len(_LOWER_MARK) + 1
+        depth, in_q = 1, False
+        start = k
+        while depth:
+            ch = sql[k]
+            if in_q:
+                if ch == "'":
+                    in_q = False
+            elif ch == "'":
+                in_q = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            k += 1
+        out.append(_lower_sql(sql[start:k - 1]))
+        i = k
+
+
+# trim with an EXPLICIT ' ' char set: DuckDB's bare trim() strips Unicode
+# whitespace (NBSP, U+2000…) while Spark's F.trim strips ASCII space only —
+# a document whose text starts/ends with NBSP would otherwise fingerprint
+# differently per engine (measured: every dedup-family oracle diverged on a
+# leading-NBSP doc). Post-collapse, edges can only carry ' ' anyway, so the
+# space-only trim is the whole law on both sides.
+_NORM_SQL = f"trim(regexp_replace(LOWER_SQL(text), '{_WS_SQL}+', ' ', 'g'), ' ')"
 
 _TOKS_CTE = """
 raw AS (
@@ -1416,14 +1522,14 @@ d1 AS (SELECT alias, canonical_id FROM dict WHERE length(string_split(alias, ' '
 d2 AS (SELECT alias, canonical_id FROM dict WHERE length(string_split(alias, ' ')) = 2),
 cand1 AS (
   SELECT t.doc_id, t.sentence_id, t.token_id AS start_tok, t.token_id AS end_tok,
-         lower(t.text) AS phrase, d.canonical_id
-  FROM toks t JOIN d1 d ON lower(t.text) = d.alias
+         LOWER_SQL(t.text) AS phrase, d.canonical_id
+  FROM toks t JOIN d1 d ON LOWER_SQL(t.text) = d.alias
 ),
 lead2 AS (
   SELECT doc_id, sentence_id, token_id,
-         lower(text) || ' ' || lead(lower(text)) OVER (
+         LOWER_SQL(text) || ' ' || lead(LOWER_SQL(text)) OVER (
              PARTITION BY doc_id, sentence_id ORDER BY token_id) AS phrase2,
-         lead(lower(text)) OVER (
+         lead(LOWER_SQL(text)) OVER (
              PARTITION BY doc_id, sentence_id ORDER BY token_id) AS nxt
   FROM toks
 ),
@@ -1460,8 +1566,8 @@ linked AS (
   JOIN comp c ON am.canonical_id = c.canonical_id
 ),
 verbs AS (
-  SELECT doc_id, sentence_id, token_id AS verb_tok, lower(text) AS verb
-  FROM toks WHERE lower(text) IN ({preds})
+  SELECT doc_id, sentence_id, token_id AS verb_tok, LOWER_SQL(text) AS verb
+  FROM toks WHERE LOWER_SQL(text) IN ({preds})
 ),
 pairs AS (
   SELECT m1.doc_id, m1.sentence_id, m1.component AS subj, m2.component AS obj,
@@ -1542,7 +1648,7 @@ FROM feat
 
 _NGRAM_CTE = r"""
 tok_words AS (
-  SELECT '#' || lower(regexp_replace(text, '[^\p{L}\p{N}\p{P}\p{Sm}\p{Sc}]', '', 'g')) || '#' AS word
+  SELECT '#' || LOWER_SQL(regexp_replace(text, '[^\p{L}\p{N}\p{P}\p{Sm}\p{Sc}]', '', 'g')) || '#' AS word
   FROM toks WHERE length(text) > 0
 ),
 grams_all AS (
@@ -1566,8 +1672,12 @@ _STOP_EN = _sql_in(_STOPWORDS["en"])
 _STOP_DE = _sql_in(_STOPWORDS["de"])
 _STOP_FR = _sql_in(_STOPWORDS["fr"])
 
+# no trim() around the split: DuckDB trim strips Unicode whitespace that
+# the engine's explicit split class deliberately keeps (a leading NBSP must
+# stay glued to its word on BOTH engines: '\xa0of' is NOT a stopword hit).
+# Edge empties from an untrimmed split can never match a stopword list.
 _HITS = (
-    "len(list_filter(string_split_regex(trim(lower(text)), '" + _WS_SQL + "+'), "
+    "len(list_filter(string_split_regex(LOWER_SQL(text), '" + _WS_SQL + "+'), "
     "w -> list_contains([{words}], w)))"
 )
 
@@ -1802,7 +1912,7 @@ tok_grams AS (
       ELSE [NULL] END) AS ngram
   FROM (
     SELECT token,
-      '#' || lower(regexp_replace(token, '[^\\p{{L}}\\p{{N}}\\p{{P}}\\p{{Sm}}\\p{{Sc}}]', '', 'g')) || '#' AS w
+      '#' || LOWER_SQL(regexp_replace(token, '[^\\p{{L}}\\p{{N}}\\p{{P}}\\p{{Sm}}\\p{{Sc}}]', '', 'g')) || '#' AS w
     FROM tok_d
   )
 ),
@@ -2196,7 +2306,7 @@ SELECT lang_guess, COUNT(*)::BIGINT AS n_docs FROM guess GROUP BY lang_guess
     o["quality_features"] = rf"""
 WITH base AS (
   SELECT doc_id, text,
-    len(list_filter(string_split_regex(lower(text), '{_WS_SQL}+'), w -> len(w) > 0))::INT AS n_words,
+    len(list_filter(string_split_regex(LOWER_SQL(text), '{_WS_SQL}+'), w -> len(w) > 0))::INT AS n_words,
     length(text)::INT AS n_chars,
     {_HITS.format(words=_STOP_EN)} AS h_en
   FROM documents
@@ -2361,15 +2471,21 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
+    # extract_roundtrip: the Spark side compares the UDF extractor against
+    # its per-line law recomputed in native SQL (see the query docstring);
+    # 0 is therefore a UNIVERSAL invariant of the two implementations
+    # agreeing, not a precondition on the corpus being pre-normalized.
     o["extract_roundtrip"] = """
 SELECT COUNT(*)::BIGINT AS n_docs, 0::BIGINT AS n_mismatch FROM documents
 """
 
     # fastText subword inference (P5): DuckDB independently recomputes
-    # subwords ('<w>' codepoint n-grams, n∈[3,4]) → FNV-1a (list_reduce
-    # byte fold; corpus tokens are ASCII so ascii()=byte; the signed-char
-    # cast for >=0x80 bytes is covered by tests/test_fasttext.py) → bucket
-    # (mod 2000) → integer-lattice sums. Exact int64 equality, no floats.
+    # subwords ('<w>' codepoint n-grams, n∈[3,4]) → FNV-1a over UTF-8
+    # BYTES with fastText's signed-char cast (each codepoint expands to
+    # its UTF-8 byte sequence arithmetically; bytes >= 0x80 sign-extend to
+    # 4294967040 + b, exactly uint32_t(int8_t(b)) — the engine law in
+    # ner/fasttext.fnv1a) → bucket (mod 2000) → integer-lattice sums.
+    # Exact int64 equality, no floats, correct for non-ASCII tokens too.
     o["fasttext_vectors"] = f"""
 WITH {_TOKS_CTE},
 words AS (
@@ -2395,7 +2511,24 @@ hashed AS (
   SELECT token,
     list_reduce(
       list_prepend(2166136261::BIGINT,
-        list_transform(generate_series(1, length(sw)), j -> ascii(substring(sw, j, 1)))),
+        flatten(list_transform(
+          list_transform(generate_series(1, length(sw)),
+                         j -> unicode(substring(sw, j, 1))),
+          cp -> CASE
+            WHEN cp < 128 THEN [cp::BIGINT]
+            WHEN cp < 2048 THEN
+              [4294967040 + 192 + cp // 64,
+               4294967040 + 128 + cp % 64]
+            WHEN cp < 65536 THEN
+              [4294967040 + 224 + cp // 4096,
+               4294967040 + 128 + (cp // 64) % 64,
+               4294967040 + 128 + cp % 64]
+            ELSE
+              [4294967040 + 240 + cp // 262144,
+               4294967040 + 128 + (cp // 4096) % 64,
+               4294967040 + 128 + (cp // 64) % 64,
+               4294967040 + 128 + cp % 64]
+          END))),
       (h, b) -> (xor(h, b) * 16777619) % 4294967296
     ) % 2000 AS r
   FROM grams
@@ -2513,8 +2646,8 @@ FROM verdict
 WITH media AS (
   SELECT CAST(doc_id AS VARCHAR) AS media_id,
          CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
-         hex(encode(text)) AS hx,
-         octet_length(encode(text))::INT AS n_bytes
+         hex(encode(COALESCE(text, ''))) AS hx,
+         octet_length(encode(COALESCE(text, '')))::INT AS n_bytes
   FROM documents
 ),
 bytes AS (
@@ -2542,7 +2675,7 @@ LEFT JOIN counts c ON c.media_id = m.media_id AND c.bin = bins.bin
     # so a writer or parser defect on the Spark side cannot cancel out
     o["multimodal_decode"] = """
 WITH aud AS (
-  SELECT doc_id, ((n_chars % 200) + 50)::INT AS n
+  SELECT doc_id, ((COALESCE(n_chars, 0) % 200) + 50)::INT AS n
   FROM documents WHERE doc_id % 2 = 1
 ),
 aud_vals AS (
@@ -2552,7 +2685,7 @@ aud_vals AS (
   FROM aud
 ),
 img AS (
-  SELECT doc_id, ((n_chars % 16) + 4) * 8 * 3 AS n
+  SELECT doc_id, ((COALESCE(n_chars, 0) % 16) + 4) * 8 * 3 AS n
   FROM documents WHERE doc_id % 2 = 0
 ),
 img_vals AS (
@@ -2610,9 +2743,9 @@ linked AS (
   FROM gm m JOIN comp c USING (canonical_id)
 ),
 verbs AS (
-  SELECT doc_id, sentence_id, token_id AS verb_tok, lower(text) AS verb
+  SELECT doc_id, sentence_id, token_id AS verb_tok, LOWER_SQL(text) AS verb
   FROM gt
-  WHERE lower(text) IN ({_sql_in(_VERBS)})
+  WHERE LOWER_SQL(text) IN ({_sql_in(_VERBS)})
 ),
 pairs AS (
   SELECT m1.doc_id, m1.sentence_id,
@@ -2647,8 +2780,8 @@ LEFT JOIN verbs v ON v.doc_id = w.doc_id AND v.sentence_id = w.sentence_id
 WITH media AS (
   SELECT CAST(doc_id AS VARCHAR) AS media_id,
          CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
-         hex(encode(text)) AS hx,
-         octet_length(encode(text))::INT AS n_bytes
+         hex(encode(COALESCE(text, ''))) AS hx,
+         octet_length(encode(COALESCE(text, '')))::INT AS n_bytes
   FROM documents
 ),
 bytes AS (
@@ -2745,4 +2878,6 @@ FROM win w LEFT JOIN firsts f
  AND f.a_end = w.a_end AND f.etype = w.etype
 """
 
-    return o
+    # expand the LOWER_SQL(...) markers into the Java-lower() shim (see
+    # _lower_sql) — one pass over every oracle, so no site can forget it
+    return {k: _expand_lower_sql(v) for k, v in o.items()}

@@ -376,7 +376,12 @@ def synthesize_codec_media(docs: DataFrame) -> DataFrame:
                 out["payload"].append(payload)
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id", "n_chars").mapInPandas(
+    # NULL n_chars (fetch-failure doc) coalesces to 0 BEFORE the kernel: a
+    # NULL reaches pandas as NaN and int(NaN) kills the whole job; the
+    # DuckDB oracle applies the same COALESCE so the formulas stay aligned
+    return docs.select(
+        "doc_id", F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars")
+    ).mapInPandas(
         run, schema="media_id string, modality string, payload binary"
     )
 

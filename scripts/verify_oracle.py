@@ -70,26 +70,21 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
+            # ONE violation mask decides pass/fail AND selects the printed
+            # examples — a single predicate, so the examples can never
+            # disagree with the verdict. Float columns use the tolerance
+            # (string inequality would surface benign 1e-15 shortest-repr
+            # differences and bury the real offender).
             if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-                ok = np.allclose(
-                    av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True
+                viol = ~np.isclose(
+                    av.astype(float), bv.astype(float),
+                    rtol=0, atol=1e-9, equal_nan=True,
                 )
             else:
-                ok = av.astype(str).equals(bv.astype(str))
-            if not ok:
-                if np.issubdtype(av.dtype, np.floating) or np.issubdtype(
-                    bv.dtype, np.floating
-                ):
-                    # examples must be the rows that VIOLATE the tolerance:
-                    # string inequality would surface benign 1e-15
-                    # shortest-repr differences and bury the real offender
-                    viol = ~np.isclose(
-                        av.astype(float), bv.astype(float),
-                        rtol=0, atol=1e-9, equal_nan=True,
-                    )
-                else:
-                    viol = (av.astype(str) != bv.astype(str)).to_numpy()
-                mism = np.asarray(viol).nonzero()[0][:5]
+                viol = (av.astype(str) != bv.astype(str)).to_numpy()
+            viol = np.asarray(viol)
+            if viol.any():
+                mism = viol.nonzero()[0][:5]
                 ex = [(av.iloc[i], bv.iloc[i]) for i in mism]
                 problems.append(f"values differ in col {c}: {ex}")
     return problems
