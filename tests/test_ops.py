@@ -609,16 +609,29 @@ def test_normalization_law_identical_across_engines(spark):
 
     from bioner_spark.ops.dedup import normalized
 
-    probes = ["a\x0bb", "A  b\tc\r\n", " x ", "mixed\x0b \t text"]
+    probes = [
+        "a\x0bb",
+        "A  b\tc\r\n",
+        " x ",
+        "mixed\x0b \t text",
+        # Unicode-casing probes for the LOWER_SQL shim: İ expands to
+        # i+U+0307 on Spark (SpecialCasing), Σ takes final-sigma form at
+        # word end, NBSP must survive trim (explicit ' ' char set).
+        "İstanbul ΟΔΥΣΣΕΥΣ",
+        " edge ",
+    ]
     sdf = spark.createDataFrame([(p,) for p in probes], "text string")
     got_spark = [r.n for r in sdf.select(normalized(F.col("text")).alias("n")).collect()]
 
     import __spark_entry__ as entrymod
 
+    # _NORM_SQL carries the LOWER_SQL marker (expanded in oracle_sql());
+    # expand it here exactly as the oracles do.
+    norm_sql = entrymod._expand_lower_sql(entrymod._NORM_SQL)
     con = duckdb.connect()
     got_duck = [
         con.execute(
-            f"SELECT {entrymod._NORM_SQL} AS n FROM (SELECT ? AS text)", [p]
+            f"SELECT {norm_sql} AS n FROM (SELECT ? AS text)", [p]
         ).fetchone()[0]
         for p in probes
     ]
