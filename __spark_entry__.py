@@ -1355,23 +1355,70 @@ from bioner_spark.ops.textstats import WS_RE as _WS_SQL  # noqa: E402
 # DuckDB's lower() (utf8proc) is a simple 1:1 codepoint map; Spark applies
 # Unicode SpecialCasing (measured divergences): U+0130 'İ' lowers to
 # 'i' + U+0307 (two codepoints), and capital Σ takes the contextual
-# Final_Sigma form ς at word end. The shim pre-expands İ, rewrites ONLY
-# capital Σ in final position ON THE ORIGINAL string (an original
-# lowercase σ must stay σ), then simple-lowers. Context classes: a letter
-# OR combining mark before (marks are case-ignorable, e.g. the dot of a
-# just-expanded İ), end-or-non-letter after. Verified exact on a 14-case
-# battery incl. σΣσ, ΣΣ runs, İΣ, marks; the ONE disclosed residual is a
-# case-ignorable run between Σ and the boundary ('ΟΣ.α' — Java scans
-# through the '.', RE2 has no lookahead to). The expansion happens in
-# oracle_sql() via _expand_lower_sql, so oracle bodies stay readable and
+# Final_Sigma form ς. Java's exact rule (measured on this JVM, 43-case
+# battery in tests/test_ops.py): Σ is final iff PRECEDED by a cased letter
+# with any run of case-ignorable characters between, and NOT FOLLOWED by a
+# run of case-ignorables then a cased letter. "Cased" excludes caseless
+# scripts (中Σ → σ, ΟΣ中 → ς — measured) and "case-ignorable" covers
+# marks/format/modifier chars plus word-internal punctuation (ΟΣ.α → σ:
+# Java scans through the '.').
+#
+# RE2 has no lookahead, so the run-negation ("not followed by ci* cased")
+# is computed by rewriting the COMPLEMENT first: two forward passes turn
+# every Σ followed by ci*+cased into σ (two, because a pass that consumes
+# a following capital Σ as its cased witness leaves that Σ unexamined;
+# consecutive leftovers are never adjacent, so one more pass settles
+# them — caseness is invariant under Σ→σ, which keeps later passes'
+# context checks exact). The surviving capital Σs satisfy the after-
+# condition by construction, so one final pass marks those with the
+# cased-before context as ς; everything else simple-lowers. Original
+# lowercase σ/ς are never touched (the rewrites run on the original
+# string, keyed on CAPITAL Σ only). The expansion happens in oracle_sql()
+# via _expand_lower_sql, so oracle bodies stay readable and
 # f-string-brace-free.
 _LOWER_MARK = "LOWER_SQL"
+
+# Spark's lower() is ICU (CollationAwareUTF8String), NOT
+# java.lang.String.toLowerCase — measured: Java-ROOT skips digits in the
+# Final_Sigma scan ('ΟΣ1α' → 'οσ1α') while Spark does not ('ος1α'). The
+# two classes below were therefore derived from SPARK ITSELF, exhaustively
+# over the whole BMP (65k codepoints × two context probes classifying each
+# char as case-ignorable / cased / neither), then the RE2 classes were
+# diffed against that derivation to zero — exact, not approximate, for
+# every BMP character. Supplementary planes ride the general categories,
+# identical on both engines for Lu/Ll/Lt/M/Cf.
+#
+# Case-ignorable (Unicode Case_Ignorable): marks, format (incl. soft
+# hyphen), modifier letters/symbols, plus word-internal punctuation
+# (apostrophes, dots, colons, middle dot, Greek ano teleia, Hebrew
+# gershayim, Armenian abbreviation mark, fullwidth/vertical forms).
+# \x27 = "'" — hex-escaped so the class embeds in a SQL '...' literal.
+_CI_CLASS = (
+    r"\p{Mn}\p{Me}\p{Cf}\p{Lm}\p{Sk}"
+    "\\x27\u2019\u2018.:\u00b7\u0387\u055f\u05f4\u0897\u2024\u2027"
+    "\ufe13\ufe52\ufe55\uff07\uff0e\uff1a"
+)
+# Cased (Unicode Cased): Lu/Ll/Lt plus Other_Uppercase/Other_Lowercase
+# singletons the general categories miss — ª º (Lo), Roman numerals (Nl),
+# circled letters (So), and post-Unicode-15 additions ICU knows. Lo (CJK
+# etc.) is otherwise NOT cased; Lm modifiers are case-ignorable and the
+# ci-run scan sees them first, matching ICU.
+_CASED_CLASS = (
+    r"\p{Lu}\p{Ll}\p{Lt}"
+    "\u00aa\u00ba\u1c89\u1c8a\u2160-\u217f\u24b6-\u24e9"
+    "\ua7cb-\ua7cd\ua7da-\ua7dc"
+)
+_SIGMA_NONFINAL = f"Σ([{_CI_CLASS}]*[{_CASED_CLASS}])"
+_SIGMA_FINAL = f"([{_CASED_CLASS}][{_CI_CLASS}]*)Σ"
 
 
 def _lower_sql(arg: str) -> str:
     return (
-        "lower(regexp_replace(replace(" + arg + ", 'İ', 'i̇'), "
-        r"'([\p{L}\p{M}])Σ($|\P{L})', '\1ς\2', 'g'))"
+        "lower(regexp_replace(regexp_replace(regexp_replace("
+        "replace(" + arg + ", 'İ', 'i̇'), "
+        f"'{_SIGMA_NONFINAL}', 'σ\\1', 'g'), "
+        f"'{_SIGMA_NONFINAL}', 'σ\\1', 'g'), "
+        f"'{_SIGMA_FINAL}', '\\1ς', 'g'))"
     )
 
 

@@ -57,6 +57,11 @@ ROWS = [
     (900007, "", "en", "adv", 0),
     (900008, "İstanbul DİYARBAKIR trip", "tr", "adv", 24),
     (900009, "ΟΔΟΣ ΣΟΦΙΑΣ ΑΣΣΟΣ σΣσ ΣΣ İΣ τέλος", "el", "adv", 33),
+    # Final_Sigma with case-ignorable runs (the formerly-disclosed shim
+    # residuals, now exact): Σ before a ci-run+cased stays σ ('ΟΣ.α'),
+    # cased+ci-run before Σ makes it final ("Ο'Σ"), caseless scripts are
+    # not cased context ('ΟΣ中'/'中Σ'), trailing ci keeps finality
+    (900010, "ΟΣ.α Ο'Σ ΑΣ·α ΟΣ́ ΟΣ中 中Σ ΤΕΛΟΣ’ ΟΣ.Ω", "el", "adv", 38),
 ]
 
 

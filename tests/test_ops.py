@@ -639,6 +639,93 @@ def test_normalization_law_identical_across_engines(spark):
     assert got_spark[0] == "a b"  # VT collapsed on BOTH engines
 
 
+def test_lower_sql_shim_matches_spark_lower(spark):
+    """The LOWER_SQL shim (DuckDB side) must reproduce Spark/Java lower()
+    byte-for-byte, including Unicode SpecialCasing: İ → i + U+0307 and the
+    FULL Final_Sigma rule — Σ is final iff preceded by cased(+ci-run) and
+    not followed by ci-run+cased, where ci spans marks, format chars,
+    modifier letters/symbols, and word-internal punctuation. The battery
+    covers every divergence class measured on this JVM, incl. the
+    previously-disclosed residuals ('ΟΣ.α', ci-run-before "Ο'Σ"), caseless
+    scripts (中), multi-Σ runs, and Lm/Sk edge chars."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    probes = [
+        # final-sigma core
+        "ΣΟΦΙΑΣ", "ΟΔΥΣΣΕΥΣ", "ΑΣΣΟΣ", "σΣσ", "ΣΣ", "ΣΣΣΣΣΑ", "ΌΣ",
+        # ci runs AFTER Σ (not final when a cased letter follows the run)
+        "ΟΣ.α", "ΟΣ:α", "ΟΣ·α", "ΟΣ..α", "ΟΣ··α", "ΟΣ.Ω", "ΟΣ‘α",
+        "ΟΣ：α", "ΟΣ’́α", "ΟΣ\xadα", "ΟΣ́α", "ΟΣʰα", "Σ.Σ.Σ.Α",
+        # ci runs then END or non-cased (final)
+        "ΟΣ.", "ΟΣ1", "ΟΣ_", "ΟΣ1α", "ΟΣ.1", "ΤΕΛΟΣ’", "ΟΣ́", "ΟΣᵃ", "ΟΣ˘",
+        # ci runs BEFORE Σ (final when a cased letter precedes the run)
+        "Ο'Σ", "Ο.Σ", "Ο‘Σ", "ΑΣ’Σ", "ΑΣ·α",
+        # no cased letter before → never final
+        "Σ.α", "'Σ", "‘Σ", "Σˌα", "�.Σ.",
+        # caseless scripts are not cased context
+        "ΟΣ中", "中Σ",
+        # İ SpecialCasing (incl. as cased context for a final Σ)
+        "İstanbul", "İΣ", "İΣ.α", "DİYARBAKIR",
+    ]
+    sdf = spark.createDataFrame([(p,) for p in probes], "text string")
+    got_spark = [r.n for r in sdf.select(F.lower("text").alias("n")).collect()]
+    con = duckdb.connect()
+    shim = entrymod._expand_lower_sql("LOWER_SQL(text)")
+    got_duck = [
+        con.execute(f"SELECT {shim} AS n FROM (SELECT ? AS text)", [p]).fetchone()[0]
+        for p in probes
+    ]
+    assert got_spark == got_duck, [
+        (p, s, d) for p, s, d in zip(probes, got_spark, got_duck) if s != d
+    ]
+
+
+def test_lower_sql_sigma_classes_exact_over_bmp(spark):
+    """The shim's RE2 character classes (_CI_CLASS / _CASED_CLASS) must
+    match Spark/ICU's Final_Sigma context classification for EVERY BMP
+    codepoint — derived live from Spark with two context probes per char:
+    lower('ΟΣ'+c+'α') keeps σ iff the scan walks through c (case-ignorable)
+    or stops at a cased c; lower('ΟΣ'+c) ends final iff c is ci or
+    non-cased. Note Spark lower() is ICU, NOT java.lang.String.toLowerCase
+    (Java-ROOT skips digits in the scan; ICU does not) — so Spark itself is
+    the only valid authority to derive from."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    rows = [(cp, chr(cp)) for cp in range(0x20, 0x10000)
+            if not (0xD800 <= cp <= 0xDFFF)]
+    df = spark.createDataFrame(rows, "cp int, c string")
+    got = df.select(
+        "cp",
+        F.substring(
+            F.lower(F.concat(F.lit("ΟΣ"), F.col("c"), F.lit("α"))), 2, 1
+        ).alias("a1"),
+        F.substring(F.lower(F.concat(F.lit("ΟΣ"), F.col("c"))), 2, 1).alias("b1"),
+    ).collect()
+    sp_ci = {r.cp for r in got if r.a1 == "σ" and r.b1 == "ς"}
+    sp_cased = {r.cp for r in got if r.a1 == "σ" and r.b1 != "ς"}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE cps AS SELECT range::INT AS cp, chr(range::INT) AS c "
+        "FROM range(32, 65536) WHERE range < 55296 OR range > 57343"
+    )
+    memb = con.execute(
+        "SELECT cp, regexp_matches(c, ?) AS ci, regexp_matches(c, ?) AS cs FROM cps",
+        [
+            f"^[{entrymod._CI_CLASS}]$".replace("\\x27", "'"),
+            f"^[{entrymod._CASED_CLASS}]$",
+        ],
+    ).fetchall()
+    re_ci = {cp for cp, ci, _ in memb if ci}
+    re_cased = {cp for cp, _, cs in memb if cs}
+    assert sorted(sp_ci ^ re_ci) == [], "case-ignorable class drifted from ICU"
+    assert sorted(sp_cased ^ re_cased) == [], "cased class drifted from ICU"
+
+
 def test_exact_dedup_null_text_gets_per_id_fingerprint(spark):
     """NULL text (fetch failures) must NOT collapse into one NULL-keyed
     duplicate group — distinct failed fetches are not copies of each other.
