@@ -1385,8 +1385,48 @@ _LOWER_MARK = "LOWER_SQL"
 # over the whole BMP (65k codepoints × two context probes classifying each
 # char as case-ignorable / cased / neither), then the RE2 classes were
 # diffed against that derivation to zero — exact, not approximate, for
-# every BMP character. Supplementary planes ride the general categories,
-# identical on both engines for Lu/Ll/Lt/M/Cf.
+# every BMP character.
+#
+# Supplementary planes do NOT simply ride the general categories: ICU
+# (Spark) carries Unicode 14–16 scripts that DuckDB's utf8proc/RE2 tables
+# predate. `scripts/astral_probe.py` ran the same two-probe derivation
+# over all 131,859 assigned supplementary codepoints and found three
+# one-sided families, patched below: (1) 57 uppercase letters DuckDB's
+# lower() doesn't map (Vithkuqi U+10570.., Garay U+10D50..) — fixed with a
+# codepoint-wise translate() pre-pass (_ASTRAL_LOWER_FROM/_TO); (2) cased
+# letters/symbols RE2's \p{Lu}/\p{Ll} misses (Garay, plus squared/circled
+# Latin U+1F130–1F189 which ICU treats as cased Final_Sigma context);
+# (3) new-script case-ignorable marks (Garay, Gurung Khema, Kirat Rai,
+# Ol Onal, Todhri, Tulu-Tigalari). Known single-codepoint residual, the
+# only diff RE2 cannot express (no class subtraction): U+1171E AHOM
+# MEDIAL RA is Mn in DuckDB's tables (→ matches \p{Mn}, case-ignorable)
+# but reclassified Mc (not ignorable) in current ICU — the shim diverges
+# from Spark only for a capital Σ separated from a cased letter by a
+# ci-run containing U+1171E (e.g. 'Ο\U0001171EΣ'), pinned by test.
+_ASTRAL_LOWER_FROM = (
+    "\U00010570\U00010571\U00010572\U00010573\U00010574\U00010575"
+    "\U00010576\U00010577\U00010578\U00010579\U0001057a\U0001057c"
+    "\U0001057d\U0001057e\U0001057f\U00010580\U00010581\U00010582"
+    "\U00010583\U00010584\U00010585\U00010586\U00010587\U00010588"
+    "\U00010589\U0001058a\U0001058c\U0001058d\U0001058e\U0001058f"
+    "\U00010590\U00010591\U00010592\U00010594\U00010595\U00010d50"
+    "\U00010d51\U00010d52\U00010d53\U00010d54\U00010d55\U00010d56"
+    "\U00010d57\U00010d58\U00010d59\U00010d5a\U00010d5b\U00010d5c"
+    "\U00010d5d\U00010d5e\U00010d5f\U00010d60\U00010d61\U00010d62"
+    "\U00010d63\U00010d64\U00010d65"
+)
+_ASTRAL_LOWER_TO = (
+    "\U00010597\U00010598\U00010599\U0001059a\U0001059b\U0001059c"
+    "\U0001059d\U0001059e\U0001059f\U000105a0\U000105a1\U000105a3"
+    "\U000105a4\U000105a5\U000105a6\U000105a7\U000105a8\U000105a9"
+    "\U000105aa\U000105ab\U000105ac\U000105ad\U000105ae\U000105af"
+    "\U000105b0\U000105b1\U000105b3\U000105b4\U000105b5\U000105b6"
+    "\U000105b7\U000105b8\U000105b9\U000105bb\U000105bc\U00010d70"
+    "\U00010d71\U00010d72\U00010d73\U00010d74\U00010d75\U00010d76"
+    "\U00010d77\U00010d78\U00010d79\U00010d7a\U00010d7b\U00010d7c"
+    "\U00010d7d\U00010d7e\U00010d7f\U00010d80\U00010d81\U00010d82"
+    "\U00010d83\U00010d84\U00010d85"
+)
 #
 # Case-ignorable (Unicode Case_Ignorable): marks, format (incl. soft
 # hyphen), modifier letters/symbols, plus word-internal punctuation
@@ -1397,6 +1437,13 @@ _CI_CLASS = (
     r"\p{Mn}\p{Me}\p{Cf}\p{Lm}\p{Sk}"
     "\\x27\u2019\u2018.:\u00b7\u0387\u055f\u05f4\u0897\u2024\u2027"
     "\ufe13\ufe52\ufe55\uff07\uff0e\uff1a"
+    # supplementary-plane case-ignorable marks ICU knows but RE2's older
+    # tables don't (astral_probe.py derivation; ranges in probe output)
+    "\U00010d4e\U00010d69-\U00010d6d\U00010d6f\U00010efc"
+    "\U000113bb-\U000113c0\U000113ce\U000113d0\U000113d2"
+    "\U000113e1-\U000113e2\U00011f5a\U0001611e-\U00016129"
+    "\U0001612d-\U0001612f\U00016d40-\U00016d42\U00016d6b-\U00016d6c"
+    "\U0001e5ee-\U0001e5ef"
 )
 # Cased (Unicode Cased): Lu/Ll/Lt plus Other_Uppercase/Other_Lowercase
 # singletons the general categories miss — ª º (Lo), Roman numerals (Nl),
@@ -1407,12 +1454,25 @@ _CASED_CLASS = (
     r"\p{Lu}\p{Ll}\p{Lt}"
     "\u00aa\u00ba\u1c89\u1c8a\u2160-\u217f\u24b6-\u24e9"
     "\ua7cb-\ua7cd\ua7da-\ua7dc"
+    # supplementary-plane cased letters/symbols per ICU (astral_probe.py):
+    # Garay upper+lower, squared/circled/negative-squared Latin (So, but
+    # Other_Uppercase \u2192 cased Final_Sigma context)
+    "\U00010d50-\U00010d65\U00010d70-\U00010d85"
+    "\U0001f130-\U0001f149\U0001f150-\U0001f169\U0001f170-\U0001f189"
 )
 _SIGMA_NONFINAL = f"Σ([{_CI_CLASS}]*[{_CASED_CLASS}])"
 _SIGMA_FINAL = f"([{_CASED_CLASS}][{_CI_CLASS}]*)Σ"
 
 
 def _lower_sql(arg: str) -> str:
+    # Innermost translate() maps the 57 supplementary-plane uppercase
+    # letters ICU lowers but utf8proc doesn't (1:1, codepoint-wise —
+    # measured) so the sigma-context regexes then see the same cased
+    # lowercase forms Spark's scan does (_CASED_CLASS covers them).
+    arg = (
+        "translate(" + arg + ", '" + _ASTRAL_LOWER_FROM + "', '"
+        + _ASTRAL_LOWER_TO + "')"
+    )
     return (
         "lower(regexp_replace(regexp_replace(regexp_replace("
         "replace(" + arg + ", 'İ', 'i̇'), "

@@ -682,6 +682,64 @@ def test_lower_sql_shim_matches_spark_lower(spark):
     ]
 
 
+def test_lower_sql_shim_supplementary_planes(spark):
+    """Supplementary-plane parity for the LOWER_SQL shim. ICU (Spark)
+    carries Unicode 14-16 scripts that DuckDB's utf8proc/RE2 predate;
+    scripts/astral_probe.py derived the full one-sided diff set over all
+    131,859 assigned astral codepoints (post-patch: shim_diffs == 0).
+    This test pins one probe per patched family, plus the single
+    documented residual RE2 cannot express (no class subtraction):
+    U+1171E AHOM MEDIAL RA is Mn (case-ignorable) in DuckDB's tables but
+    Mc (not ignorable) in current ICU, so the shim mis-finalizes a Σ
+    separated from a cased letter by a ci-run containing it."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    probes = [
+        # Vithkuqi (Unicode 14): utf8proc lower() is identity, RE2 classes
+        # know it — translate pre-pass supplies the mapping, and the
+        # lowered form must still act as cased Final_Sigma context.
+        "\U00010570\U00010571",
+        "\U00010570Σ",
+        # Garay (Unicode 16): neither lower() nor \p{Lu}/\p{Ll} know it —
+        # translate + explicit _CASED_CLASS ranges.
+        "\U00010d50Σ",
+        "Ο\U00010d69Σ",  # Garay ci mark inside the sigma scan run
+        # Squared Latin capital A (So + Other_Uppercase): cased context
+        # per ICU, invisible to \p{Lu} — explicit _CASED_CLASS range.
+        "\U0001f130Σ",
+        "Ο\U0001f130",
+        # Gurung Khema ci mark (Unicode 16) inside the scan run
+        "Ο\U0001611eΣ",
+        # caseless astral char is NOT cased context (emoji, as in the
+        # adversarial corpus)
+        "\U0001f600Σ",
+    ]
+    sdf = spark.createDataFrame([(p,) for p in probes], "text string")
+    got_spark = [r.n for r in sdf.select(F.lower("text").alias("n")).collect()]
+    con = duckdb.connect()
+    shim = entrymod._expand_lower_sql("LOWER_SQL(text)")
+    got_duck = [
+        con.execute(f"SELECT {shim} AS n FROM (SELECT ? AS text)", [p]).fetchone()[0]
+        for p in probes
+    ]
+    assert got_spark == got_duck, [
+        (p, s, d) for p, s, d in zip(probes, got_spark, got_duck) if s != d
+    ]
+
+    # The documented U+1171E residual: engines MUST diverge here (if this
+    # starts passing, DuckDB upgraded its tables and the shim note +
+    # astral_probe baseline should be refreshed).
+    resid = "Ο\U0001171eΣ"
+    s = sdf.sparkSession.createDataFrame([(resid,)], "text string") \
+        .select(F.lower("text").alias("n")).collect()[0].n
+    d = con.execute(
+        f"SELECT {shim} AS n FROM (SELECT ? AS text)", [resid]
+    ).fetchone()[0]
+    assert s.endswith("σ") and d.endswith("ς"), (s, d)
+
+
 def test_lower_sql_sigma_classes_exact_over_bmp(spark):
     """The shim's RE2 character classes (_CI_CLASS / _CASED_CLASS) must
     match Spark/ICU's Final_Sigma context classification for EVERY BMP
