@@ -1497,7 +1497,13 @@ def _expand_lower_sql(sql: str) -> str:
         k = j + len(_LOWER_MARK) + 1
         depth, in_q = 1, False
         start = k
+        n = len(sql)
         while depth:
+            if k >= n:
+                raise ValueError(
+                    f"unbalanced {_LOWER_MARK}(...) marker at offset {j}: "
+                    f"...{sql[j:j + 80]!r}"
+                )
             ch = sql[k]
             if in_q:
                 if ch == "'":
@@ -1509,7 +1515,9 @@ def _expand_lower_sql(sql: str) -> str:
             elif ch == ")":
                 depth -= 1
             k += 1
-        out.append(_lower_sql(sql[start:k - 1]))
+        # expand inner markers first so LOWER_SQL(f(LOWER_SQL(x))) nests
+        # instead of splicing the literal marker into the output SQL
+        out.append(_lower_sql(_expand_lower_sql(sql[start:k - 1])))
         i = k
 
 
@@ -1627,18 +1635,25 @@ dict(alias, canonical_id) AS (VALUES {_DICT_VALUES}),
 comp(canonical_id, component) AS (VALUES {_COMP_VALUES}),
 d1 AS (SELECT alias, canonical_id FROM dict WHERE length(string_split(alias, ' ')) = 1),
 d2 AS (SELECT alias, canonical_id FROM dict WHERE length(string_split(alias, ' ')) = 2),
+lt AS (
+  -- lowered token projected ONCE: the LOWER_SQL shim expands to a
+  -- translate + 3-regex chain, so every downstream re-evaluation
+  -- (cand1 join, lead2 window x3, verbs x2) multiplies real sweep CPU
+  SELECT doc_id, sentence_id, token_id, LOWER_SQL(text) AS ltext
+  FROM toks
+),
 cand1 AS (
   SELECT t.doc_id, t.sentence_id, t.token_id AS start_tok, t.token_id AS end_tok,
-         LOWER_SQL(t.text) AS phrase, d.canonical_id
-  FROM toks t JOIN d1 d ON LOWER_SQL(t.text) = d.alias
+         t.ltext AS phrase, d.canonical_id
+  FROM lt t JOIN d1 d ON t.ltext = d.alias
 ),
 lead2 AS (
   SELECT doc_id, sentence_id, token_id,
-         LOWER_SQL(text) || ' ' || lead(LOWER_SQL(text)) OVER (
+         ltext || ' ' || lead(ltext) OVER (
              PARTITION BY doc_id, sentence_id ORDER BY token_id) AS phrase2,
-         lead(LOWER_SQL(text)) OVER (
+         lead(ltext) OVER (
              PARTITION BY doc_id, sentence_id ORDER BY token_id) AS nxt
-  FROM toks
+  FROM lt
 ),
 cand2 AS (
   SELECT l.doc_id, l.sentence_id, l.token_id AS start_tok,
@@ -1673,8 +1688,8 @@ linked AS (
   JOIN comp c ON am.canonical_id = c.canonical_id
 ),
 verbs AS (
-  SELECT doc_id, sentence_id, token_id AS verb_tok, LOWER_SQL(text) AS verb
-  FROM toks WHERE LOWER_SQL(text) IN ({preds})
+  SELECT doc_id, sentence_id, token_id AS verb_tok, ltext AS verb
+  FROM lt WHERE ltext IN ({preds})
 ),
 pairs AS (
   SELECT m1.doc_id, m1.sentence_id, m1.component AS subj, m2.component AS obj,
@@ -2446,10 +2461,9 @@ FROM documents
 """
 
     o["fingerprints"] = rf"""
-SELECT doc_id,
-  md5({_NORM_SQL}) AS fingerprint,
-  substr(md5({_NORM_SQL}), 1, 16) AS fingerprint16
-FROM documents
+WITH fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents)
+SELECT doc_id, fingerprint, substr(fingerprint, 1, 16) AS fingerprint16
+FROM fp
 """
 
     o["cosine_topk"] = """
@@ -2850,9 +2864,11 @@ linked AS (
   FROM gm m JOIN comp c USING (canonical_id)
 ),
 verbs AS (
-  SELECT doc_id, sentence_id, token_id AS verb_tok, LOWER_SQL(text) AS verb
-  FROM gt
-  WHERE LOWER_SQL(text) IN ({_sql_in(_VERBS)})
+  SELECT doc_id, sentence_id, verb_tok, verb FROM (
+    SELECT doc_id, sentence_id, token_id AS verb_tok,
+           LOWER_SQL(text) AS verb
+    FROM gt
+  ) WHERE verb IN ({_sql_in(_VERBS)})
 ),
 pairs AS (
   SELECT m1.doc_id, m1.sentence_id,

@@ -49,11 +49,11 @@ SRC_DEFAULT = "/root/testdata/sf0.001"
 
 ROWS = [
     (900001, None, None, "adv", None),
-    (900002, "a\x0bb the\tand \xa0of caf\xe9 中文 line", "en", "adv", 44),
-    (900003, "  spark  table \n\n merge rows  \n\x0b\n end", "en", "adv", 39),
+    (900002, "a\x0bb the\tand \xa0of caf\xe9 中文 line", "en", "adv", 28),
+    (900003, "  spark  table \n\n merge rows  \n\x0b\n end", "en", "adv", 37),
     (900004, "x < y & z > w <tag> &amp; done", "en", "adv", 30),
     (900005, "trailing marker doc (ABSTRACT TRUNCATED)", "en", "adv", 40),
-    (900006, "\xa0of био mix\xe9 \U0001f600emoji token", "en", "adv", 24),
+    (900006, "\xa0of био mix\xe9 \U0001f600emoji token", "en", "adv", 25),
     (900007, "", "en", "adv", 0),
     (900008, "İstanbul DİYARBAKIR trip", "tr", "adv", 24),
     (900009, "ΟΔΟΣ ΣΟΦΙΑΣ ΑΣΣΟΣ σΣσ ΣΣ İΣ τέλος", "el", "adv", 33),
@@ -61,7 +61,7 @@ ROWS = [
     # residuals, now exact): Σ before a ci-run+cased stays σ ('ΟΣ.α'),
     # cased+ci-run before Σ makes it final ("Ο'Σ"), caseless scripts are
     # not cased context ('ΟΣ中'/'中Σ'), trailing ci keeps finality
-    (900010, "ΟΣ.α Ο'Σ ΑΣ·α ΟΣ́ ΟΣ中 中Σ ΤΕΛΟΣ’ ΟΣ.Ω", "el", "adv", 38),
+    (900010, "ΟΣ.α Ο'Σ ΑΣ·α ΟΣ́ ΟΣ中 中Σ ΤΕΛΟΣ’ ΟΣ.Ω", "el", "adv", 36),
 ]
 
 
@@ -70,6 +70,15 @@ def main() -> None:
 
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bioner_adv"
     src = sys.argv[2] if len(sys.argv) > 2 else SRC_DEFAULT
+    # n_chars must match the documents-table invariant (len in codepoints,
+    # like the driver's generator) — a miscounted row would make any future
+    # n_chars==length(text) contract law fire on this corpus itself
+    for doc_id, text, _lang, _source, n_chars in ROWS:
+        want = None if text is None else len(text)
+        if n_chars != want:
+            raise SystemExit(
+                f"ROWS[{doc_id}]: n_chars={n_chars} but len(text)={want}"
+            )
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     for f in os.listdir(src):
