@@ -175,12 +175,14 @@ def connected_components_star(
         checkpoint_dir,
     )
     # seed the signature from the INITIAL edge set so an already-converged
-    # input (or one that stabilizes exactly at the budget) is recognized —
-    # with a None seed, convergence detection needs one spare iteration and
-    # the non-convergence raise below would fire on a correct forest
+    # input is recognized without spending a round. Convergence can only be
+    # DETECTED by a round that produces no change, so the budget counts
+    # productive rounds and one extra confirming round is granted on top:
+    # a graph whose fixpoint is first produced by round max_iterations is
+    # correct and must not trip the non-convergence raise below.
     prev_sig = _edge_checksum(cur)
     converged = False
-    for _ in range(max_iterations):
+    for _ in range(max_iterations + 1):
         for large in (True, False):
             sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
             mins = (

@@ -312,11 +312,15 @@ def bucket_fingerprints(
 
 
 def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame | None:
-    """None ONLY for a missing manifest path (legitimate first run). Any
-    other failure — transient object-store 503, permission blip, corrupt
-    footer — must RAISE: swallowing it would silently discard all resume
-    state, recompute every bucket (hours at scale) and append duplicate
-    'done' rows, indistinguishable from a first run in the logs."""
+    """None ONLY for a manifest that does not exist yet (legitimate first
+    run): a missing path, or a path holding zero committed parquet files —
+    a driver killed during the very FIRST manifest append leaves only
+    `_temporary/` debris, and that state must self-heal, not brick every
+    retry. Any other failure — transient object-store 503, permission
+    blip, corrupt footer on a manifest that HAS committed files — must
+    RAISE: swallowing it would silently discard all resume state,
+    recompute every bucket (hours at scale) and append duplicate 'done'
+    rows, indistinguishable from a first run in the logs."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -324,6 +328,16 @@ def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame | None:
     except AnalysisException as e:
         msg = str(e)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        if "UNABLE_TO_INFER_SCHEMA" in msg or "Unable to infer schema" in msg:
+            # distinguish crash debris from corruption by whether any
+            # parquet file was ever COMMITTED (committers rename finished
+            # files out of _temporary/; hidden dirs never hold committed data)
+            fs, jpath = _hadoop_fs(spark, manifest_path)
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                if st.isFile() and name.endswith(".parquet"):
+                    raise  # committed data exists yet is unreadable
             return None
         raise
 

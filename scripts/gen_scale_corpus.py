@@ -146,7 +146,9 @@ def main() -> None:
     src_dir = os.path.abspath(
         sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     )
-    if os.path.abspath(out_dir) == src_dir:
+    # realpath, not abspath: a symlinked out_dir pointing AT src_dir would
+    # pass an abspath comparison and destroy the source through the link
+    if os.path.realpath(out_dir) == os.path.realpath(src_dir):
         raise SystemExit(
             "gen_scale_corpus: out_dir must differ from src_dir — writing "
             "in place would overwrite documents/embeddings and unlink every "

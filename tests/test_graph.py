@@ -219,3 +219,18 @@ def test_star_already_converged_input_within_one_iteration(spark):
         connected_components_star(_edges_df(spark, pairs), max_iterations=1)
     )
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_star_fixpoint_reached_on_final_budgeted_round(spark):
+    """Convergence can only be DETECTED by a no-change round, so the loop
+    grants one confirming round beyond the productive budget: a graph whose
+    fixpoint is first produced by round max_iterations itself is a correct
+    forest and must be returned, not raised on (previously the last
+    productive round left sig != prev_sig and the budget had no round left
+    to confirm)."""
+    # reversed orientation: one productive round flips it to child→root
+    pairs = [("a", "b")]
+    got = _as_map(
+        connected_components_star(_edges_df(spark, pairs), max_iterations=1)
+    )
+    assert got == {"a": "a", "b": "a"}

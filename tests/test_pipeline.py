@@ -418,3 +418,23 @@ def test_multiset_fingerprint_shared_law(spark):
     dup = spark.createDataFrame(rows + [("a", 1)], "k string, v int")
     assert multiset_fingerprint(dup) != fp1  # multiplicity-sensitive
     assert multiset_fingerprint(dup).startswith("4:")
+
+
+def test_read_manifest_self_heals_first_append_crash_debris(spark, tmp_path):
+    """A driver killed during the very FIRST manifest append leaves the
+    manifest dir holding only `_temporary/` (zero committed footers).
+    That IS the no-resume-state-yet condition and must read as a first
+    run (None), not brick every retry with UNABLE_TO_INFER_SCHEMA; a
+    manifest that HAS committed parquet files keeps the fail-loud law."""
+    from bioner_spark.pipeline import read_manifest
+
+    man = tmp_path / "manifest"
+    (man / "_temporary" / "0").mkdir(parents=True)
+    assert read_manifest(spark, str(man)) is None
+
+    # committed data present and readable: normal resume path
+    spark.createDataFrame([(1, "done")], "bucket int, status string").write.mode(
+        "append"
+    ).parquet(str(man))
+    got = read_manifest(spark, str(man))
+    assert got is not None and got.count() == 1
