@@ -879,7 +879,7 @@ def assign_doc_shuffled_order(df, seed: int, order_partitions: int | None = None
     doc_offsets = ranged.withColumn(
         "_doc_off",
         offset_expr + F.sum("_n_sent").over(w) - F.col("_n_sent"),
-    ).select("doc_id", "_doc_off")
+    ).select("doc_id", "_pid", "_n_sent", "_doc_off")
     # cut the lineage to `ranged` (one small one-row-per-doc
     # materialization) and release its cache NOW — otherwise the persisted
     # counts table stays pinned in executor memory for the whole training
@@ -888,11 +888,39 @@ def assign_doc_shuffled_order(df, seed: int, order_partitions: int | None = None
     # boundaries by sampling, so a lineage recompute (cache eviction /
     # executor loss) could re-sample different _pid assignments while the
     # collected `offsets` map still encodes the old ones — silently wrong
-    # order_idx. A checkpoint block lost to executor death fails LOUDLY
-    # instead; fault-tolerant clusters should use a reliable checkpoint
-    # dir (sc.setCheckpointDir + .checkpoint()) for multi-hour runs.
+    # order_idx. A checkpoint block lost to executor death AFTER this line
+    # fails LOUDLY; fault-tolerant clusters should use a reliable
+    # checkpoint dir (sc.setCheckpointDir + .checkpoint()) for multi-hour
+    # runs.
     doc_offsets = doc_offsets.localCheckpoint(eager=True)
     ranged.unpersist()
+    # Close the remaining silent window: a cached `ranged` partition lost
+    # BETWEEN the totals collect and this checkpoint recomputes through
+    # repartitionByRange with re-sampled boundaries, so rows can land in
+    # _pids inconsistent with the collected `offsets` and the checkpoint
+    # then materializes duplicated/skipped order_idx ranges without any
+    # error. Audit the MATERIALIZED result against the collected totals:
+    # any row→_pid reassignment that can corrupt the tiling changes some
+    # partition's (doc count, sentence sum). Docs swapping pids with EQUAL
+    # _n_sent pass the audit but only permute which valid interval each
+    # doc gets — the order_idx tiling stays exact. One tiny job (one row
+    # per doc in, one row per partition out).
+    audit = {
+        r["_pid"]: (r["docs"], r["sz"])
+        for r in doc_offsets.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("_n_sent").alias("sz"))
+        .collect()
+    }
+    expected = {r["_pid"]: (r["docs"], r["sz"]) for r in totals}
+    if audit != expected:
+        raise RuntimeError(
+            "assign_doc_shuffled_order: partition totals of the "
+            "materialized doc-offset table disagree with the collected "
+            "prefix offsets (a cached partition was recomputed with "
+            "re-sampled range boundaries mid-build); order_idx would be "
+            "silently corrupted. Re-run the shuffle assignment."
+        )
+    doc_offsets = doc_offsets.select("doc_id", "_doc_off")
     sent_w = Window.partitionBy("doc_id").orderBy("sentence_id")
     out = (
         # the offsets table is one row per doc — broadcast while it is

@@ -36,9 +36,6 @@ MEDIA_SCHEMA = T.StructType(
 FEATURES_SCHEMA = "media_id string, modality string, n_bytes int, feature array<float>"
 HIST_SCHEMA = "media_id string, modality string, n_bytes int, feature array<int>"
 
-REAL_CODECS_AVAILABLE = False  # flipped when PIL/librosa exist in the image
-
-
 def _decode_stub(payload: bytes, modality: str, normalize: bool = True) -> np.ndarray:
     """Deterministic fake 'decode + featurize': 32-bin byte histogram,
     L1-normalized (normalize=False returns the raw int32 counts — exact
@@ -210,18 +207,25 @@ def decode_real(payload: bytes, modality: str) -> dict:
         return decode_netpbm(payload)
     raise NotImplementedError(
         "compressed image/audio codecs are not installed in this "
-        "environment; wire PIL/librosa/av here and set "
-        "REAL_CODECS_AVAILABLE=True (uncompressed WAV-PCM and netpbm "
-        "decode natively above)"
+        "environment; add a magic-byte dispatch branch above wiring "
+        "PIL/librosa/av (uncompressed WAV-PCM and netpbm decode natively)"
     )
 
 
 def _budget_subbatches(
     pdf: pd.DataFrame, byte_budget: int, row_fn, finalize
 ) -> "Iterator[pd.DataFrame]":
-    """THE byte-budget sub-batching scaffolding, shared by extract_features
-    and extract_decoded_histograms — a partition of 4K-video rows cannot
-    blow executor memory even if Arrow hands us 2048 rows at once.
+    """OUTPUT-side flush cadence, shared by extract_features and
+    extract_decoded_histograms: accumulated result rows are flushed every
+    `byte_budget` of INPUT payload consumed, so a worker never holds the
+    whole batch's outputs plus Python-side decode temporaries at once.
+
+    This does NOT bound the input batch — `pdf` is fully materialized by
+    Arrow before this runs. The input-side bound is
+    `spark.sql.execution.arrow.maxBytesPerBatch` (64 MB, pinned in
+    session.get_spark): Spark closes each Arrow batch at that many bytes
+    regardless of the row cap, which is what actually keeps a partition of
+    32 MB video payloads from arriving as one multi-GB pandas frame.
 
     Iterates the batch column-wise (iterrows materializes a pandas Series
     per row, ~10-50× slower than tuple iteration; the per-item decode is

@@ -44,6 +44,13 @@ def get_spark(
         # Bound Arrow batches so giant documents cannot blow up one UDF call;
         # the NER kernel additionally sub-batches by token budget.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # THE input-side byte bound for pandas UDF / mapInPandas batches
+        # (Spark >=4.0): a batch closes at 64 MB even if far under the row
+        # cap, so a handful of 32 MB video payloads can never arrive as one
+        # multi-GB pandas frame. Pinned to the default explicitly because
+        # ops/multimodal's memory contract DEPENDS on it — its own
+        # sub-batching bounds output accumulation, not input.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 << 20))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
