@@ -168,12 +168,29 @@ def connected_components_star(
 
     Alternating rounds converge to a forest of stars whose roots are the
     component minima. Deterministic by construction (min over ids)."""
+    from pyspark import StorageLevel
+
+    # persist the slim raw pairs so the upstream edge pipeline (for
+    # near_dup_clusters: the full LSH-candidate + Jaccard chain) executes
+    # ONCE for both derived tables — the working edge set below and the
+    # node table for the isolated-node re-attach at the end; both are
+    # eagerly checkpointed off the cache, so it can be released here
+    pairs = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cur = _truncate(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct(),
+        pairs.filter(F.col("u") != F.col("v")).distinct(),
         checkpoint_dir,
     )
+    all_nodes = _truncate(
+        pairs.select("u")
+        .union(pairs.select(F.col("v").alias("u")))
+        .filter(F.col("u").isNotNull())  # NULL is not a node (see driver path)
+        .distinct()
+        .select(F.col("u").alias("node")),
+        checkpoint_dir,
+    )
+    pairs.unpersist()
     # seed the signature from the INITIAL edge set so an already-converged
     # input is recognized without spending a round. Convergence can only be
     # DETECTED by a round that produces no change, so the budget counts
@@ -228,13 +245,8 @@ def connected_components_star(
     # nodes whose ONLY edges were self-loops vanished at the u != v filter;
     # the driver union-find keeps them, so the two paths must agree —
     # re-attach them as their own singleton components (slim node-id
-    # left-anti, one small exchange)
-    all_nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .filter(F.col("node").isNotNull())  # NULL is not a node (see driver path)
-        .distinct()
-    )
+    # left-anti over the node table checkpointed at entry — the raw edge
+    # plan is NOT re-executed here)
     isolated = all_nodes.join(result.select("node").distinct(), "node", "left_anti")
     return result.union(isolated.select("node", F.col("node").alias("component")))
 
@@ -249,13 +261,23 @@ def connected_components_propagation(
     """Min-label propagation to fixpoint — O(diameter) rounds. Kept as the
     simple differential authority for the star variant; fine for near-star
     alias graphs (diameter ~2-4)."""
+    pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # NULL-endpoint law, identical to the driver and star paths: NULL is
+    # not a node (never seeded, never emitted), but the NON-null endpoint
+    # of a half-NULL edge is still a node — it just has no neighbor from
+    # that edge. Without this, `sym` seeded a spurious NULL label row that
+    # adopted its neighbor's component and broke three-way agreement.
+    valid = pairs.filter(F.col("u").isNotNull() & F.col("v").isNotNull())
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        valid.union(valid.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
     )
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    labels = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select(F.col("v").alias("node")))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .withColumn("component", F.col("node"))
     )
     labels = _truncate(labels, checkpoint_dir)
     sym = _truncate(sym, checkpoint_dir)

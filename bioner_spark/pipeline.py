@@ -191,13 +191,16 @@ def build_triples(
         # build_triples twice per run (run_checkpointed's write plan + aux
         # view) pass it in so the jobs run once
         cmap = canonical_map(alias_dict)
-    linked = (
-        linked.join(F.broadcast(cmap), "canonical_id", "left")
-        .filter(F.col("component").isNotNull())
-    )
+    linked = linked.join(F.broadcast(cmap), "canonical_id", "left")
+    # unlinkable mentions (neural path, surface form outside alias_dict →
+    # canonical_id/component NULL) are dropped from the TRIPLE stream only
+    # — pairs read `component` — but stay in the returned mentions, per
+    # link_mentions' documented kept-for-recall-analysis contract (on the
+    # dict path every mention links, so the filter is a no-op there)
+    linkable = linked.filter(F.col("component").isNotNull())
     # verbs come from the raw token table (tags are irrelevant to the
     # predicate scan) — keeps the lazy `tagged` parity view out of the plan
-    triples = extract_triples(linked, tokens)
+    triples = extract_triples(linkable, tokens)
 
     # doc_key → url, once, at the narrow end of the funnel (triples and
     # mentions are ~50× smaller than tokens). AQE broadcasts url_map when
@@ -381,7 +384,14 @@ def _read_triples(spark: SparkSession, triples_path: str, schema) -> DataFrame:
     """Schema-pinned read of the partitioned triples table: a directory
     that exists but holds zero data files (first run emitted no triples,
     or every partition was just removed) reads as an EMPTY DataFrame
-    instead of crashing schema inference."""
+    instead of crashing schema inference. A MISSING directory also reads
+    as empty: a crash between the 'pending' manifest append and the first
+    triples write leaves a manifest with no triples dir, and a rerun that
+    then has zero todo buckets (e.g. drained input) must converge, not
+    raise PATH_NOT_FOUND forever."""
+    fs, jpath = _hadoop_fs(spark, triples_path)
+    if not fs.exists(jpath):
+        return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(triples_path)
 
 
@@ -515,11 +525,6 @@ def run_checkpointed(
         )
         _delete_bucket_partitions(spark, triples_path, orphans)
     todo_rows = [r for r in fp_rows if done_fp.get(r["bucket"]) != r["input_fingerprint"]]
-    todo = spark.createDataFrame(
-        [(r["bucket"], r["input_fingerprint"], r["n_docs"]) for r in todo_rows]
-        or [(None, None, None)],
-        "bucket int, input_fingerprint string, n_docs long",
-    ).filter(F.col("bucket").isNotNull())
     todo_buckets = [r["bucket"] for r in todo_rows]
     n_skipped = len(fp_rows) - len(todo_buckets)
 
@@ -529,6 +534,12 @@ def run_checkpointed(
     cmap_shared = canonical_map(alias_dict)
 
     if todo_buckets:
+        # only built when consumed (the pending append + the done-row join
+        # below); todo_rows is non-empty here so no placeholder row needed
+        todo = spark.createDataFrame(
+            [(r["bucket"], r["input_fingerprint"], r["n_docs"]) for r in todo_rows],
+            "bucket int, input_fingerprint string, n_docs long",
+        )
         pages_todo = pages.withColumn("bucket", _bucket_col(n_buckets)).filter(
             F.col("bucket").isin(todo_buckets)
         )

@@ -197,6 +197,10 @@ def test_driver_path_null_endpoint_edge_matches_star(spark):
     got_star = _as_map(connected_components(df, driver_threshold=0))
     assert got_driver == {5: 5, 6: 5, 8: 8}
     assert got_star == got_driver
+    # the differential authority must agree too: previously propagation
+    # seeded node NULL from sym and emitted a spurious {NULL: 5} row
+    got_prop = _as_map(connected_components_propagation(df))
+    assert got_prop == got_driver
 
 
 def test_star_raises_on_exhausted_iterations(spark):
