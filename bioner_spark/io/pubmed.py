@@ -76,14 +76,22 @@ def read_pubmed(spark: SparkSession, glob_path: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(glob_path).select("path", "content")
 
     def parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # yield per FILE, not per Arrow batch: the input batch is bounded by
+        # maxBytesPerBatch (64 MB) of COMPRESSED payload, but gzip'd XML
+        # expands ~5-10x — accumulating a whole batch's parsed abstracts
+        # before yielding would hold several hundred MB of Python strings
+        # per task. One file's expansion is the irreducible peak (gzip
+        # members are unsplittable); everything beyond it streams out.
         for pdf in batches:
-            rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                for idx, pmid, text in parse_pubmed_bytes(bytes(content)):
-                    rows.append((path, idx, pmid, text))
-            yield pd.DataFrame(
-                rows, columns=["path", "abstract_idx", "pmid", "raw_abstract"]
-            )
+                rows = [
+                    (path, idx, pmid, text)
+                    for idx, pmid, text in parse_pubmed_bytes(bytes(content))
+                ]
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["path", "abstract_idx", "pmid", "raw_abstract"]
+                    )
 
     parsed = files.mapInPandas(
         parse_partition,
