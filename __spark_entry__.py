@@ -693,6 +693,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_triples"] = kg_triples
 
+    # --- KG read-side analytics (kg_analytics.py): queries a user runs
+    # against the materialized triple table -------------------------------
+    def _triples_df(spark, sf_dir):
+        from bioner_spark.triples import extract_triples
+
+        linked, tagged = _kg_linked(spark, sf_dir)
+        return extract_triples(linked, tagged, predicates=PREDICATES)
+
+    def kg_degree(spark, sf_dir):
+        """Per-entity degree/support profile over the constructed KG —
+        one union + one hash aggregation (kg_analytics.entity_degree)."""
+        from bioner_spark.kg_analytics import entity_degree
+
+        return entity_degree(_triples_df(spark, sf_dir))
+
+    q["kg_degree"] = kg_degree
+
+    def kg_pmi(spark, sf_dir):
+        """PMI of (subj, obj) co-occurrence vs entity marginals
+        (kg_analytics.cooccurrence_pmi); marginals re-aggregate the pair
+        counts, never re-scan triples."""
+        from bioner_spark.kg_analytics import cooccurrence_pmi
+
+        return cooccurrence_pmi(_triples_df(spark, sf_dir))
+
+    q["kg_pmi"] = kg_pmi
+
+    def kg_pagerank(spark, sf_dir):
+        """5-iteration damped PageRank with dangling-mass redistribution
+        over the distinct directed entity graph (kg_analytics.pagerank);
+        oracle = the same power iteration unrolled as DuckDB CTEs."""
+        from bioner_spark.kg_analytics import pagerank
+
+        return pagerank(_triples_df(spark, sf_dir), iterations=5)
+
+    q["kg_pagerank"] = kg_pagerank
+
+    def kg_khop(spark, sf_dir):
+        """Min-hop BFS (≤3 hops, 5 smallest entities as seeds) along
+        directed subj→obj edges (kg_analytics.khop_neighbors); the Spark
+        side expands only the new frontier per round, the oracle re-expands
+        the whole visited set — equivalent under min-hop."""
+        from bioner_spark.kg_analytics import khop_neighbors
+
+        return khop_neighbors(_triples_df(spark, sf_dir), k=3, n_seeds=5)
+
+    q["kg_khop"] = kg_khop
+
     def connected_components_q(spark, sf_dir):
         from bioner_spark.graph import canonical_map
 
@@ -1719,6 +1767,79 @@ triples AS (
 """
 
 
+def _pagerank_cte(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank over the `triples` CTE — the SQL
+    mirror of kg_analytics.pagerank (same dangling-mass formulation, same
+    IEEE-double op sequence: literals forced ::DOUBLE so DuckDB does not
+    fall into exact DECIMAL arithmetic the Spark side can't reproduce;
+    every iteration CTE AS MATERIALIZED because DuckDB inlines plain CTEs,
+    which re-expands the full upstream triple pipeline ~3x per iteration
+    — exponential plan blowup without it)."""
+    d = f"{damping!r}::DOUBLE"
+    parts = [
+        """
+pr_edges AS MATERIALIZED (SELECT DISTINCT subj, obj FROM triples WHERE subj <> obj),
+pr_nodes AS MATERIALIZED (SELECT subj AS node FROM triples UNION SELECT obj FROM triples),
+pr_out AS MATERIALIZED (SELECT subj, COUNT(*)::DOUBLE AS od FROM pr_edges GROUP BY subj),
+pr_n AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM pr_nodes),
+pg0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE / (SELECT n FROM pr_n) AS rank FROM pr_nodes)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f""",
+pgd{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), 0.0::DOUBLE) AS dm
+  FROM pg{i} r LEFT JOIN pr_out o ON r.node = o.subj
+  WHERE o.subj IS NULL
+),
+pgc{i} AS MATERIALIZED (
+  SELECT e.obj AS node, SUM(r.rank / o.od) AS c
+  FROM pr_edges e JOIN pg{i} r ON e.subj = r.node
+  JOIN pr_out o ON e.subj = o.subj
+  GROUP BY e.obj
+),
+pg{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         (1.0::DOUBLE - {d}) / (SELECT n FROM pr_n)
+         + {d} * (COALESCE(c.c, 0.0::DOUBLE)
+                  + (SELECT dm FROM pgd{i}) / (SELECT n FROM pr_n)) AS rank
+  FROM pr_nodes n LEFT JOIN pgc{i} c ON n.node = c.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node AS entity, ROUND(rank, 6) AS rank FROM pg{iterations}"
+    )
+    return "".join(parts)
+
+
+def _khop_cte(k: int = 3, n_seeds: int = 5) -> str:
+    """Unrolled BFS over the `triples` CTE — the SQL mirror of
+    kg_analytics.khop_neighbors. Re-expands the whole h_{r-1} level each
+    round (the Spark side expands only the new frontier); MIN(hop) makes
+    the two formulations agree."""
+    parts = [
+        f"""
+kh_edges AS MATERIALIZED (SELECT DISTINCT subj, obj FROM triples WHERE subj <> obj),
+kh_nodes AS MATERIALIZED (SELECT subj AS node FROM triples UNION SELECT obj FROM triples),
+kh_seeds AS MATERIALIZED (SELECT node FROM kh_nodes ORDER BY node LIMIT {n_seeds}),
+h0 AS MATERIALIZED (SELECT node, 0 AS hop FROM kh_seeds)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+h{i} AS MATERIALIZED (
+  SELECT DISTINCT e.obj AS node, {i} AS hop
+  FROM kh_edges e JOIN h{i - 1} p ON e.subj = p.node
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM h{i}" for i in range(k + 1))
+    parts.append(
+        f"""
+SELECT node AS entity, MIN(hop)::INT AS hops FROM ({union}) GROUP BY node"""
+    )
+    return "".join(parts)
+
+
 def _surface_sql() -> str:
     # trim with the EXACT Python str.strip() whitespace set — plain trim()
     # strips only ASCII space, diverging from the reference's .strip() on
@@ -2277,6 +2398,54 @@ FROM linked
 WITH {_TOKS_CTE},
 {_kg_cte().strip()}
 SELECT subj, pred, obj, doc_id, sentence_id FROM triples
+"""
+
+    # --- KG analytics oracles: recompute the triple set via _kg_cte, then
+    # the analytics in plain SQL (kg_analytics.py docstrings state the
+    # shared math) ---------------------------------------------------------
+    o["kg_degree"] = f"""
+WITH {_TOKS_CTE},
+{_kg_cte().strip()},
+sides AS (
+  SELECT subj AS entity, TRUE AS is_out, obj AS nbr, pred, doc_id FROM triples
+  UNION ALL
+  SELECT obj AS entity, FALSE AS is_out, subj AS nbr, pred, doc_id FROM triples
+)
+SELECT entity,
+       SUM(CASE WHEN is_out THEN 1 ELSE 0 END)::BIGINT AS out_triples,
+       SUM(CASE WHEN is_out THEN 0 ELSE 1 END)::BIGINT AS in_triples,
+       COUNT(DISTINCT CASE WHEN is_out THEN nbr END)::BIGINT AS out_neighbors,
+       COUNT(DISTINCT CASE WHEN NOT is_out THEN nbr END)::BIGINT AS in_neighbors,
+       COUNT(DISTINCT pred)::BIGINT AS n_preds,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+FROM sides GROUP BY entity
+"""
+
+    o["kg_pmi"] = f"""
+WITH {_TOKS_CTE},
+{_kg_cte().strip()},
+pm_pairs AS (
+  SELECT subj, obj, COUNT(*)::BIGINT AS n_pair FROM triples GROUP BY subj, obj
+),
+pm_sm AS (SELECT subj, SUM(n_pair) AS n_subj FROM pm_pairs GROUP BY subj),
+pm_om AS (SELECT obj, SUM(n_pair) AS n_obj FROM pm_pairs GROUP BY obj),
+pm_tot AS (SELECT SUM(n_pair) AS n_total FROM pm_pairs)
+SELECT p.subj, p.obj, p.n_pair,
+       ROUND(LN((p.n_pair::DOUBLE * t.n_total::DOUBLE)
+                / (s.n_subj::DOUBLE * o.n_obj::DOUBLE)), 6) AS pmi
+FROM pm_pairs p JOIN pm_sm s USING (subj) JOIN pm_om o USING (obj) CROSS JOIN pm_tot t
+"""
+
+    o["kg_pagerank"] = f"""
+WITH {_TOKS_CTE},
+{_kg_cte().strip()},
+{_pagerank_cte(iterations=5).strip()}
+"""
+
+    o["kg_khop"] = f"""
+WITH {_TOKS_CTE},
+{_kg_cte().strip()},
+{_khop_cte(k=3, n_seeds=5).strip()}
 """
 
     o["connected_components"] = f"""
