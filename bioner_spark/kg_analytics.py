@@ -47,6 +47,37 @@ from pyspark.sql import functions as F
 from bioner_spark.graph import _truncate
 
 
+def write_analytics(
+    triples: DataFrame,
+    out_dir: str,
+    pagerank_iterations: int = 5,
+    checkpoint_dir: str | None = None,
+) -> dict[str, str]:
+    """Materialize all four analytics products as Parquet tables under
+    `out_dir` (one subdir per product) — the read-side sink kg_job's
+    `--analytics-dir` drives. `triples` should be the pipeline's
+    materialized table (a storage scan), not a live lineage. Returns
+    {product: path}."""
+    products = {
+        "entity_degree": entity_degree(triples),
+        "cooccurrence_pmi": cooccurrence_pmi(triples),
+        "pagerank": pagerank(
+            triples,
+            iterations=pagerank_iterations,
+            checkpoint_dir=checkpoint_dir,
+        ),
+        "khop_neighbors": khop_neighbors(
+            triples, checkpoint_dir=checkpoint_dir
+        ),
+    }
+    paths = {}
+    for name, df in products.items():
+        path = f"{out_dir.rstrip('/')}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        paths[name] = path
+    return paths
+
+
 def _directed_edges(triples: DataFrame) -> DataFrame:
     """Distinct subj→obj edges, self-loops dropped (a mention pair inside
     one component carries no graph information)."""

@@ -117,6 +117,14 @@ def main(argv: list[str] | None = None) -> None:
                          "iceberg-spark-runtime jar + a catalog conf on "
                          "the cluster (io/iceberg_sink.py docstring has "
                          "the spark-submit flags); errors out if absent")
+    ap.add_argument("--analytics-dir", default=None,
+                    help="also materialize the KG read-side analytics "
+                         "(kg_analytics.py: entity_degree, cooccurrence_"
+                         "pmi, pagerank, khop_neighbors) as Parquet "
+                         "tables under this dir — untimed, a second sink "
+                         "over the finished triple table like the "
+                         "Iceberg mirror")
+    ap.add_argument("--pagerank-iterations", type=int, default=5)
     ap.add_argument("--pilot-docs", type=int, default=0,
                     help="run the full pipeline over this many docs BEFORE "
                          "the timed section (untimed, output discarded). "
@@ -270,6 +278,23 @@ def main(argv: list[str] | None = None) -> None:
             spark, result.triples, args.iceberg_table, result.bucket_lineage
         )
 
+    analytics_sec = None
+    if args.analytics_dir:
+        # read-side analytics over the FINISHED triple table (outside the
+        # timed section — the scaling metric is construction). The input
+        # is run_checkpointed's materialized Parquet, so the iterative
+        # operators' re-scans hit storage, not the pipeline lineage; each
+        # product lands as its own Parquet table for downstream query.
+        from bioner_spark.kg_analytics import write_analytics
+
+        ta = time.time()
+        write_analytics(
+            result.triples,
+            args.analytics_dir,
+            pagerank_iterations=args.pagerank_iterations,
+        )
+        analytics_sec = round(time.time() - ta, 3)
+
     print(
         json.dumps(
             {
@@ -290,6 +315,7 @@ def main(argv: list[str] | None = None) -> None:
                 "buckets_skipped": result.n_buckets_skipped,
                 "cores": cores,
                 "shuffle_partitions": shuffle,
+                "analytics_sec": analytics_sec,
             }
         )
     )

@@ -160,6 +160,32 @@ def test_khop_directed_bfs(spark):
     assert got3 == {"A": 0, "B": 1, "C": 2, "D": 3}
 
 
+def test_write_analytics_products(spark, tmp_path):
+    """kg_job --analytics-dir sink: all four products land as readable
+    Parquet, and the degree table round-trips the in-memory operator."""
+    from bioner_spark.kg_analytics import write_analytics
+
+    rows = [
+        ("A", "treats", "B", 1, 0),
+        ("B", "causes", "C", 2, 0),
+        ("C", "treats", "A", 3, 0),
+    ]
+    t = _triples(spark, rows)
+    paths = write_analytics(t, str(tmp_path), pagerank_iterations=2)
+    assert set(paths) == {
+        "entity_degree", "cooccurrence_pmi", "pagerank", "khop_neighbors",
+    }
+    deg = spark.read.parquet(paths["entity_degree"])
+    want = {r["entity"]: r.asDict() for r in entity_degree(t).collect()}
+    got = {r["entity"]: r.asDict() for r in deg.collect()}
+    assert got == want
+    pr = spark.read.parquet(paths["pagerank"])
+    ranks = [r["rank"] for r in pr.collect()]
+    assert len(ranks) == 3 and sum(ranks) == pytest.approx(1.0, abs=1e-5)
+    kh = spark.read.parquet(paths["khop_neighbors"])
+    assert kh.count() == 3  # 3-cycle fully reachable from the 5-seed set
+
+
 def test_khop_min_hop_on_diamond(spark):
     # A→B, A→C, B→D, C→D: D reachable two ways, min hop = 2; seed set of
     # 2 smallest entities {A, B} puts D at hop 1 via B.
