@@ -741,6 +741,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_khop"] = kg_khop
 
+    def kg_snapshot_diff(spark, sf_dir):
+        """Incremental-maintenance delta between two crawl snapshots:
+        snapshot A keeps docs with doc_id % 5 != 0, snapshot B keeps
+        doc_id % 7 != 0 (both directions of the diff are non-empty).
+        Filtering the TRIPLES by doc_id is exact snapshot semantics here
+        because the dict-tagger pipeline is per-document independent —
+        dropping a doc drops exactly its triples (kg_analytics.kg_diff)."""
+        from bioner_spark.kg_analytics import kg_diff
+
+        t = _triples_df(spark, sf_dir)
+        snap_a = t.where(F.col("doc_id") % 5 != 0)
+        snap_b = t.where(F.col("doc_id") % 7 != 0)
+        return kg_diff(snap_a, snap_b)
+
+    q["kg_snapshot_diff"] = kg_snapshot_diff
+
     def connected_components_q(spark, sf_dir):
         from bioner_spark.graph import canonical_map
 
@@ -2446,6 +2462,22 @@ WITH {_TOKS_CTE},
 WITH {_TOKS_CTE},
 {_kg_cte().strip()},
 {_khop_cte(k=3, n_seeds=5).strip()}
+"""
+
+    o["kg_snapshot_diff"] = f"""
+WITH {_TOKS_CTE},
+{_kg_cte().strip()},
+snap_a AS MATERIALIZED (
+  SELECT DISTINCT subj, pred, obj FROM triples WHERE doc_id % 5 <> 0
+),
+snap_b AS MATERIALIZED (
+  SELECT DISTINCT subj, pred, obj FROM triples WHERE doc_id % 7 <> 0
+)
+SELECT 'added' AS op, subj, pred, obj
+FROM (SELECT * FROM snap_b EXCEPT SELECT * FROM snap_a)
+UNION ALL
+SELECT 'removed' AS op, subj, pred, obj
+FROM (SELECT * FROM snap_a EXCEPT SELECT * FROM snap_b)
 """
 
     o["connected_components"] = f"""

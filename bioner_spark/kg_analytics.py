@@ -6,6 +6,8 @@ this module is the north_star "query the constructed KG" layer the
 reference has no counterpart for). Four read-side operators, each a pure
 DataFrame plan a user would run against the Iceberg triples table:
 
+  * kg_diff            — added/removed distinct edges between two KG
+                         snapshots (incremental-maintenance delta)
   * entity_degree      — per-entity in/out triple counts, distinct
                          neighbors, predicate vocabulary, doc support
   * cooccurrence_pmi   — pointwise mutual information of (subj, obj)
@@ -97,6 +99,29 @@ def _entities(triples: DataFrame) -> DataFrame:
         .unionByName(triples.select(F.col("obj").alias("entity")))
         .distinct()
     )
+
+
+def kg_diff(old_triples: DataFrame, new_triples: DataFrame) -> DataFrame:
+    """Snapshot delta between two KG builds (e.g. successive crawls):
+    one row per DISTINCT (subj, pred, obj) edge that appears in exactly
+    one side — op='added' (new only) or op='removed' (old only). Doc/
+    sentence provenance is deliberately collapsed: the KG-maintenance
+    question is "which edges changed", not "which supports moved".
+
+    Scale: both sides reduce to distinct (subj, pred, obj) first (one
+    shuffle each, the same key both ways), then two anti-joins that
+    reuse that partitioning — no row ever fans out, output is bounded by
+    the symmetric difference."""
+    key = ["subj", "pred", "obj"]
+    old_d = old_triples.select(*key).distinct()
+    new_d = new_triples.select(*key).distinct()
+    added = new_d.join(old_d, key, "left_anti").select(
+        F.lit("added").alias("op"), *key
+    )
+    removed = old_d.join(new_d, key, "left_anti").select(
+        F.lit("removed").alias("op"), *key
+    )
+    return added.unionByName(removed)
 
 
 def entity_degree(triples: DataFrame) -> DataFrame:

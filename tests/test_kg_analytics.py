@@ -14,6 +14,7 @@ import pytest
 from bioner_spark.kg_analytics import (
     cooccurrence_pmi,
     entity_degree,
+    kg_diff,
     khop_neighbors,
     pagerank,
 )
@@ -158,6 +159,29 @@ def test_khop_directed_bfs(spark):
         for r in khop_neighbors(t, k=3, n_seeds=1).collect()
     }
     assert got3 == {"A": 0, "B": 1, "C": 2, "D": 3}
+
+
+def test_kg_diff_directions_and_distinct(spark):
+    old = _triples(spark, [
+        ("A", "treats", "B", 1, 0),
+        ("A", "treats", "B", 2, 0),   # same edge, second doc — collapses
+        ("B", "causes", "C", 1, 1),
+        ("X", "treats", "Y", 3, 0),
+    ])
+    new = _triples(spark, [
+        ("A", "treats", "B", 9, 0),   # kept (provenance moved — NOT a diff)
+        ("B", "causes", "C", 1, 1),
+        ("C", "treats", "D", 4, 0),   # added
+    ])
+    got = {
+        (r["op"], r["subj"], r["pred"], r["obj"])
+        for r in kg_diff(old, new).collect()
+    }
+    assert got == {
+        ("added", "C", "treats", "D"),
+        ("removed", "X", "treats", "Y"),
+    }
+    assert kg_diff(old, old).count() == 0
 
 
 def test_write_analytics_products(spark, tmp_path):
