@@ -702,11 +702,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return extract_triples(linked, tagged, predicates=PREDICATES)
 
     def kg_degree(spark, sf_dir):
-        """Per-entity degree/support profile over the constructed KG —
-        one union + one hash aggregation (kg_analytics.entity_degree)."""
+        """Per-entity degree/support profile over the constructed KG
+        (kg_analytics.entity_degree — per-metric distinct-then-count,
+        Expand-free). entity_degree's contract expects a MATERIALIZED
+        triples table (it makes four column-pruned passes); here the
+        pipeline lineage is localCheckpointed once so the passes read
+        executor blocks, not four re-executions of the gazetteer chain."""
         from bioner_spark.kg_analytics import entity_degree
 
-        return entity_degree(_triples_df(spark, sf_dir))
+        return entity_degree(_triples_df(spark, sf_dir).localCheckpoint())
 
     q["kg_degree"] = kg_degree
 
@@ -743,17 +747,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def kg_snapshot_diff(spark, sf_dir):
         """Incremental-maintenance delta between two crawl snapshots:
-        snapshot A keeps docs with doc_id % 5 != 0, snapshot B keeps
-        doc_id % 7 != 0 (both directions of the diff are non-empty).
+        snapshot A = even doc_ids < 30, snapshot B = odd doc_ids < 30 —
+        two disjoint 15-doc crawl slices, chosen because wider slices
+        saturate the small gazetteer's distinct-edge space and the
+        symmetric difference collapses to empty (the r4 vacuous-pass
+        failure mode: doc_id%5 vs %7 matched 0==0 rows). Verified
+        non-empty in BOTH directions at sf0.001/0.01/0.1.
+
         Filtering the TRIPLES by doc_id is exact snapshot semantics here
         because the dict-tagger pipeline is per-document independent —
-        dropping a doc drops exactly its triples (kg_analytics.kg_diff)."""
+        dropping a doc drops exactly its triples (kg_analytics.kg_diff).
+
+        Two audit rows (op='n_added'/'n_removed', count as subj) ride along
+        so the contract row can never be 0-rows again: an empty delta would
+        still hash the two zero-count rows, and a direction silently going
+        empty flips its count row and fails the hash."""
         from bioner_spark.kg_analytics import kg_diff
 
         t = _triples_df(spark, sf_dir)
-        snap_a = t.where(F.col("doc_id") % 5 != 0)
-        snap_b = t.where(F.col("doc_id") % 7 != 0)
-        return kg_diff(snap_a, snap_b)
+        snap_a = t.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 30))
+        snap_b = t.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 30))
+        d = kg_diff(snap_a, snap_b)
+        ops = spark.createDataFrame([("added",), ("removed",)], "op string")
+        audit = (
+            ops.join(d.groupBy("op").agg(F.count(F.lit(1)).alias("n")),
+                     "op", "left")
+            .select(
+                F.concat(F.lit("n_"), F.col("op")).alias("op"),
+                F.coalesce(F.col("n"), F.lit(0)).cast("string").alias("subj"),
+                F.lit("").alias("pred"),
+                F.lit("").alias("obj"),
+            )
+        )
+        return d.unionByName(audit)
 
     q["kg_snapshot_diff"] = kg_snapshot_diff
 
@@ -1330,6 +1356,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_dedup_ledger"] = streaming_dedup_ledger
 
+    def streaming_window_counts(spark, sf_dir):
+        """Watermarked event-time windowed mention counts run END-TO-END
+        through Structured Streaming (streaming/ingest.
+        streaming_mention_counts): the deterministic synthetic crawl
+        (corpus.generate — 60 pages, 1/min event times) lands as parquet
+        micro-batch files, is streamed with availableNow +
+        maxFilesPerTrigger=1 through extract → tokenize → stream-static
+        broadcast gazetteer join → 15-min watermarked window agg in append
+        mode.
+
+        Determinism under append mode: a far-future sentinel page (+2 days,
+        one 'aspirin' mention so it survives the gazetteer join and reaches
+        the watermark operator) is written as the LAST micro-batch file, so
+        the final watermark (sentinel − 30 min) passes every real window
+        and append emits them ALL; the sentinel's own window stays open and
+        is never emitted. Batch boundaries can shift which batch emits a
+        window but never the union. The oracle recomputes the window counts
+        from the generator's committed GOLD tokens + page event times
+        (tests/fixtures/kg_gold) — any drift in extraction, tokenization,
+        the broadcast match, watermark handling, or window bucketing breaks
+        the hash."""
+        import atexit
+        import shutil
+        import tempfile
+        from datetime import datetime
+
+        from bioner_spark.corpus import (
+            alias_dict_spark_df,
+            generate,
+            pages_spark_df,
+        )
+        from bioner_spark.schemas import PAGES_SCHEMA
+        from bioner_spark.streaming.ingest import (
+            read_page_stream,
+            streaming_mention_counts,
+        )
+
+        corpus = generate(n_docs=60, giant_doc_sentences=40)
+        pages = pages_spark_df(spark, corpus)
+        alias = alias_dict_spark_df(spark, corpus)
+        base = tempfile.mkdtemp(prefix="stream_window_q_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+        pages.coalesce(1).write.mode("append").parquet(in_dir)
+        sentinel = spark.createDataFrame(
+            [
+                (
+                    "sentinel://watermark-advance",
+                    datetime(2024, 1, 3),
+                    b"<p>aspirin</p>",
+                    "aspirin",
+                    "en",
+                )
+            ],
+            schema=PAGES_SCHEMA,
+        )
+        # second write = later mtime = later micro-batch (FileStreamSource
+        # orders by modification time, latestFirst default false)
+        sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+        stream = read_page_stream(spark, in_dir, max_files_per_trigger=1)
+        (
+            streaming_mention_counts(
+                stream, alias,
+                window_duration="15 minutes", watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.read.parquet(out_dir).select(
+            F.col("window_start").cast("long").alias("window_start"),
+            "canonical_id",
+            F.col("n_mentions").cast("long").alias("n_mentions"),
+        )
+
+    q["streaming_window_counts"] = streaming_window_counts
+
     def pubtator_iob(spark, sf_dir):
         """PubTator source roundtrip (SURVEY §2.1 S10): render the corpus +
         gazetteer mentions into real PubTator files, re-read them with the
@@ -1398,7 +1505,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pubtator_iob"] = pubtator_iob
 
-    return q
+    # Ordering is part of the contract surface: the driver's correctness
+    # harness walks this dict in insertion order under a budget, and in r4
+    # the three heaviest end-to-end queries sat last and fell off the
+    # check (no CORRECTNESS_r04 row). Front-load exactly those — plus the
+    # snapshot-diff row whose r4 green was vacuous — so a budget cut can
+    # only ever drop queries with the freshest green history.
+    front = [
+        "kg_pipeline_synthetic",
+        "streaming_dedup_ledger",
+        "streaming_window_counts",
+        "pubtator_iob",
+        "kg_snapshot_diff",
+    ]
+    return {k: q[k] for k in front} | {
+        k: v for k, v in q.items() if k not in front
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -2468,16 +2590,26 @@ WITH {_TOKS_CTE},
 WITH {_TOKS_CTE},
 {_kg_cte().strip()},
 snap_a AS MATERIALIZED (
-  SELECT DISTINCT subj, pred, obj FROM triples WHERE doc_id % 5 <> 0
+  SELECT DISTINCT subj, pred, obj FROM triples
+  WHERE doc_id % 2 = 0 AND doc_id < 30
 ),
 snap_b AS MATERIALIZED (
-  SELECT DISTINCT subj, pred, obj FROM triples WHERE doc_id % 7 <> 0
+  SELECT DISTINCT subj, pred, obj FROM triples
+  WHERE doc_id % 2 = 1 AND doc_id < 30
+),
+diff AS MATERIALIZED (
+  SELECT 'added' AS op, subj, pred, obj
+  FROM (SELECT * FROM snap_b EXCEPT SELECT * FROM snap_a)
+  UNION ALL
+  SELECT 'removed' AS op, subj, pred, obj
+  FROM (SELECT * FROM snap_a EXCEPT SELECT * FROM snap_b)
 )
-SELECT 'added' AS op, subj, pred, obj
-FROM (SELECT * FROM snap_b EXCEPT SELECT * FROM snap_a)
+SELECT op, subj, pred, obj FROM diff
 UNION ALL
-SELECT 'removed' AS op, subj, pred, obj
-FROM (SELECT * FROM snap_a EXCEPT SELECT * FROM snap_b)
+SELECT 'n_' || o.op AS op, COALESCE(c.n, 0)::VARCHAR AS subj,
+       '' AS pred, '' AS obj
+FROM (VALUES ('added'), ('removed')) o(op)
+LEFT JOIN (SELECT op, COUNT(*) AS n FROM diff GROUP BY op) c ON o.op = c.op
 """
 
     o["connected_components"] = f"""
@@ -3143,6 +3275,32 @@ SELECT fingerprint,
        (COUNT(*) - 1)::BIGINT AS max_dup,
        MIN(doc) AS min_doc
 FROM fp GROUP BY fingerprint
+"""
+
+    # streaming_window_counts: recompute the watermarked windowed counts
+    # from the generator's GOLD tokens (never engine output) + page event
+    # times. Single-word aliases resolve to MIN(canonical_id) (the
+    # stream-static broadcast join's rule); 15-min buckets via time_bucket
+    # (origin 2000-01-01 is 15-min-aligned with Spark's 1970 epoch, so the
+    # boundaries agree); the sentinel page exists only on the query side
+    # and its window is never emitted, so the oracle covers real docs only.
+    o["streaming_window_counts"] = f"""
+WITH gt AS (SELECT * FROM read_parquet('{_kg_gold}/tokens.parquet')),
+pm AS (SELECT * FROM read_parquet('{_kg_gold}/pages_meta.parquet')),
+al AS (SELECT * FROM read_parquet('{_kg_gold}/alias.parquet')),
+single AS (
+  SELECT alias, MIN(canonical_id) AS canonical_id FROM al
+  WHERE length(string_split(alias, ' ')) = 1 GROUP BY alias
+),
+matched AS (
+  SELECT p.warc_ts, s.canonical_id
+  FROM gt t
+  JOIN pm p ON t.doc_id = p.url
+  JOIN single s ON LOWER_SQL(t.text) = s.alias
+)
+SELECT epoch(time_bucket(INTERVAL '15 minutes', warc_ts))::BIGINT AS window_start,
+       canonical_id, COUNT(*)::BIGINT AS n_mentions
+FROM matched GROUP BY 1, 2
 """
 
     # pubtator_iob: the oracle never sees the PubTator files — it recomputes

@@ -60,23 +60,33 @@ def write_analytics(
     `--analytics-dir` drives. `triples` should be the pipeline's
     materialized table (a storage scan), not a live lineage. Returns
     {product: path}."""
+    # ONE persisted (subj, obj) projection shared by every product that
+    # only needs the 2-column edge view (pagerank + khop graph derivations)
+    # — without it each operator would persist its own copy of the same
+    # projection. entity_degree/cooccurrence_pmi need pred/doc_id columns
+    # and read the (materialized, column-pruned) triples table directly.
+    tr = triples.select("subj", "obj").persist()
     products = {
         "entity_degree": entity_degree(triples),
         "cooccurrence_pmi": cooccurrence_pmi(triples),
         "pagerank": pagerank(
-            triples,
+            tr,
             iterations=pagerank_iterations,
             checkpoint_dir=checkpoint_dir,
+            _projected=True,
         ),
         "khop_neighbors": khop_neighbors(
-            triples, checkpoint_dir=checkpoint_dir
+            tr, checkpoint_dir=checkpoint_dir, _projected=True
         ),
     }
     paths = {}
-    for name, df in products.items():
-        path = f"{out_dir.rstrip('/')}/{name}"
-        df.write.mode("overwrite").parquet(path)
-        paths[name] = path
+    try:
+        for name, df in products.items():
+            path = f"{out_dir.rstrip('/')}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            paths[name] = path
+    finally:
+        tr.unpersist()
     return paths
 
 
@@ -132,10 +142,20 @@ def entity_degree(triples: DataFrame) -> DataFrame:
       n_preds — distinct predicates the entity participates in (either side)
       n_docs — distinct documents supporting the entity (either side)
 
-    One union (column-pruned double scan of the triple table — at the
-    storage layer both scans read the same 4 columns) feeding ONE hash
-    aggregation; the multi-count-distinct expands to Spark's Expand
-    operator but still shuffles once on `entity`."""
+    Formulation: per-metric distinct-then-count aggregations joined on
+    `entity` — NOT a single multi-count-distinct agg. Spark expands a
+    multi-count-distinct through the Expand operator (~5× row
+    multiplication BEFORE the partial aggregation), which at a 10^12-row
+    triple table turns the hottest entities' pre-shuffle volume into the
+    bottleneck. Here every distinct is a map-side-combinable dedup on its
+    own narrow key, each feeding a tiny per-entity count, and the final
+    joins are |entities|-sized (AQE broadcasts at test SF). The cost is
+    four column-pruned passes over `sides` instead of one — callers are
+    expected to hand in a MATERIALIZED triples table (the pipeline's
+    Parquet/Iceberg product) so each pass is a ≤4-column storage scan,
+    the same contract as cooccurrence_pmi's documented re-scan. Inner
+    joins are lossless: every entity appearing in `sides` appears in all
+    four aggregates (nbr/pred/doc_id are non-null by triple construction)."""
     sides = triples.select(
         F.col("subj").alias("entity"),
         F.lit(True).alias("is_out"),
@@ -151,17 +171,48 @@ def entity_degree(triples: DataFrame) -> DataFrame:
             "doc_id",
         )
     )
-    return sides.groupBy("entity").agg(
+    base = sides.groupBy("entity").agg(
         F.sum(F.when(F.col("is_out"), 1).otherwise(0)).alias("out_triples"),
         F.sum(F.when(F.col("is_out"), 0).otherwise(1)).alias("in_triples"),
-        F.countDistinct(F.when(F.col("is_out"), F.col("nbr"))).alias(
-            "out_neighbors"
-        ),
-        F.countDistinct(F.when(~F.col("is_out"), F.col("nbr"))).alias(
-            "in_neighbors"
-        ),
-        F.countDistinct("pred").alias("n_preds"),
-        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    nbrs = (
+        sides.select("entity", "is_out", "nbr")
+        .distinct()
+        .groupBy("entity")
+        .agg(
+            F.sum(F.when(F.col("is_out"), 1).otherwise(0)).alias(
+                "out_neighbors"
+            ),
+            F.sum(F.when(F.col("is_out"), 0).otherwise(1)).alias(
+                "in_neighbors"
+            ),
+        )
+    )
+    preds = (
+        sides.select("entity", "pred")
+        .distinct()
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("n_preds"))
+    )
+    docs = (
+        sides.select("entity", "doc_id")
+        .distinct()
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        base.join(nbrs, "entity")
+        .join(preds, "entity")
+        .join(docs, "entity")
+        .select(
+            "entity",
+            "out_triples",
+            "in_triples",
+            "out_neighbors",
+            "in_neighbors",
+            "n_preds",
+            "n_docs",
+        )
     )
 
 
@@ -224,6 +275,8 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
+    tol: float | None = None,
+    _projected: bool = False,
 ) -> DataFrame:
     """Fixed-iteration damped PageRank over the DISTINCT directed entity
     graph (multi-edges collapse to one — edge weight is structural, not
@@ -234,7 +287,14 @@ def pagerank(
         r_{t+1}(v) = (1-d)/N + d * ( Σ_{u→v} r_t(u)/outdeg(u) + D_t/N )
 
     with D_t = Σ_{outdeg(u)=0} r_t(u). Fixed `iterations` (not
-    convergence-gated) keeps the plan deterministic and oracle-unrollable.
+    convergence-gated) keeps the plan deterministic and oracle-unrollable;
+    passing `tol` adds an early stop when the L1 rank delta
+    Σ_v |r_{t+1}(v) - r_t(v)| drops to ≤ tol — the delta is a 1-row
+    aggregate per round, so the only driver traffic is that scalar (the
+    same budget as the |V| count). `iterations` stays the hard cap.
+    `_projected=True` tells the function `triples` is ALREADY a (subj, obj)
+    projection persisted by the caller (write_analytics shares one across
+    pagerank + khop); the function then neither persists nor unpersists it.
 
     Returns (entity, rank) with rank rounded to 6 dp. Total rank mass is
     conserved at 1.0 per iteration (up to float rounding).
@@ -253,20 +313,25 @@ def pagerank(
     # one persisted 2-column projection feeds BOTH the edge and node
     # derivations — without it each would re-execute the upstream triple
     # lineage (for a pipeline-produced DataFrame that is the whole
-    # gazetteer chain, not a scan)
-    tr = triples.select("subj", "obj").persist()
+    # gazetteer chain, not a scan). A caller-shared projection
+    # (_projected=True) skips the local persist.
+    tr = triples if _projected else triples.select("subj", "obj").persist()
     edges = _directed_edges(tr)
     nodes = _entities(tr)
     outdeg = edges.groupBy("subj").agg(
         F.count(F.lit(1)).cast("double").alias("od")
     )
-    # adjacency with per-edge transition weight 1/outdeg(subj)
+    # adjacency carries the RAW out-degree; the per-edge contribution is
+    # aggregated as sum(rank / od) — the exact IEEE-double op sequence the
+    # DuckDB oracle uses (SUM(r.rank / o.od)). A precomputed 1/od weight
+    # would differ by up to 1 ulp per term and can flip a 6-dp rounding
+    # boundary on large graphs.
     adj = (
         edges.join(outdeg, "subj")
         .select(
             F.col("subj").alias("src"),
             F.col("obj").alias("dst"),
-            (F.lit(1.0) / F.col("od")).alias("w"),
+            "od",
         )
         .persist()
     )
@@ -275,7 +340,8 @@ def pagerank(
     if n == 0:
         adj.unpersist()
         nodes.unpersist()
-        tr.unpersist()
+        if not _projected:
+            tr.unpersist()
         return triples.sparkSession.createDataFrame(
             [], "entity string, rank double"
         )
@@ -293,7 +359,7 @@ def pagerank(
         contribs = (
             adj.join(ranks, adj.src == ranks.entity)
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("c"))
         )
         new_ranks = (
             nodes.join(contribs, nodes.entity == contribs.dst, "left")
@@ -310,13 +376,30 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        prev = ranks
         ranks = _truncate(new_ranks, checkpoint_dir)
+        if tol is not None:
+            # L1 delta vs the previous round — one job, one scalar back
+            l1 = (
+                ranks.alias("a")
+                .join(prev.alias("b"), "entity")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))),
+                        F.lit(0.0),
+                    ).alias("l1")
+                )
+                .collect()[0]["l1"]
+            )
+            if l1 <= tol:
+                break
     out = ranks.select("entity", F.round("rank", 6).alias("rank"))
     # `out` reads the final round's checkpointed blocks (plan already cut
     # from the pipeline lineage), so the upstream caches can go now
     adj.unpersist()
     nodes.unpersist()
-    tr.unpersist()
+    if not _projected:
+        tr.unpersist()
     return out
 
 
@@ -325,6 +408,7 @@ def khop_neighbors(
     k: int = 3,
     n_seeds: int = 5,
     checkpoint_dir: str | None = None,
+    _projected: bool = False,
 ) -> DataFrame:
     """Min-hop BFS distance from a deterministic seed set: the `n_seeds`
     lexicographically-smallest entities, following DIRECTED subj→obj
@@ -342,8 +426,9 @@ def khop_neighbors(
         raise ValueError("k must be >= 0")
     # same shared-projection discipline as pagerank: edge and seed
     # derivations read one persisted projection, not two executions of
-    # the upstream triple lineage
-    tr = triples.select("subj", "obj").persist()
+    # the upstream triple lineage; _projected=True means the caller
+    # already persisted the (subj, obj) projection and owns its lifetime
+    tr = triples if _projected else triples.select("subj", "obj").persist()
     edges = _directed_edges(tr).persist()
     seeds = (
         _entities(tr)
@@ -364,5 +449,6 @@ def khop_neighbors(
         visited = _truncate(visited.unionByName(discovered), checkpoint_dir)
         frontier = visited.where(F.col("hops") == hop).select("entity")
     edges.unpersist()
-    tr.unpersist()
+    if not _projected:
+        tr.unpersist()
     return visited.select("entity", F.col("hops").cast("int").alias("hops"))

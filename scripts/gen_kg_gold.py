@@ -30,6 +30,12 @@ OUT_DIR = os.path.join(
 def main() -> None:
     corpus = generate(n_docs=60, giant_doc_sentences=40)
     os.makedirs(OUT_DIR, exist_ok=True)
+    # page event-time metadata (url → warc_ts) for the streaming windowed-
+    # count oracle — html/text deliberately omitted (fixture stays tiny and
+    # the oracle must recompute from GOLD tokens, not engine-visible text)
+    corpus.pages[["url", "warc_ts"]].to_parquet(
+        os.path.join(OUT_DIR, "pages_meta.parquet"), index=False
+    )
     corpus.tokens.to_parquet(os.path.join(OUT_DIR, "tokens.parquet"), index=False)
     corpus.mentions.to_parquet(os.path.join(OUT_DIR, "mentions.parquet"), index=False)
     corpus.alias_dict.to_parquet(os.path.join(OUT_DIR, "alias.parquet"), index=False)

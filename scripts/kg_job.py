@@ -288,10 +288,15 @@ def main(argv: list[str] | None = None) -> None:
         from bioner_spark.kg_analytics import write_analytics
 
         ta = time.time()
+        # durable per-round checkpoints for the iterative operators
+        # (pagerank/khop): localCheckpoint blocks die with an executor,
+        # and kg_job already owns a durable work area — reuse it so an
+        # executor loss mid-analytics recomputes from storage, not fails
         write_analytics(
             result.triples,
             args.analytics_dir,
             pagerank_iterations=args.pagerank_iterations,
+            checkpoint_dir=f"{args.analytics_dir.rstrip('/')}/_checkpoints",
         )
         analytics_sec = round(time.time() - ta, 3)
 

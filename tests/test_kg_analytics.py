@@ -124,6 +124,55 @@ def test_pagerank_matches_numpy_authority(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
 
 
+def test_pagerank_tol_convergence(spark):
+    """Optional tol mode: early-stops on L1 rank delta, keeping the
+    fixed-iteration default intact. Graph chosen so 5 iterations are NOT
+    converged (a 4-cycle with a dangling tail mixes slowly)."""
+    raw_edges = [
+        ("A", "B"), ("B", "C"), ("C", "D"), ("D", "A"),
+        ("A", "C"), ("E", "A"), ("B", "F"),
+    ]
+    names = ["A", "B", "C", "D", "E", "F"]
+    rows = [(s, "p", o, i, 0) for i, (s, o) in enumerate(raw_edges)]
+    t = _triples(spark, rows)
+
+    # 5 iterations are demonstrably unconverged on this graph
+    r5 = _numpy_pagerank(raw_edges, names, 5, 0.85)
+    r6 = _numpy_pagerank(raw_edges, names, 6, 0.85)
+    assert sum(abs(r5[v] - r6[v]) for v in names) > 1e-6
+
+    # tiny tol + generous cap → converged ranks; authority = numpy run
+    # with the SAME stopping rule
+    idx = sorted(names)
+    prev = _numpy_pagerank(raw_edges, names, 0, 0.85)
+    it = 0
+    while True:
+        it += 1
+        cur = _numpy_pagerank(raw_edges, names, it, 0.85)
+        if sum(abs(cur[v] - prev[v]) for v in idx) <= 1e-10:
+            break
+        prev = cur
+    assert it > 5  # the early-stop genuinely ran past the oracle-parity depth
+    got = {
+        r["entity"]: r["rank"]
+        for r in pagerank(t, iterations=200, tol=1e-10).collect()
+    }
+    for v in names:
+        assert got[v] == pytest.approx(round(cur[v], 6), abs=1e-9), v
+
+    # a tol larger than any possible L1 delta (Σ|Δ| ≤ 2) stops after
+    # exactly one round — identical to iterations=1
+    one = {
+        r["entity"]: r["rank"]
+        for r in pagerank(t, iterations=1).collect()
+    }
+    early = {
+        r["entity"]: r["rank"]
+        for r in pagerank(t, iterations=200, tol=2.0).collect()
+    }
+    assert early == one
+
+
 def test_pagerank_zero_iterations_uniform(spark):
     rows = [("A", "p", "B", 1, 0), ("B", "p", "C", 1, 1)]
     got = {
