@@ -734,6 +734,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_pagerank"] = kg_pagerank
 
+    def kg_pagerank_weighted(spark, sf_dir):
+        """Support-weighted PageRank (r5): edge weight = triple-support
+        count, so heavily-evidenced relations carry proportionally more
+        rank (kg_analytics.pagerank weighted=True); oracle = the weighted
+        power iteration unrolled as DuckDB CTEs with the identical
+        SUM(rank*w/od) op sequence."""
+        from bioner_spark.kg_analytics import pagerank
+
+        return pagerank(_triples_df(spark, sf_dir), iterations=5, weighted=True)
+
+    q["kg_pagerank_weighted"] = kg_pagerank_weighted
+
     def kg_khop(spark, sf_dir):
         """Min-hop BFS (≤3 hops, 5 smallest entities as seeds) along
         directed subj→obj edges (kg_analytics.khop_neighbors); the Spark
@@ -1905,20 +1917,44 @@ triples AS (
 """
 
 
-def _pagerank_cte(iterations: int = 5, damping: float = 0.85) -> str:
+def _pagerank_cte(
+    iterations: int = 5, damping: float = 0.85, weighted: bool = False
+) -> str:
     """Unrolled power-iteration PageRank over the `triples` CTE — the SQL
     mirror of kg_analytics.pagerank (same dangling-mass formulation, same
     IEEE-double op sequence: literals forced ::DOUBLE so DuckDB does not
     fall into exact DECIMAL arithmetic the Spark side can't reproduce;
     every iteration CTE AS MATERIALIZED because DuckDB inlines plain CTEs,
     which re-expands the full upstream triple pipeline ~3x per iteration
-    — exponential plan blowup without it)."""
+    — exponential plan blowup without it). weighted=True mirrors
+    pagerank(weighted=True): edge weight = triple-support count, out-mass
+    = Σw, contribution = SUM(r.rank * e.w / o.od)."""
     d = f"{damping!r}::DOUBLE"
+    if weighted:
+        edges_cte = (
+            "pr_edges AS MATERIALIZED (SELECT subj, obj, COUNT(*)::DOUBLE AS w"
+            " FROM triples WHERE subj <> obj GROUP BY subj, obj)"
+        )
+        out_cte = (
+            "pr_out AS MATERIALIZED "
+            "(SELECT subj, SUM(w) AS od FROM pr_edges GROUP BY subj)"
+        )
+        contrib = "SUM(r.rank * e.w / o.od)"
+    else:
+        edges_cte = (
+            "pr_edges AS MATERIALIZED "
+            "(SELECT DISTINCT subj, obj FROM triples WHERE subj <> obj)"
+        )
+        out_cte = (
+            "pr_out AS MATERIALIZED "
+            "(SELECT subj, COUNT(*)::DOUBLE AS od FROM pr_edges GROUP BY subj)"
+        )
+        contrib = "SUM(r.rank / o.od)"
     parts = [
-        """
-pr_edges AS MATERIALIZED (SELECT DISTINCT subj, obj FROM triples WHERE subj <> obj),
+        f"""
+{edges_cte},
 pr_nodes AS MATERIALIZED (SELECT subj AS node FROM triples UNION SELECT obj FROM triples),
-pr_out AS MATERIALIZED (SELECT subj, COUNT(*)::DOUBLE AS od FROM pr_edges GROUP BY subj),
+{out_cte},
 pr_n AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM pr_nodes),
 pg0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE / (SELECT n FROM pr_n) AS rank FROM pr_nodes)"""
     ]
@@ -1931,7 +1967,7 @@ pgd{i} AS MATERIALIZED (
   WHERE o.subj IS NULL
 ),
 pgc{i} AS MATERIALIZED (
-  SELECT e.obj AS node, SUM(r.rank / o.od) AS c
+  SELECT e.obj AS node, {contrib} AS c
   FROM pr_edges e JOIN pg{i} r ON e.subj = r.node
   JOIN pr_out o ON e.subj = o.subj
   GROUP BY e.obj
@@ -2578,6 +2614,12 @@ FROM pm_pairs p JOIN pm_sm s USING (subj) JOIN pm_om o USING (obj) CROSS JOIN pm
 WITH {_TOKS_CTE},
 {_kg_cte().strip()},
 {_pagerank_cte(iterations=5).strip()}
+"""
+
+    o["kg_pagerank_weighted"] = f"""
+WITH {_TOKS_CTE},
+{_kg_cte().strip()},
+{_pagerank_cte(iterations=5, weighted=True).strip()}
 """
 
     o["kg_khop"] = f"""

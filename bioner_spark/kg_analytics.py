@@ -276,15 +276,25 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
     tol: float | None = None,
+    weighted: bool = False,
     _projected: bool = False,
 ) -> DataFrame:
-    """Fixed-iteration damped PageRank over the DISTINCT directed entity
-    graph (multi-edges collapse to one — edge weight is structural, not
-    frequency; self-loops dropped). Dangling nodes (out-degree 0) donate
-    their rank uniformly to every node each iteration — the standard
-    power-method formulation:
+    """Fixed-iteration damped PageRank over the directed entity graph
+    (self-loops dropped). Default: DISTINCT edges — multi-edges collapse
+    to one, edge weight is structural, not frequency. `weighted=True`
+    instead weights each edge by its triple-support count (how many
+    (doc, sentence) triples assert it), so heavily-evidenced relations
+    carry proportionally more rank — the KG-construction reading where
+    support is confidence. Dangling nodes (out-degree 0, i.e. zero
+    outgoing weight) donate their rank uniformly to every node each
+    iteration — the standard power-method formulation:
 
-        r_{t+1}(v) = (1-d)/N + d * ( Σ_{u→v} r_t(u)/outdeg(u) + D_t/N )
+        r_{t+1}(v) = (1-d)/N + d * ( Σ_{u→v} w(u,v)/W(u) · r_t(u) + D_t/N )
+
+    with W(u) = Σ_v w(u,v) (w ≡ 1 on distinct edges when unweighted, the
+    classic
+
+        r_{t+1}(v) = (1-d)/N + d * ( Σ_{u→v} r_t(u)/outdeg(u) + D_t/N )  )
 
     with D_t = Σ_{outdeg(u)=0} r_t(u). Fixed `iterations` (not
     convergence-gated) keeps the plan deterministic and oracle-unrollable;
@@ -316,25 +326,37 @@ def pagerank(
     # gazetteer chain, not a scan). A caller-shared projection
     # (_projected=True) skips the local persist.
     tr = triples if _projected else triples.select("subj", "obj").persist()
-    edges = _directed_edges(tr)
     nodes = _entities(tr)
-    outdeg = edges.groupBy("subj").agg(
-        F.count(F.lit(1)).cast("double").alias("od")
-    )
-    # adjacency carries the RAW out-degree; the per-edge contribution is
-    # aggregated as sum(rank / od) — the exact IEEE-double op sequence the
-    # DuckDB oracle uses (SUM(r.rank / o.od)). A precomputed 1/od weight
-    # would differ by up to 1 ulp per term and can flip a 6-dp rounding
-    # boundary on large graphs.
-    adj = (
-        edges.join(outdeg, "subj")
-        .select(
+    # adjacency carries the RAW out-degree/weights; per-edge contributions
+    # are aggregated as sum(rank / od) (or sum(rank * w / od) weighted) —
+    # the exact IEEE-double op sequences the DuckDB oracles use
+    # (SUM(r.rank / o.od), SUM(r.rank * e.w / o.od)). A precomputed 1/od
+    # weight would differ by up to 1 ulp per term and can flip a 6-dp
+    # rounding boundary on large graphs.
+    if weighted:
+        edges = (
+            tr.where(F.col("subj") != F.col("obj"))
+            .groupBy("subj", "obj")
+            .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        )
+        outdeg = edges.groupBy("subj").agg(F.sum("w").alias("od"))
+        adj_cols = [
+            F.col("subj").alias("src"),
+            F.col("obj").alias("dst"),
+            "w",
+            "od",
+        ]
+    else:
+        edges = _directed_edges(tr)
+        outdeg = edges.groupBy("subj").agg(
+            F.count(F.lit(1)).cast("double").alias("od")
+        )
+        adj_cols = [
             F.col("subj").alias("src"),
             F.col("obj").alias("dst"),
             "od",
-        )
-        .persist()
-    )
+        ]
+    adj = edges.join(outdeg, "subj").select(*adj_cols).persist()
     nodes = nodes.persist()
     n = nodes.count()  # bounded driver scalar: |V|
     if n == 0:
@@ -356,10 +378,15 @@ def pagerank(
         dangling = ranks.join(src_set, "entity", "left_anti").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
+        contrib_term = (
+            F.col("rank") * F.col("w") / F.col("od")
+            if weighted
+            else F.col("rank") / F.col("od")
+        )
         contribs = (
             adj.join(ranks, adj.src == ranks.entity)
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("od")).alias("c"))
+            .agg(F.sum(contrib_term).alias("c"))
         )
         new_ranks = (
             nodes.join(contribs, nodes.entity == contribs.dst, "left")

@@ -160,6 +160,11 @@ def main() -> None:
             lambda: pagerank(triples, iterations=5),
             "WITH " + entrymod._pagerank_cte(iterations=5).strip(),
         ),
+        "kg_pagerank_weighted@50k": (
+            lambda: pagerank(triples, iterations=5, weighted=True),
+            "WITH "
+            + entrymod._pagerank_cte(iterations=5, weighted=True).strip(),
+        ),
         "kg_khop@50k": (
             lambda: khop_neighbors(triples, k=3, n_seeds=5),
             "WITH " + entrymod._khop_cte(k=3, n_seeds=5).strip(),
@@ -176,7 +181,7 @@ def main() -> None:
         odf = con.execute(sql).fetchdf()
         t_oracle = time.time() - t0
         problems = compare(name, sdf, odf)
-        if name == "kg_pagerank@50k" and not problems:
+        if name.startswith("kg_pagerank") and not problems:
             mass = float(sdf["rank"].sum())
             if abs(mass - 1.0) > N_ENT * 5e-7:
                 problems = [f"rank mass not conserved: Σrank={mass!r}"]

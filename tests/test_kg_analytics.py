@@ -124,6 +124,62 @@ def test_pagerank_matches_numpy_authority(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
 
 
+def _numpy_pagerank_weighted(edges_w, nodes, iters, d):
+    """Dense weighted power iteration: M[j, i] = w(i→j) / W(i)."""
+    idx = {v: i for i, v in enumerate(sorted(nodes))}
+    n = len(idx)
+    m = np.zeros((n, n))
+    out = np.zeros(n)
+    for (s, o), w in edges_w.items():
+        out[idx[s]] += w
+    for (s, o), w in edges_w.items():
+        m[idx[o], idx[s]] = w / out[idx[s]]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (m @ r + dangling / n)
+    return {v: r[i] for v, i in idx.items()}
+
+
+def test_pagerank_weighted_matches_numpy_authority(spark):
+    """weighted=True: edge weight = triple-support count. A→B asserted 3×,
+    A→C once → A routes 3/4 of its rank to B, not 1/2; self-loops still
+    dropped; F dangling."""
+    rows = [
+        ("A", "treats", "B", 1, 0),
+        ("A", "causes", "B", 2, 0),
+        ("A", "treats", "B", 3, 1),
+        ("A", "treats", "C", 1, 1),
+        ("B", "treats", "C", 4, 0),
+        ("B", "inhibits", "F", 4, 1),
+        ("C", "causes", "A", 5, 0),
+        ("C", "causes", "C", 5, 1),  # self loop — dropped
+        ("E", "treats", "A", 6, 0),
+    ]
+    names = ["A", "B", "C", "E", "F"]
+    weights = {
+        ("A", "B"): 3, ("A", "C"): 1, ("B", "C"): 1,
+        ("B", "F"): 1, ("C", "A"): 1, ("E", "A"): 1,
+    }
+    got = {
+        r["entity"]: r["rank"]
+        for r in pagerank(
+            _triples(spark, rows), iterations=5, weighted=True
+        ).collect()
+    }
+    want = _numpy_pagerank_weighted(weights, names, 5, 0.85)
+    assert set(got) == set(names)
+    for v in names:
+        assert got[v] == pytest.approx(round(want[v], 6), abs=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+    # weighting genuinely changes the answer vs the distinct-edge default
+    un = {
+        r["entity"]: r["rank"]
+        for r in pagerank(_triples(spark, rows), iterations=5).collect()
+    }
+    assert un["B"] != got["B"]
+
+
 def test_pagerank_tol_convergence(spark):
     """Optional tol mode: early-stops on L1 rank delta, keeping the
     fixed-iteration default intact. Graph chosen so 5 iterations are NOT
