@@ -48,7 +48,8 @@ def main() -> None:
         "jaccard_pairs",         # standalone shingle self-join verify
         "near_dup_clusters",     # LSH -> set-intersect verify -> components
         "decontamination",       # broadcast benchmark n-gram semi join
-        "kg_degree",             # triple-table union + single expand-agg
+        "kg_degree",             # per-metric distinct-then-count joins
+                                 # (r5: Expand-free — check NO Expand node)
         "kg_pmi",                # pair counts + partitioned window marginals
         "corpus_filter",         # composed chain: ONE corpus scan, cached
                                  # word-array base (InMemoryTableScan) reused
