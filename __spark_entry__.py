@@ -776,7 +776,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         empty flips its count row and fails the hash."""
         from bioner_spark.kg_analytics import kg_diff
 
-        t = _triples_df(spark, sf_dir)
+        # localCheckpoint once (same discipline as kg_degree): the union
+        # below evaluates the diff branch twice (rows + audit counts) and
+        # kg_diff itself reads each snapshot twice (distinct + anti-join) —
+        # without materialization that would re-execute the full gazetteer
+        # pipeline ~8x; blocks are freed when the driver-side frame is GC'd
+        t = _triples_df(spark, sf_dir).localCheckpoint()
         snap_a = t.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 30))
         snap_b = t.where((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 30))
         d = kg_diff(snap_a, snap_b)
@@ -1390,8 +1395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the broadcast match, watermark handling, or window bucketing breaks
         the hash."""
         import atexit
+        import os
         import shutil
         import tempfile
+        import time
         from datetime import datetime
 
         from bioner_spark.corpus import (
@@ -1424,9 +1431,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
             schema=PAGES_SCHEMA,
         )
-        # second write = later mtime = later micro-batch (FileStreamSource
-        # orders by modification time, latestFirst default false)
+        real_files = {
+            f for f in os.listdir(in_dir) if not f.startswith(("_", "."))
+        }
         sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+        # FileStreamSource orders by modification time (latestFirst default
+        # false). A sentinel-first batch would set the watermark past every
+        # real event and drop them all as late, so the ordering must not
+        # hinge on write-timing mtime luck: pin the real file strictly
+        # earlier and the sentinel strictly later, explicitly.
+        now = time.time()
+        for f in os.listdir(in_dir):
+            if f.startswith(("_", ".")):
+                continue
+            target = now - 120 if f in real_files else now + 60
+            os.utime(os.path.join(in_dir, f), (target, target))
         stream = read_page_stream(spark, in_dir, max_files_per_trigger=1)
         (
             streaming_mention_counts(

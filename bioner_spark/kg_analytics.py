@@ -66,21 +66,25 @@ def write_analytics(
     # projection. entity_degree/cooccurrence_pmi need pred/doc_id columns
     # and read the (materialized, column-pruned) triples table directly.
     tr = triples.select("subj", "obj").persist()
-    products = {
-        "entity_degree": entity_degree(triples),
-        "cooccurrence_pmi": cooccurrence_pmi(triples),
-        "pagerank": pagerank(
-            tr,
-            iterations=pagerank_iterations,
-            checkpoint_dir=checkpoint_dir,
-            _projected=True,
-        ),
-        "khop_neighbors": khop_neighbors(
-            tr, checkpoint_dir=checkpoint_dir, _projected=True
-        ),
-    }
     paths = {}
     try:
+        # pagerank/khop execute EAGERLY here (node count + per-round
+        # checkpoints), so their construction must sit inside the
+        # try/finally too — a mid-iteration failure must not leak the
+        # persisted projection for the rest of the session
+        products = {
+            "entity_degree": entity_degree(triples),
+            "cooccurrence_pmi": cooccurrence_pmi(triples),
+            "pagerank": pagerank(
+                tr,
+                iterations=pagerank_iterations,
+                checkpoint_dir=checkpoint_dir,
+                _projected=True,
+            ),
+            "khop_neighbors": khop_neighbors(
+                tr, checkpoint_dir=checkpoint_dir, _projected=True
+            ),
+        }
         for name, df in products.items():
             path = f"{out_dir.rstrip('/')}/{name}"
             df.write.mode("overwrite").parquet(path)

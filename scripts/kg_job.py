@@ -291,13 +291,23 @@ def main(argv: list[str] | None = None) -> None:
         # durable per-round checkpoints for the iterative operators
         # (pagerank/khop): localCheckpoint blocks die with an executor,
         # and kg_job already owns a durable work area — reuse it so an
-        # executor loss mid-analytics recomputes from storage, not fails
-        write_analytics(
-            result.triples,
-            args.analytics_dir,
-            pagerank_iterations=args.pagerank_iterations,
-            checkpoint_dir=f"{args.analytics_dir.rstrip('/')}/_checkpoints",
-        )
+        # executor loss mid-analytics recomputes from storage, not fails.
+        # Spark never deletes reliable-checkpoint files itself
+        # (cleanCheckpoints defaults false), so remove the dir once the
+        # products are materialized — otherwise every run accumulates
+        # |V|-sized round snapshots inside the analytics output forever.
+        ckpt_dir = f"{args.analytics_dir.rstrip('/')}/_checkpoints"
+        try:
+            write_analytics(
+                result.triples,
+                args.analytics_dir,
+                pagerank_iterations=args.pagerank_iterations,
+                checkpoint_dir=ckpt_dir,
+            )
+        finally:
+            import shutil
+
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
         analytics_sec = round(time.time() - ta, 3)
 
     print(

@@ -123,7 +123,12 @@ FROM (SELECT * FROM snap_a EXCEPT SELECT * FROM snap_b)
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bioner_kg50k"
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "triples.parquet")
+    # config-keyed filename: an edit to N_ENT/N_EDGES/SEED must MISS the
+    # cache — an existence-only check would silently re-verify a stale
+    # graph and report green for a configuration that never ran
+    path = os.path.join(
+        out_dir, f"triples_{N_ENT}x{N_EDGES}_s{SEED}.parquet"
+    )
     if not os.path.exists(path):
         t0 = time.time()
         gen_triples(path)
