@@ -68,6 +68,63 @@ def test_ingest_resume_processes_only_new_files(spark, corpus, tmp_path_factory)
     assert expected.join(both, key, "left_anti").count() == 0
 
 
+def test_windowed_counts_batch_boundary_invariance(spark, corpus, tmp_path_factory):
+    """The emitted window set is a pure function of the input, not of the
+    micro-batch layout (the law the streaming_window_counts contract query
+    relies on): a far-future sentinel page advances the final watermark
+    past every real window, so the UNION of append-mode emissions is
+    identical whether the stream runs file-at-a-time or as one batch."""
+    from datetime import datetime
+
+    from bioner_spark.schemas import PAGES_SCHEMA
+
+    alias = alias_dict_spark_df(spark, corpus)
+    sentinel = spark.createDataFrame(
+        [("sentinel://wm", datetime(2024, 1, 3), b"<p>aspirin</p>", "aspirin", "en")],
+        schema=PAGES_SCHEMA,
+    )
+
+    def run(max_files):
+        base = str(tmp_path_factory.mktemp("wininv"))
+        in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+        _write_pages(spark, corpus, in_dir, 0, 29)
+        real = {f for f in os.listdir(in_dir) if not f.startswith(("_", "."))}
+        sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+        import time as _t
+
+        now = _t.time()
+        for f in os.listdir(in_dir):
+            if f.startswith(("_", ".")):
+                continue
+            t = now - 120 if f in real else now + 60
+            os.utime(os.path.join(in_dir, f), (t, t))
+        pages = read_page_stream(spark, in_dir, max_files_per_trigger=max_files)
+        (
+            streaming_mention_counts(
+                pages, alias, window_duration="10 minutes", watermark="15 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return {
+            (r.window_start, r.canonical_id, r.n_mentions)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    per_file = run(max_files=1)
+    one_batch = run(max_files=None)
+    assert per_file == one_batch
+    assert len(per_file) > 0
+    # the sentinel's own window is open at end-of-stream — never emitted
+    assert all(ws.year == 2024 and ws.month == 1 and ws.day == 1
+               for ws, _, _ in per_file)
+
+
 def test_streaming_stateful_dedup_across_batches(spark, tmp_path_factory):
     """applyInPandasWithState: the first copy of each fingerprint wins, state
     survives into later micro-batches (and restarts via the checkpoint)."""
