@@ -54,14 +54,16 @@ N_EDGES = 2_000_000
 SEED = 20260821
 
 
-def gen_triples(path: str) -> None:
-    rng = np.random.default_rng(SEED)
-    src = (N_ENT * rng.random(N_EDGES) ** 3).astype(np.int64)
-    dst = (N_ENT * rng.random(N_EDGES)).astype(np.int64)
+def gen_triples(
+    path: str, n_ent: int = N_ENT, n_edges: int = N_EDGES, seed: int = SEED
+) -> None:
+    rng = np.random.default_rng(seed)
+    src = (n_ent * rng.random(n_edges) ** 3).astype(np.int64)
+    dst = (n_ent * rng.random(n_edges)).astype(np.int64)
     # entities ≡ 0 (mod 997) never appear as src → genuine dangling nodes
-    src = np.where(src % 997 == 0, (src + 1) % N_ENT, src)
+    src = np.where(src % 997 == 0, (src + 1) % n_ent, src)
     pred_ix = (src * 31 + dst * 17) % 8
-    ids = np.arange(N_EDGES)
+    ids = np.arange(n_edges)
     tbl = pa.table(
         {
             "subj": pa.array([f"e{v:05d}" for v in src], pa.string()),
